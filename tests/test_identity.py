@@ -1,0 +1,56 @@
+"""Identity constraints: uniqueness, key, keyref, occurs
+(reference test style: tests/validators/test_identities.py)."""
+
+from xmlschema_spark.operators.identity import (keyref_violations,
+                                                occurs_violations,
+                                                unique_violations)
+from xmlschema_spark.specs import KeyrefSpec, OccursSpec, UniqueSpec
+
+
+def test_unique_duplicates_with_counts(spark):
+    df = spark.createDataFrame(
+        [("r1", "a"), ("r2", "b"), ("r3", "a"), ("r4", "a"), ("r5", None)],
+        "k string, v string")
+    out = unique_violations(df, UniqueSpec("v", ["v"]), "k").collect()
+    got = {(r.row_key, r.occurs) for r in out}
+    # one violation per offending row, each carrying the group count
+    assert got == {("r1", 3), ("r3", 3), ("r4", 3)}
+    assert all(r.constraint == "unique:v" for r in out)
+
+
+def test_unique_skips_null_tuples_key_reports_them(spark):
+    df = spark.createDataFrame([("r1", None), ("r2", "x")], "k string, v string")
+    assert unique_violations(df, UniqueSpec("v", ["v"]), "k").count() == 0
+    out = unique_violations(df, UniqueSpec("v", ["v"], is_key=True), "k").collect()
+    assert {(r.row_key, r.constraint) for r in out} == {("r1", "key:v:missing")}
+
+
+def test_unique_composite(spark):
+    df = spark.createDataFrame(
+        [("r1", "a", 1), ("r2", "a", 2), ("r3", "a", 1)],
+        "k string, x string, y int")
+    out = unique_violations(df, UniqueSpec("xy", ["x", "y"]), "k").collect()
+    assert {r.row_key for r in out} == {"r1", "r3"}
+
+
+def test_keyref_misses_with_n_times(spark):
+    child = spark.createDataFrame(
+        [("r1", "a"), ("r2", "zz"), ("r3", "zz"), ("r4", None)],
+        "k string, ref string")
+    parent = spark.createDataFrame([("a",), ("b",)], "ref string")
+    out = keyref_violations(child, parent,
+                            KeyrefSpec("fk", ["ref"], "parent", ["ref"]),
+                            "k").collect()
+    got = {(r.row_key, r.occurs) for r in out}
+    # "(2 times)" count like identities.py:403-418; nulls skipped
+    assert got == {("r2", 2), ("r3", 2)}
+    assert all("(2 times)" in r.reason for r in out)
+
+
+def test_occurs_bounds(spark):
+    df = spark.createDataFrame(
+        [("o1", 1), ("o1", 2), ("o2", 1), ("o2", 2), ("o2", 3)],
+        "parent string, line int")
+    out = occurs_violations(df, OccursSpec("lines", ["parent"],
+                                           min_occurs=1, max_occurs=2)).collect()
+    assert {(r.row_key, r.occurs) for r in out} == {("o2", 3)}

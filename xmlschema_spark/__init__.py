@@ -1,0 +1,23 @@
+"""xmlschema_spark — PySpark-native schema + constraint validation engine.
+
+A from-scratch rebuild of sissaschool/xmlschema's validator semantics
+(types + facets, identity constraints, referential integrity, assertions,
+strict/lax/skip modes) as Catalyst column expressions and Arrow-batched
+UDFs over DataFrames, plus the Spark-scale additions the reference never
+needed: salted aggregates, anti-join referential checks, drift sketches,
+per-partition lineage manifests, and training-data pipeline operators.
+"""
+
+from .specs import (AssertSpec, ColumnSpec, DriftSpec, KeyrefSpec,
+                    OccursSpec, PayloadSpec, TableSpec, UniqueSpec)
+from .plans.compiler import ValidationPlan, compile_plan
+from .runner import (ValidationResult, XmlSchemaSparkValidationError,
+                     is_valid, validate, violations_frame, verdicts_frame)
+
+__version__ = "0.1.0"
+__all__ = [
+    "AssertSpec", "ColumnSpec", "DriftSpec", "KeyrefSpec", "OccursSpec",
+    "PayloadSpec", "TableSpec", "UniqueSpec", "ValidationPlan",
+    "compile_plan", "ValidationResult", "XmlSchemaSparkValidationError",
+    "is_valid", "validate", "violations_frame", "verdicts_frame",
+]

@@ -1,0 +1,164 @@
+"""Identity constraints at Spark scale: uniqueness aggregates + anti-joins.
+
+The reference accumulates hash maps in a single pass per document
+(IdentityCounter, xmlschema/validators/identities.py:364-418; id_map
+Counter at validators/validation.py:166). At 10^12 rows those become real
+distributed operators:
+
+- xs:unique / xs:key  -> hash aggregate with partial+final combine; a
+  two-level SALTED aggregate for skewed keys (count per (key, salt) then
+  re-aggregate) so one hot key cannot pin a single reducer.
+- xs:keyref / IDREF   -> left-anti join against the referred key set,
+  broadcast when the key side is small, sort-merge otherwise; occurrence
+  counts pre-aggregated BEFORE the join so the violation carries the
+  reference's "(n times)" count (identities.py:403-418) and the join
+  input is already deduplicated (smaller shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..specs import KeyrefSpec, OccursSpec, UniqueSpec
+
+_VIOL = ["row_key", "part_key", "constraint", "reason", "value", "occurs"]
+
+
+def _tuple_str(columns: list[str]) -> F.Column:
+    """Canonical rendering of a field tuple for the violation `value`."""
+    if len(columns) == 1:
+        return F.col(columns[0]).cast("string")
+    return F.to_json(F.struct(*[F.col(c).cast("string").alias(c) for c in columns]))
+
+
+def unique_violations(df: DataFrame, spec: UniqueSpec, key_column: str,
+                      part_key: str | None = None) -> DataFrame:
+    """Duplicated field tuples (reference: "duplicated value {} for {!r}",
+    identities.py:385-389). Emits one violation row per OFFENDING ROW
+    (not per group) so verdicts can attribute failures to rows, matching
+    the reference raising at the element whose tuple repeats.
+
+    Physical shape: pre-aggregate per key tuple with a salted two-level
+    combine, then a self semi-join to recover row keys. At scale the
+    first groupBy benefits from partial aggregation (map-side combine);
+    salting bounds reducer skew when one tuple dominates.
+    """
+    cols = spec.columns
+    nn = F.lit(True)
+    for c in cols:
+        nn = nn & F.col(c).isNotNull()
+
+    if spec.is_key:
+        # xs:key: missing key field is itself an error (identities.py:523-531)
+        missing = df.where(~nn).select(
+            F.col(key_column).cast("string").alias("row_key"),
+            _part(part_key),
+            F.lit(f"key:{spec.name}:missing").alias("constraint"),
+            F.lit(f"missing key field for '{spec.name}' {cols}").alias("reason"),
+            _tuple_str(cols).alias("value"),
+            F.lit(1).cast("bigint").alias("occurs"),
+        )
+    else:
+        missing = None
+
+    present = df.where(nn)
+    salt_n = spec.salt or 16
+    # two-level salted aggregate: (tuple, salt) partial counts -> tuple counts
+    salted = (
+        present
+        .withColumn("_salt", F.pmod(F.xxhash64(F.col(key_column)), F.lit(salt_n)))
+        .groupBy(*cols, "_salt").agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(*cols).agg(F.sum("_c").alias("occurs"))
+        .where(F.col("occurs") > 1)
+    )
+    # dup tuple set is usually tiny; AQE converts this join to broadcast
+    # at runtime when it is — no forced hint (could be huge in bad data)
+    dups = (
+        present.join(salted, on=cols, how="inner")
+        .select(
+            F.col(key_column).cast("string").alias("row_key"),
+            _part(part_key),
+            F.lit(f"unique:{spec.name}").alias("constraint"),
+            F.concat(F.lit(f"duplicated value for '{spec.name}' fields {cols}: "),
+                     _tuple_str(cols)).alias("reason"),
+            _tuple_str(cols).alias("value"),
+            F.col("occurs").cast("bigint"),
+        )
+    )
+    return dups.unionByName(missing) if missing is not None else dups
+
+
+def keyref_violations(df: DataFrame, ref: DataFrame, spec: KeyrefSpec,
+                      key_column: str, part_key: str | None = None,
+                      broadcast_ref: bool | None = None) -> DataFrame:
+    """Referring tuples absent from the referred key set (reference:
+    "value {} not found for {!r} ({} times)", identities.py:403-418).
+
+    Plan: dedupe+count referring tuples first (shrinks the join input and
+    produces the "(n times)" count), left-anti join against the DISTINCT
+    key set, then rejoin to rows to attribute row_keys. The distinct key
+    set is broadcast when small (dimension-table case).
+    """
+    cols, rcols = spec.columns, spec.ref_columns
+    keys = ref.select(*[F.col(c).alias(f"_k{i}") for i, c in enumerate(rcols)]).distinct()
+    if broadcast_ref is None or broadcast_ref:
+        keys = F.broadcast(keys)
+
+    nn = F.lit(True)
+    for c in cols:
+        nn = nn & F.col(c).isNotNull()
+    present = df.where(nn)
+
+    counted = present.groupBy(*cols).agg(F.count(F.lit(1)).alias("occurs"))
+    cond = None
+    for i, c in enumerate(cols):
+        eq = counted[c] == keys[f"_k{i}"]
+        cond = eq if cond is None else cond & eq
+    misses = counted.join(keys, on=cond, how="left_anti")
+
+    return (
+        present.join(misses, on=cols, how="inner")
+        .select(
+            F.col(key_column).cast("string").alias("row_key"),
+            _part(part_key),
+            F.lit(f"keyref:{spec.name}").alias("constraint"),
+            F.concat(F.lit("value "), _tuple_str(cols),
+                     F.lit(f" not found for keyref '{spec.name}' ("),
+                     F.col("occurs").cast("string"), F.lit(" times)")).alias("reason"),
+            _tuple_str(cols).alias("value"),
+            F.col("occurs").cast("bigint"),
+        )
+    )
+
+
+def occurs_violations(df: DataFrame, spec: OccursSpec,
+                      part_key: str | None = None) -> DataFrame:
+    """minOccurs/maxOccurs per parent scope (ModelVisitor.occurs,
+    models.py:177-330; error text exceptions.py:480-487): per-group counts
+    bounded. Group key becomes the row_key of the violation."""
+    counts = df.groupBy(*spec.group_by).agg(
+        F.count(F.lit(1)).alias("occurs"),
+        # min, not first: deterministic across shuffle order (north rule)
+        (F.min(F.col(part_key)) if part_key else F.min(F.lit(0))).cast("bigint").alias("part_key"),
+    )
+    bad = counts.where(F.col("occurs") < spec.min_occurs) if spec.max_occurs is None \
+        else counts.where((F.col("occurs") < spec.min_occurs)
+                          | (F.col("occurs") > spec.max_occurs))
+    hi = "unbounded" if spec.max_occurs is None else str(spec.max_occurs)
+    return bad.select(
+        _tuple_str(spec.group_by).alias("row_key"),
+        F.col("part_key"),
+        F.lit(f"occurs:{spec.name}").alias("constraint"),
+        F.concat(F.lit(f"occurrence count out of bounds [{spec.min_occurs}, {hi}] "
+                       f"for '{spec.name}': "),
+                 F.col("occurs").cast("string")).alias("reason"),
+        _tuple_str(spec.group_by).alias("value"),
+        F.col("occurs").cast("bigint"),
+    )
+
+
+def _part(part_key: str | None) -> F.Column:
+    if part_key:
+        return F.col(part_key).cast("bigint").alias("part_key")
+    return F.lit(0).cast("bigint").alias("part_key")

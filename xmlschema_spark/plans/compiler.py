@@ -1,0 +1,260 @@
+"""Spec -> ValidationPlan compiler.
+
+The analog of schema build (reference: XsdGlobals.build,
+xmlschema/validators/xsd_globals.py:537-578): every facet becomes a bound,
+reusable predicate at compile time (reference: facets compiled to
+validate callables, validators/facets.py:58,139-150). Here each facet
+compiles to a Catalyst ``Column`` predicate that is TRUE when the value
+is VALID, paired with a stable constraint id + reason template — so one
+``select`` evaluates the whole row-local constraint suite in a single
+whole-stage-codegen pass.
+
+Facet inheritance chains are flattened at compile time
+(reference: facets.py:96-121 walks base_facets at runtime; we conjoin the
+full set once here — cheaper, same semantics).
+
+Null semantics follow XSD: facet checks apply to present values only;
+absence is governed solely by nullable/required
+(reference: attributes.py:224-228 required attrs; elements.py:712-730 nil).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..functions.lexical import normalize_ws, union_matches
+from ..functions.xsd_regex import translate_xsd_pattern
+from ..specs import ColumnSpec, TableSpec
+
+# types whose facet comparisons need a numeric/temporal cast of literals
+_NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
+
+
+@dataclass
+class RowCheck:
+    """One compiled row-local constraint."""
+
+    constraint: str          # e.g. 'facet:minInclusive:w'
+    reason: str              # stable message text (reference: error.reason)
+    valid: Column            # TRUE when the row satisfies the constraint
+    value_col: Column        # offending value rendered for the violation row
+
+
+@dataclass
+class ValidationPlan:
+    """Compiled plan: reusable across batches (build once, run many —
+    reference: schema reuse across documents, xsd_globals.py:545)."""
+
+    spec: TableSpec
+    row_checks: list[RowCheck] = field(default_factory=list)
+    normalizations: dict[str, Column] = field(default_factory=dict)
+
+    @property
+    def constraint_ids(self) -> list[str]:
+        return [c.constraint for c in self.row_checks]
+
+
+def _lit(dtype: str, v) -> Column:
+    base = dtype.split("(")[0]
+    if base in _NUMERIC or base in ("date", "timestamp"):
+        return F.lit(v).cast(dtype)
+    return F.lit(v)
+
+
+def _length_col(col: Column, dtype: str) -> Column:
+    """length facet dispatch: chars for strings, size for arrays, octets
+    for binary (reference: facets.py:171-206 len() over the decoded
+    value-space)."""
+    base = dtype.split("(")[0]
+    if base == "binary":
+        return F.octet_length(col)
+    if base.startswith("array"):
+        return F.size(col)
+    return F.length(col)
+
+
+def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
+    """Compile one ColumnSpec -> (normalization expr or None, checks)."""
+    checks: list[RowCheck] = []
+    raw = F.col(cs.name)
+    norm = None
+    col = raw
+    if cs.whitespace and cs.whitespace != "preserve":
+        norm = normalize_ws(raw, cs.whitespace)
+        col = norm
+    present = col.isNotNull()
+    val_s = col.cast("string")
+
+    def add(kind: str, reason: str, valid_if_present: Column,
+            typed_guard: Column | None = None) -> None:
+        # typed_guard: when the decode step already failed (typed is null
+        # while the raw value is present), value-space facets do NOT fire —
+        # the reference raises the decode error and stops validating that
+        # value (simple_types.py:705-785); only facet:decode reports it.
+        ok = valid_if_present if typed_guard is None \
+            else typed_guard.isNull() | valid_if_present
+        checks.append(RowCheck(
+            constraint=f"facet:{kind}:{cs.name}",
+            reason=reason,
+            valid=~present | ok,
+            value_col=val_s,
+        ))
+
+    if not cs.nullable:
+        checks.append(RowCheck(
+            constraint=f"required:{cs.name}",
+            reason=f"missing required value for '{cs.name}'",
+            valid=present,
+            value_col=val_s,
+        ))
+
+    if cs.union_of:
+        # XsdUnion: no member decodes => violation (simple_types.py:1198-1207)
+        add("union", f"value does not match any union member {cs.union_of}",
+            union_matches(col, cs.union_of))
+        typed = col
+    elif cs.dtype and cs.dtype not in ("string", "binary") \
+            and not cs.dtype.startswith("array"):
+        # decode step: cast failure = violation with reason "decode"
+        # (reference: decode_error at simple_types.py:726-729).
+        # try_cast is identity when the physical type already matches, so
+        # this is safe for pre-typed parquet columns and a real lexical
+        # parse for string-typed ones.
+        add("decode", f"value is not a valid {cs.dtype}",
+            col.try_cast(cs.dtype).isNotNull())
+        typed = col.try_cast(cs.dtype)
+    else:
+        typed = col
+
+    if cs.pattern:
+        pats = [translate_xsd_pattern(p) for p in cs.pattern]
+        ok = val_s.rlike(pats[0])
+        for p in pats[1:]:
+            ok = ok | val_s.rlike(p)   # any-of (facets.py:808-814)
+        add("pattern", f"value does not match any pattern {cs.pattern}", ok)
+
+    if cs.enum is not None:
+        add("enumeration", f"value not in enumeration {cs.enum}",
+            typed.isin(*cs.enum), typed_guard=typed)
+
+    if cs.length is not None:
+        add("length", f"length must be {cs.length}",
+            _length_col(col, cs.dtype) == cs.length)
+    if cs.min_length is not None:
+        add("minLength", f"length must be >= {cs.min_length}",
+            _length_col(col, cs.dtype) >= cs.min_length)
+    if cs.max_length is not None:
+        add("maxLength", f"length must be <= {cs.max_length}",
+            _length_col(col, cs.dtype) <= cs.max_length)
+
+    if cs.min_inclusive is not None:
+        add("minInclusive", f"value must be >= {cs.min_inclusive}",
+            typed >= _lit(cs.dtype, cs.min_inclusive), typed_guard=typed)
+    if cs.min_exclusive is not None:
+        add("minExclusive", f"value must be > {cs.min_exclusive}",
+            typed > _lit(cs.dtype, cs.min_exclusive), typed_guard=typed)
+    if cs.max_inclusive is not None:
+        add("maxInclusive", f"value must be <= {cs.max_inclusive}",
+            typed <= _lit(cs.dtype, cs.max_inclusive), typed_guard=typed)
+    if cs.max_exclusive is not None:
+        add("maxExclusive", f"value must be < {cs.max_exclusive}",
+            typed < _lit(cs.dtype, cs.max_exclusive), typed_guard=typed)
+
+    if cs.total_digits is not None or cs.fraction_digits is not None:
+        # canonical decimal repr: strip sign, trailing fractional zeros,
+        # dangling dot (digit counting semantics of facets.py:451-558 /
+        # count_digits in utils/decoding.py)
+        canon = F.regexp_replace(
+            F.regexp_replace(typed.cast("string"), r"(\.\d*?)0+$", "$1"),
+            r"\.$", "")
+        if cs.total_digits is not None:
+            add("totalDigits", f"must have <= {cs.total_digits} total digits",
+                F.length(F.regexp_replace(
+                    F.regexp_replace(canon, "^[-+]|\\.", ""),
+                    "^0+(?=\\d)", "")) <= cs.total_digits, typed_guard=typed)
+        if cs.fraction_digits is not None:
+            add("fractionDigits",
+                f"must have <= {cs.fraction_digits} fraction digits",
+                F.coalesce(F.length(F.regexp_extract(canon, "\\.(\\d+)$", 1)),
+                           F.lit(0)) <= cs.fraction_digits, typed_guard=typed)
+
+    if cs.fixed is not None:
+        add("fixed", f"value must be fixed to {cs.fixed!r}",
+            typed == _lit(cs.dtype, cs.fixed), typed_guard=typed)
+
+    if cs.assertion:
+        # simple-type assert with `value` variable (facets.py:836-894)
+        add("assertion", f"assertion failed: {cs.assertion}",
+            F.expr(cs.assertion.replace("value", f"`{cs.name}`")))
+
+    return norm, checks
+
+
+def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
+    """Array-element facets via exists() on the NEGATED element predicate.
+
+    Built as SQL-expr lambdas (JVM HOFs) so the whole thing stays in
+    codegen. Only a practical subset of facets is supported per element.
+    """
+    item = cs.item
+    col = F.col(cs.name)
+    present = col.isNotNull()
+    checks: list[RowCheck] = []
+
+    def add(kind: str, reason: str, elem_valid_sql: str) -> None:
+        bad = F.expr(f"exists(`{cs.name}`, x -> x IS NOT NULL AND NOT ({elem_valid_sql}))")
+        checks.append(RowCheck(
+            constraint=f"facet:item:{kind}:{cs.name}",
+            reason=f"list item: {reason}",
+            valid=~present | ~bad,
+            value_col=F.to_json(col),
+        ))
+
+    if item.min_inclusive is not None:
+        add("minInclusive", f"item must be >= {item.min_inclusive}",
+            f"x >= {item.min_inclusive}")
+    if item.max_inclusive is not None:
+        add("maxInclusive", f"item must be <= {item.max_inclusive}",
+            f"x <= {item.max_inclusive}")
+    if item.pattern:
+        pats = [translate_xsd_pattern(p) for p in item.pattern]
+        sql = " OR ".join(f"x rlike '{p}'" for p in pats)
+        add("pattern", f"item must match {item.pattern}", sql)
+    if item.enum is not None:
+        vals = ", ".join(repr(v) if isinstance(v, str) else str(v) for v in item.enum)
+        add("enumeration", f"item must be in {item.enum}", f"x in ({vals})")
+    if item.min_length is not None:
+        add("minLength", f"item length >= {item.min_length}",
+            f"length(x) >= {item.min_length}")
+    if item.max_length is not None:
+        add("maxLength", f"item length <= {item.max_length}",
+            f"length(x) <= {item.max_length}")
+    return checks
+
+
+def compile_plan(spec: TableSpec) -> ValidationPlan:
+    """Compile the whole TableSpec once; reuse across any number of runs."""
+    plan = ValidationPlan(spec=spec)
+    for cs in spec.columns:
+        if cs.item is not None:
+            base = ColumnSpec(**{**cs.__dict__, "item": None})
+            norm, checks = compile_column(base)
+            checks.extend(compile_item_checks(cs))
+        else:
+            norm, checks = compile_column(cs)
+        if norm is not None:
+            plan.normalizations[cs.name] = norm
+        plan.row_checks.extend(checks)
+    for a in spec.asserts:
+        # complex-type xs:assert (validators/assertions.py:119-147)
+        plan.row_checks.append(RowCheck(
+            constraint=f"assert:{a.name}",
+            reason=f"assertion '{a.name}' failed: {a.expr}",
+            valid=F.coalesce(F.expr(a.expr), F.lit(False)),
+            value_col=F.lit(None).cast("string"),
+        ))
+    return plan

@@ -1,0 +1,210 @@
+"""Declarative validation spec DSL.
+
+The analog of an XSD schema document: a fixed, declarative description of
+per-column types + facets, identity constraints, referential constraints,
+cross-column assertions, payload checks and drift checks, compiled ONCE
+into a ValidationPlan and reused across any number of batches/partitions
+(reference: schema build at xmlschema/validators/xsd_globals.py:537-578;
+facets compiled to bound validator callables at validators/facets.py:58).
+
+Facet fields mirror XSD_10/11_FACETS_CLASSES
+(reference: xmlschema/validators/facets.py:897-932). Validation modes
+mirror ValidationContext strict/lax/skip
+(reference: xmlschema/validators/validation.py:216-236).
+
+Specs are plain dataclasses, JSON round-trippable (to_dict/from_dict) so a
+compiled plan's source can be persisted next to checkpoints.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+from typing import Any, Optional
+
+VALIDATION_MODES = ("strict", "lax", "skip")
+
+
+@dataclass
+class ColumnSpec:
+    """Per-column simple-type spec: Spark type + XSD-style facets.
+
+    Facet semantics (reference file:line):
+      pattern      — XSD regex, implicitly anchored, any-of list matches
+                     (facets.py:723-833, 808-814)
+      enum         — enumeration facet (facets.py:606-720)
+      length/min_length/max_length — length facets (facets.py:171-282);
+                     applied to strings (chars), arrays (size), binary (octets)
+      min/max inclusive/exclusive  — ordered comparisons (facets.py:285-448)
+      total_digits/fraction_digits — decimal digit bounds (facets.py:451-558)
+      whitespace   — preserve|replace|collapse normalization applied before
+                     other facets (facets.py:124-168; simple_types.py:447-463)
+      fixed        — fixed-value equality (elements.py:750-769)
+      required     — non-null (attributes.py:224-228); nullable=False alias
+      assertion    — XSD 1.1 simple-type assert with `value` variable
+                     (facets.py:836-894); a Spark SQL expression string
+      union_of     — ordered member type names; first successful try_cast
+                     wins (XsdUnion, simple_types.py:1178-1211)
+      item         — for array columns: ColumnSpec applied per element
+                     (XsdList, simple_types.py:845,991-1019)
+    """
+
+    name: str
+    dtype: str = "string"          # spark type name for try_cast checks
+    nullable: bool = True
+    pattern: Optional[list[str]] = None
+    enum: Optional[list[Any]] = None
+    length: Optional[int] = None
+    min_length: Optional[int] = None
+    max_length: Optional[int] = None
+    min_inclusive: Optional[Any] = None
+    min_exclusive: Optional[Any] = None
+    max_inclusive: Optional[Any] = None
+    max_exclusive: Optional[Any] = None
+    total_digits: Optional[int] = None
+    fraction_digits: Optional[int] = None
+    whitespace: Optional[str] = None        # preserve|replace|collapse
+    fixed: Optional[Any] = None
+    default: Optional[Any] = None
+    assertion: Optional[str] = None         # SQL expr over `value`
+    union_of: Optional[list[str]] = None    # ordered spark type names
+    item: Optional["ColumnSpec"] = None     # element spec for arrays
+
+
+@dataclass
+class UniqueSpec:
+    """xs:unique / xs:key over a column tuple (identities.py:364-390).
+
+    is_key=True additionally requires non-null fields
+    ("missing key field", identities.py:523-531); unique silently skips
+    all-null tuples (elements.py:914-918).
+    salt: number of salt buckets for the two-level skew-resistant
+    aggregate; None lets the engine pick.
+    """
+
+    name: str
+    columns: list[str] = field(default_factory=list)
+    is_key: bool = False
+    salt: Optional[int] = None
+
+
+@dataclass
+class KeyrefSpec:
+    """xs:keyref: every referring tuple must exist in the referred key set
+    (identities.py:260-337); violation reports occurrence count
+    ("... not found ... (n times)", identities.py:403-418).
+    """
+
+    name: str
+    columns: list[str] = field(default_factory=list)
+    ref_table: str = ""
+    ref_columns: list[str] = field(default_factory=list)
+    broadcast_threshold: int = 10_000_000   # bytes; small dims broadcast
+
+
+@dataclass
+class AssertSpec:
+    """XSD 1.1 complex-type xs:assert: cross-column row predicate
+    (validators/assertions.py:36-179). `expr` is a Spark SQL boolean
+    expression over the table's columns; rows where it is false violate.
+    """
+
+    name: str
+    expr: str
+
+
+@dataclass
+class PayloadSpec:
+    """Binary payload validation via Arrow-batched decode.
+
+    Checks (per input_hint / reference fixed-value equality,
+    elements.py:750-769):
+      - payload decodes at all (malformed => violation 'payload:decode')
+      - header fmt/w/h match the metadata columns
+      - optional pixel parity vs a deterministic expected-pattern
+        generator: PSNR >= psnr_min dB for lossy fmts, exact for lossless.
+    `deep` False = header-only (cheap metadata pass), True = full decode.
+    """
+
+    name: str = "payload"
+    bytes_col: str = "bytes"
+    fmt_col: str = "fmt"
+    w_col: str = "w"
+    h_col: str = "h"
+    id_col: str = "image_id"
+    deep: bool = True
+    check_pixels: bool = False     # needs deterministic expected generator
+    psnr_min: float = 40.0
+    lossless_fmts: tuple = ("png",)
+
+
+@dataclass
+class DriftSpec:
+    """Distribution-drift check: per-column histogram + KL divergence vs a
+    reference batch, and quantile sketch deltas. No reference analog —
+    Spark-scale addition (SURVEY.md section 2.5)."""
+
+    name: str
+    columns: list[str] = field(default_factory=list)
+    bins: int = 32
+    kl_threshold: float = 0.05
+    quantiles: list[float] = field(default_factory=lambda: [0.05, 0.25, 0.5, 0.75, 0.95])
+
+
+@dataclass
+class OccursSpec:
+    """minOccurs/maxOccurs of children per parent scope
+    (ModelVisitor.occurs, models.py:177-330): per-group counts bounded."""
+
+    name: str
+    group_by: list[str] = field(default_factory=list)
+    min_occurs: int = 1
+    max_occurs: Optional[int] = None
+
+
+@dataclass
+class TableSpec:
+    """Top-level spec — the analog of a compiled XMLSchema instance."""
+
+    name: str
+    key_column: str                       # row identity used in violations
+    columns: list[ColumnSpec] = field(default_factory=list)
+    uniques: list[UniqueSpec] = field(default_factory=list)
+    keyrefs: list[KeyrefSpec] = field(default_factory=list)
+    asserts: list[AssertSpec] = field(default_factory=list)
+    occurs: list[OccursSpec] = field(default_factory=list)
+    payload: Optional[PayloadSpec] = None
+    drift: Optional[DriftSpec] = None
+    part_key: Optional[str] = None        # data-derived partition column
+    allow_extra_columns: bool = True      # xs:any wildcard (wildcards.py:33-99)
+
+    def to_json(self) -> str:
+        return json.dumps(asdict(self), default=str, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_dict(d: dict) -> "TableSpec":
+        def col(c):
+            if c is None:
+                return None
+            c = dict(c)
+            if c.get("item"):
+                c["item"] = col(c["item"])
+            return ColumnSpec(**c)
+
+        return TableSpec(
+            name=d["name"],
+            key_column=d["key_column"],
+            columns=[col(c) for c in d.get("columns", [])],
+            uniques=[UniqueSpec(**u) for u in d.get("uniques", [])],
+            keyrefs=[KeyrefSpec(**k) for k in d.get("keyrefs", [])],
+            asserts=[AssertSpec(**a) for a in d.get("asserts", [])],
+            occurs=[OccursSpec(**o) for o in d.get("occurs", [])],
+            payload=PayloadSpec(**d["payload"]) if d.get("payload") else None,
+            drift=DriftSpec(**d["drift"]) if d.get("drift") else None,
+            part_key=d.get("part_key"),
+            allow_extra_columns=d.get("allow_extra_columns", True),
+        )
+
+    @staticmethod
+    def from_json(s: str) -> "TableSpec":
+        return TableSpec.from_dict(json.loads(s))
