@@ -1,38 +1,62 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full constraint-suite validation of a
+                 deterministic synthetic image+caption table (the
+                 BASELINE.json input_hint shape) + facet suite over the
+                 sf0.001 lineitem table; returns the violation summary.
+queries()      — one entry per implemented operator (SURVEY.md §2);
+                 implementations live in xmlschema_spark/queries.py.
+oracle_sql()   — DuckDB-equivalent SQL per query (correctness gate).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: validate sf0.001 lineitem with the full facet suite and
+    a synthetic images table with the full engine (facets + uniqueness +
+    payload Arrow stage); returns per-constraint violation counts."""
+    from pyspark.sql import functions as F
+
+    from xmlschema_spark.distribute import ensure_distributed
+    ensure_distributed(spark)
+
+    from xmlschema_spark import validate
+    from xmlschema_spark.queries import facet_summary_lineitem
+    from xmlschema_spark.sources.fixtures import images_spec, make_images
+
+    imgs = make_images(spark, 2000, dirty=True)
+    res = validate(imgs, images_spec(with_keyref=False))
+    img_counts = res.violations.groupBy("constraint").agg(
+        F.count(F.lit(1)).alias("n"))
+    li_counts = facet_summary_lineitem(spark, "/root/testdata/sf0.001")
+    return img_counts.unionByName(li_counts).orderBy("constraint")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from xmlschema_spark.distribute import ensure_distributed
+    from xmlschema_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def wrap(fn):
+        def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            ensure_distributed(spark)   # UDF closures need the pkg on executors
+            return fn(spark, sf_dir)
+        run.__name__ = fn.__name__
+        run.__doc__ = fn.__doc__
+        return run
+
+    return {k: wrap(v) for k, v in QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from xmlschema_spark.queries import ORACLES
+
+    return dict(ORACLES)

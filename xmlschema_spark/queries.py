@@ -1,0 +1,380 @@
+"""Query catalog: every implemented operator exposed as a (spark, sf_dir)
+callable plus a DuckDB oracle (the driver's correctness gate).
+
+Each entry exercises a SURVEY.md §2 operator through the engine's public
+API over the driver-generated testdata tables. Column names are aliased
+identically in Spark and SQL; floats are rounded on both sides before
+comparison.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .operators.identity import (keyref_violations, occurs_violations,
+                                 unique_violations)
+from .operators.row_checks import row_violations
+from .plans.compiler import compile_plan
+from .specs import ColumnSpec, KeyrefSpec, OccursSpec, TableSpec, UniqueSpec
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Facet validation (SURVEY §2.2): per-value predicates compiled from a spec
+# ---------------------------------------------------------------------------
+
+LINEITEM_SPEC = TableSpec(
+    name="lineitem",
+    key_column="l_orderkey",
+    columns=[
+        ColumnSpec("l_quantity", "double", nullable=False,
+                   min_inclusive=1, max_inclusive=50),
+        ColumnSpec("l_discount", "double", min_inclusive=0, max_inclusive=0.05),
+        ColumnSpec("l_extendedprice", "double", min_exclusive=0),
+        ColumnSpec("l_returnflag", "string", enum=["A", "N", "R"]),
+        ColumnSpec("l_linestatus", "string", enum=["O"]),
+        ColumnSpec("l_shipdate", "timestamp", min_inclusive="1995-06-01 00:00:00"),
+    ],
+)
+
+_LINEITEM_VIOLS_SQL = """
+  SELECT 'facet:minInclusive:l_quantity' AS constraint, count(*) AS n
+    FROM lineitem WHERE l_quantity IS NOT NULL AND NOT (l_quantity >= 1)
+  UNION ALL SELECT 'facet:maxInclusive:l_quantity', count(*)
+    FROM lineitem WHERE l_quantity IS NOT NULL AND NOT (l_quantity <= 50)
+  UNION ALL SELECT 'facet:minInclusive:l_discount', count(*)
+    FROM lineitem WHERE l_discount IS NOT NULL AND NOT (l_discount >= 0)
+  UNION ALL SELECT 'facet:maxInclusive:l_discount', count(*)
+    FROM lineitem WHERE l_discount IS NOT NULL AND NOT (l_discount <= 0.05)
+  UNION ALL SELECT 'facet:minExclusive:l_extendedprice', count(*)
+    FROM lineitem WHERE l_extendedprice IS NOT NULL AND NOT (l_extendedprice > 0)
+  UNION ALL SELECT 'facet:enumeration:l_returnflag', count(*)
+    FROM lineitem WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R')
+  UNION ALL SELECT 'facet:enumeration:l_linestatus', count(*)
+    FROM lineitem WHERE l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O')
+  UNION ALL SELECT 'facet:minInclusive:l_shipdate', count(*)
+    FROM lineitem WHERE l_shipdate IS NOT NULL
+      AND NOT (l_shipdate >= TIMESTAMP '1995-06-01 00:00:00')
+  UNION ALL SELECT 'required:l_quantity', count(*)
+    FROM lineitem WHERE l_quantity IS NULL
+"""
+
+
+@register("facet_summary_lineitem", f"""
+  WITH v AS ({_LINEITEM_VIOLS_SQL})
+  SELECT "constraint", n FROM v WHERE n >= 0
+""")
+def facet_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full facet suite over lineitem in ONE scan; per-constraint counts.
+    Zero-count constraints included (stable shape at any sf)."""
+    df = _load(spark, sf_dir, "lineitem")
+    plan = compile_plan(LINEITEM_SPEC)
+    v = row_violations(df, plan)
+    counts = v.groupBy("constraint").agg(F.count(F.lit(1)).alias("n"))
+    all_ids = spark.createDataFrame(
+        [(c,) for c in plan.constraint_ids
+         if not c.startswith("facet:decode")], "constraint string")
+    return (all_ids.join(counts, on="constraint", how="left")
+            .select("constraint", F.coalesce("n", F.lit(0)).alias("n")))
+
+
+@register("facet_rows_orders", """
+  SELECT CAST(o_orderkey AS VARCHAR) AS row_key,
+         'facet:enumeration:o_orderstatus' AS constraint,
+         o_orderstatus AS value
+    FROM orders
+   WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O')
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), 'facet:pattern:o_orderpriority',
+         o_orderpriority
+    FROM orders
+   WHERE o_orderpriority IS NOT NULL
+     AND NOT regexp_matches(o_orderpriority, '^(?:[1-3]-[A-Z]+)$')
+""")
+def facet_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Violation ROWS (not summary) for string facets on orders —
+    enumeration + anchored XSD pattern."""
+    df = _load(spark, sf_dir, "orders")
+    spec = TableSpec(
+        name="orders", key_column="o_orderkey",
+        columns=[
+            ColumnSpec("o_orderstatus", "string", enum=["F", "O"]),
+            ColumnSpec("o_orderpriority", "string", pattern=[r"[1-3]-[A-Z]+"]),
+        ],
+    )
+    return row_violations(df, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")
+
+
+# ---------------------------------------------------------------------------
+# Identity constraints (SURVEY §2.4/2.5): uniqueness aggregates + anti-joins
+# ---------------------------------------------------------------------------
+
+@register("unique_custkey_orders", """
+  WITH d AS (
+    SELECT o_custkey, count(*) AS occurs FROM orders
+     WHERE o_custkey IS NOT NULL GROUP BY o_custkey HAVING count(*) > 1)
+  SELECT CAST(o.o_orderkey AS VARCHAR) AS row_key,
+         'unique:custkey' AS constraint, d.occurs AS occurs
+    FROM orders o JOIN d USING (o_custkey)
+""")
+def unique_custkey_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xs:unique on orders.o_custkey — salted two-level aggregate; one
+    violation per offending row carrying the group count."""
+    df = _load(spark, sf_dir, "orders")
+    v = unique_violations(df, UniqueSpec("custkey", ["o_custkey"]), "o_orderkey")
+    return v.select("row_key", "constraint", "occurs")
+
+
+@register("unique_composite_part", """
+  WITH d AS (
+    SELECT p_brand, p_type, p_size, count(*) AS occurs FROM part
+     WHERE p_brand IS NOT NULL AND p_type IS NOT NULL AND p_size IS NOT NULL
+     GROUP BY p_brand, p_type, p_size HAVING count(*) > 1)
+  SELECT CAST(p.p_partkey AS VARCHAR) AS row_key, d.occurs AS occurs
+    FROM part p JOIN d USING (p_brand, p_type, p_size)
+""")
+def unique_composite_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-tuple uniqueness (multi-field xs:key selector)."""
+    df = _load(spark, sf_dir, "part")
+    v = unique_violations(
+        df, UniqueSpec("btz", ["p_brand", "p_type", "p_size"]), "p_partkey")
+    return v.select("row_key", "occurs")
+
+
+@register("keyref_events_customer", """
+  WITH miss AS (
+    SELECT user_id, count(*) AS occurs FROM events
+     WHERE user_id IS NOT NULL
+       AND user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey IS NOT NULL)
+     GROUP BY user_id)
+  SELECT CAST(e.event_id AS VARCHAR) AS row_key, m.occurs AS occurs,
+         CAST(e.user_id AS VARCHAR) AS value
+    FROM events e JOIN miss m USING (user_id)
+""")
+def keyref_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xs:keyref: events.user_id must resolve in customer.c_custkey;
+    broadcast anti-join with '(n times)' occurrence counts."""
+    ev = _load(spark, sf_dir, "events")
+    cust = _load(spark, sf_dir, "customer")
+    v = keyref_violations(ev, cust,
+                          KeyrefSpec("user_fk", ["user_id"],
+                                     "customer", ["c_custkey"]),
+                          "event_id")
+    return v.select("row_key", "occurs", "value")
+
+
+@register("keyref_lineitem_part", """
+  WITH miss AS (
+    SELECT l_partkey, count(*) AS occurs FROM lineitem
+     WHERE l_partkey IS NOT NULL
+       AND l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey IS NOT NULL)
+     GROUP BY l_partkey)
+  SELECT CAST(l.l_orderkey AS VARCHAR) AS row_key, m.occurs AS occurs
+    FROM lineitem l JOIN miss m USING (l_partkey)
+""")
+def keyref_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """keyref lineitem.l_partkey -> part.p_partkey. TPC-H holds this FK,
+    so the exact ZERO-violation result guards against false positives."""
+    li = _load(spark, sf_dir, "lineitem")
+    part = _load(spark, sf_dir, "part")
+    v = keyref_violations(li, part,
+                          KeyrefSpec("part_fk", ["l_partkey"],
+                                     "part", ["p_partkey"]),
+                          "l_orderkey")
+    return v.select("row_key", "occurs")
+
+
+@register("occurs_lineitem_per_order", """
+  SELECT CAST(l_orderkey AS VARCHAR) AS row_key, count(*) AS occurs
+    FROM lineitem GROUP BY l_orderkey
+  HAVING count(*) < 1 OR count(*) > 6
+""")
+def occurs_lineitem_per_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """minOccurs/maxOccurs per parent: orders must have 1..6 lines."""
+    df = _load(spark, sf_dir, "lineitem")
+    v = occurs_violations(df, OccursSpec("lines", ["l_orderkey"],
+                                         min_occurs=1, max_occurs=6))
+    return v.select("row_key", "occurs")
+
+
+@register("verdicts_lineitem", """
+  WITH viol AS (
+    SELECT l_orderkey % 32 AS part_key, count(*) AS n_violations
+      FROM lineitem
+     WHERE (l_quantity IS NOT NULL AND NOT (l_quantity >= 1 AND l_quantity <= 50))
+        OR (l_discount IS NOT NULL AND NOT (l_discount >= 0 AND l_discount <= 0.05))
+        OR (l_extendedprice IS NOT NULL AND NOT (l_extendedprice > 0))
+        OR (l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R'))
+        OR (l_linestatus IS NOT NULL AND l_linestatus NOT IN ('O'))
+        OR (l_shipdate IS NOT NULL AND NOT (l_shipdate >= TIMESTAMP '1995-06-01 00:00:00'))
+        OR l_quantity IS NULL
+     GROUP BY l_orderkey % 32),
+  rows_ AS (SELECT l_orderkey % 32 AS part_key, count(*) AS n_rows
+              FROM lineitem GROUP BY l_orderkey % 32)
+  SELECT r.part_key AS part_key, r.n_rows AS n_rows,
+         COALESCE(v.n_violations, 0) AS n_violations,
+         COALESCE(v.n_violations, 0) = 0 AS pass
+    FROM rows_ r LEFT JOIN viol v USING (part_key)
+""")
+def verdicts_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition verdicts (data-derived part key l_orderkey % 32):
+    rows with >=1 violation counted once per row in SQL; Spark side counts
+    DISTINCT violating rows to match."""
+    df = _load(spark, sf_dir, "lineitem").withColumn(
+        "pk", F.col("l_orderkey") % 32)
+    spec = TableSpec(**{**LINEITEM_SPEC.__dict__})
+    plan = compile_plan(spec)
+    from .operators.row_checks import row_valid_mask
+    marked = row_valid_mask(df, plan)
+    return (marked.groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.when(~F.col("_row_valid"), 1).otherwise(0)).alias("n_violations"))
+            .select(F.col("pk").alias("part_key"), "n_rows",
+                    F.col("n_violations").cast("bigint").alias("n_violations"),
+                    (F.col("n_violations") == 0).alias("pass")))
+
+
+# ---------------------------------------------------------------------------
+# Type decode operators (SURVEY §2.3): unions, boolean lexicals, casts
+# ---------------------------------------------------------------------------
+
+@register("union_decode_props", """
+  WITH x AS (SELECT json_extract_string(props, '$.k') AS v FROM events),
+  m AS (SELECT CASE
+          WHEN TRY_CAST(v AS BIGINT) IS NOT NULL THEN 'bigint'
+          WHEN TRY_CAST(v AS DOUBLE) IS NOT NULL THEN 'double'
+          WHEN TRY_CAST(v AS BOOLEAN) IS NOT NULL THEN 'boolean'
+          WHEN v IS NOT NULL THEN 'string'
+          ELSE 'none' END AS member FROM x)
+  SELECT member, count(*) AS n FROM m GROUP BY member
+""")
+def union_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XsdUnion ordered first-match decode (simple_types.py:1178-1211):
+    props.k tried as bigint -> double -> boolean -> string."""
+    from .functions.lexical import union_decode
+    ev = _load(spark, sf_dir, "events")
+    val = F.get_json_object("props", "$.k")
+    dec = union_decode(val, ["bigint", "double", "boolean"])
+    member = (F.when(val.isNull(), "none")
+              .otherwise(F.coalesce(dec["member"], F.lit("string"))))
+    return (ev.select(member.alias("member"))
+            .groupBy("member").agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("fixed_value_consistency_documents", """
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         'fixed:n_chars' AS "constraint", CAST(n_chars AS VARCHAR) AS value
+    FROM documents
+   WHERE n_chars IS NOT NULL AND length(text) IS NOT NULL
+     AND n_chars <> length(text)
+""")
+def fixed_value_consistency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-value equality across columns (elements.py:750-769 analog):
+    the stored n_chars must equal length(text)."""
+    d = _load(spark, sf_dir, "documents")
+    bad = d.where(F.col("n_chars").isNotNull() & F.col("text").isNotNull()
+                  & (F.col("n_chars") != F.length("text")))
+    return bad.select(F.col("doc_id").cast("string").alias("row_key"),
+                      F.lit("fixed:n_chars").alias("constraint"),
+                      F.col("n_chars").cast("string").alias("value"))
+
+
+# ---------------------------------------------------------------------------
+# Column stats profile + drift (north_rule: column stats, drift checks)
+# ---------------------------------------------------------------------------
+
+@register("profile_lineitem", """
+  SELECT 'l_quantity' AS col, CAST(count(l_quantity) AS BIGINT) AS n,
+         CAST(count(*) - count(l_quantity) AS BIGINT) AS n_null,
+         CAST(count(DISTINCT l_quantity) AS BIGINT) AS n_distinct,
+         ROUND(min(l_quantity), 6) AS min_v, ROUND(max(l_quantity), 6) AS max_v
+    FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(l_discount), count(*) - count(l_discount),
+         count(DISTINCT l_discount), ROUND(min(l_discount), 6),
+         ROUND(max(l_discount), 6)
+    FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(l_extendedprice),
+         count(*) - count(l_extendedprice), count(DISTINCT l_extendedprice),
+         ROUND(min(l_extendedprice), 6), ROUND(max(l_extendedprice), 6)
+    FROM lineitem
+""")
+def profile_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-stats profile (exact distinct for oracle parity; the scale
+    path uses approx_count_distinct — see profile_lineitem_approx)."""
+    df = _load(spark, sf_dir, "lineitem")
+    parts = []
+    for c in ["l_quantity", "l_discount", "l_extendedprice"]:
+        parts.append(df.agg(
+            F.lit(c).alias("col"),
+            F.count(c).alias("n"),
+            (F.count(F.lit(1)) - F.count(c)).alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.round(F.min(c), 6).alias("min_v"),
+            F.round(F.max(c), 6).alias("max_v")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register("histogram_events_value", """
+  SELECT CAST(GREATEST(LEAST(FLOOR(value / 5.0), 19), 0) AS BIGINT) AS bin,
+         count(*) AS n
+    FROM events WHERE value IS NOT NULL
+   GROUP BY 1
+""")
+def histogram_events_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram (drift building block): 20 bins of width 5,
+    clamped — deterministic at any parallelism."""
+    ev = _load(spark, sf_dir, "events")
+    b = F.greatest(F.least(F.floor(F.col("value") / 5.0), F.lit(19)), F.lit(0))
+    return (ev.where(F.col("value").isNotNull())
+            .groupBy(b.cast("bigint").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("drift_events_halves", """
+  WITH lo AS (SELECT CAST(GREATEST(LEAST(FLOOR(value/5.0),19),0) AS BIGINT) AS bin,
+                     count(*)::DOUBLE AS c FROM events
+               WHERE value IS NOT NULL AND event_id % 2 = 0 GROUP BY 1),
+       hi AS (SELECT CAST(GREATEST(LEAST(FLOOR(value/5.0),19),0) AS BIGINT) AS bin,
+                     count(*)::DOUBLE AS c FROM events
+               WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1),
+       bins AS (SELECT range AS bin FROM range(0, 20)),
+       p AS (SELECT b.bin, (COALESCE(lo.c,0)+0.5)/(SELECT sum(c)+10 FROM lo) AS p
+               FROM bins b LEFT JOIN lo ON b.bin = lo.bin),
+       q AS (SELECT b.bin, (COALESCE(hi.c,0)+0.5)/(SELECT sum(c)+10 FROM hi) AS q
+               FROM bins b LEFT JOIN hi ON b.bin = hi.bin)
+  SELECT 'value' AS col, ROUND(SUM(p.p * LN(p.p / q.q)), 6) AS kl
+    FROM p JOIN q USING (bin)
+""")
+def drift_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL divergence between histograms of two event cohorts (drift
+    check, north_rule). Laplace smoothing 0.5/bin; deterministic."""
+    from .operators.drift import kl_divergence
+    ev = _load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = F.greatest(F.least(F.floor(F.col("value") / 5.0), F.lit(19)), F.lit(0)) \
+        .cast("bigint")
+    lo = ev.where(F.col("event_id") % 2 == 0).select(b.alias("bin"))
+    hi = ev.where(F.col("event_id") % 2 == 1).select(b.alias("bin"))
+    return kl_divergence(lo, hi, "bin", n_bins=20).select(
+        F.lit("value").alias("col"), F.round("kl", 6).alias("kl"))
