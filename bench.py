@@ -1,0 +1,97 @@
+"""Benchmark harness (driver contract): runs headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Headline set = the flagship images full-suite validation (the
+BASELINE.json north-star workload, synthesized deterministically at
+IMAGES_ROWS) + representative operators over the testdata tables.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+IMAGES_ROWS = int(os.environ.get("SPARK_GRAFT_IMAGES_ROWS", "120000"))
+
+HEADLINE = [
+    "facet_summary_lineitem",
+    "unique_custkey_orders",
+    "keyref_events_customer",
+    "occurs_lineitem_per_order",
+    "verdicts_lineitem",
+    "profile_lineitem",
+    "drift_events_halves",
+    "lsh_candidate_pairs_documents",
+    "text_quality_documents",
+    "ann_topk_bruteforce",
+    "embedding_near_dups_lsh",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder
+        .master(f"local[{CPUS}]")
+        .appName("xmlschema_spark_bench")
+        .config("spark.sql.shuffle.partitions", CPUS)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from xmlschema_spark.distribute import ensure_distributed
+    ensure_distributed(spark)
+
+    from xmlschema_spark import validate
+    from xmlschema_spark.queries import QUERIES
+    from xmlschema_spark.sources.fixtures import images_spec, make_images
+
+    timings: dict[str, float] = {}
+
+    # flagship: full constraint suite (facets + uniqueness + payload Arrow
+    # stage + assertions) over a deterministic synthetic images table
+    t0 = time.monotonic()
+    imgs = make_images(spark, IMAGES_ROWS, dirty=True)
+    res = validate(imgs, images_spec(with_keyref=False))
+    n_viol = res.violations.count()
+    t_images = time.monotonic() - t0
+    timings["images_full_suite"] = round(t_images, 3)
+
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    out = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "images_rows": IMAGES_ROWS,
+        "images_violations": n_viol,
+        "images_validated_rows_per_sec": round(IMAGES_ROWS / t_images, 1),
+        "cpus": int(CPUS),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,104 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschema_spark.operators.dedup import (exact_duplicates,
+                                             lsh_bucket_pairs,
+                                             minhash_signatures,
+                                             ngram_jaccard,
+                                             simhash_near_dups)
+from xmlschema_spark.operators.similarity import (ann_topk_lsh,
+                                                  cosine_near_dup_pairs,
+                                                  cosine_topk)
+from xmlschema_spark.operators.text import (lang_guess, quality_score,
+                                            token_count)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([
+        ("d1", "the quick brown fox jumps over the lazy dog and runs off"),
+        ("d2", "the quick brown fox jumps over the lazy dog and runs off"),
+        ("d3", "the quick brown fox jumps over the lazy cat and runs off"),
+        ("d4", "le chat noir dort sur le tapis rouge et le chien aussi"),
+        ("d5", "  the quick  brown fox jumps over the lazy dog and runs off "),
+        ("d6", "word"),
+        ("d7", None),
+    ], "doc_id string, text string")
+
+
+def test_exact_dedup_whitespace_canonical(docs):
+    got = sorted((r.doc_id, r.group_n) for r in
+                 exact_duplicates(docs, "text", "doc_id").collect())
+    assert got == [("d1", 3), ("d2", 3), ("d5", 3)]
+
+
+def test_minhash_identical_for_dups(docs):
+    sigs = {r.doc_id: (r.h0, r.h1, r.h2, r.h3) for r in
+            minhash_signatures(docs, "text", "doc_id").collect()}
+    assert sigs["d1"] == sigs["d2"] == sigs["d5"]
+    assert sigs["d1"] != sigs["d4"]
+    assert sigs["d6"] == (None,) * 4     # < k tokens -> empty shingles
+    assert sigs["d7"] == (None,) * 4
+
+
+def test_lsh_candidates_and_jaccard(docs):
+    pairs = lsh_bucket_pairs(docs, "text", "doc_id")
+    got = sorted((r.id_a, r.id_b) for r in pairs.collect())
+    assert ("d1", "d2") in got and ("d1", "d5") in got
+    assert all("d4" not in p for p in got)
+    jac = {(r.id_a, r.id_b): r.jaccard for r in
+           ngram_jaccard(docs, "text", "doc_id", pairs).collect()}
+    assert jac[("d1", "d2")] == 1.0
+
+
+def test_simhash_near_dups(docs):
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           simhash_near_dups(docs.where(F.col("text").isNotNull()),
+                             "text", "doc_id", max_hamming=8).collect()}
+    assert got[("d1", "d2")] == 0
+    assert 0 < got[("d1", "d3")] <= 8
+    assert all("d4" not in k for pair in got for k in pair)
+
+
+def test_cosine_topk_exact(spark):
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(4)]
+    rows.append((9, [0.9, 0.1, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = [(r.vec_id, r.sim) for r in
+           cosine_topk(df, "embedding", "vec_id", [1.0, 0.0, 0.0, 0.0], k=2).collect()]
+    assert got[0] == (0, 1.0)
+    assert got[1][0] == 9
+
+
+def test_ann_lsh_subset_of_bruteforce(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0)
+         .select("embedding").first()[0]]
+    exact = {r.vec_id for r in cosine_topk(e, "embedding", "vec_id", q, k=50).collect()}
+    approx = [r.vec_id for r in
+              ann_topk_lsh(e, "embedding", "vec_id", q, k=10, n_planes=4).collect()]
+    assert 0 in approx                 # query vector finds itself
+    assert len(approx) <= 10
+
+
+def test_near_dup_lsh_subset_of_bruteforce(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    brute = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.3, brute_force=True).collect()}
+    lsh = {(r.id_a, r.id_b) for r in cosine_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.3, n_planes=4).collect()}
+    assert lsh <= brute               # LSH loses recall, never precision
+
+
+def test_text_stats(spark):
+    df = spark.createDataFrame(
+        [("a", "the cat and the dog"), ("b", "xyz!!!")],
+        "k string, text string")
+    got = df.select(
+        token_count(F.col("text")).alias("n"),
+        lang_guess(F.col("text")).alias("lang"),
+        F.round(quality_score(F.col("text")), 4).alias("q")).collect()
+    assert got[0]["n"] == 5 and got[0]["lang"] == "en"
+    assert got[1]["lang"] == "unknown" and got[1]["q"] < got[0]["q"] + 1

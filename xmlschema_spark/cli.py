@@ -1,0 +1,115 @@
+"""Batch validation driver — the spark-submit entry point.
+
+Mirrors the reference CLI (xmlschema-validate, cli.py:234-278: argparse,
+per-file loop, exit code = invalid count) at cluster scale: args are a
+table path, a spec JSON, mode, checkpoint and output dirs; verdicts are
+per data-derived partition; exit code = number of failing partitions.
+
+Usage:
+  spark-submit --py-files /tmp/xmlschema_spark_pkg.zip \
+      -m xmlschema_spark.cli --table s3://.../images --spec spec.json \
+      --checkpoint /chk --output /out --mode lax
+  (local dev: python -m xmlschema_spark.cli ...)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="xmlschema-spark-validate",
+        description="Validate a table against a declarative constraint spec")
+    p.add_argument("--table", required=True,
+                   help="input table path (parquet dir or iceberg table)")
+    p.add_argument("--spec", required=True, help="TableSpec JSON file")
+    p.add_argument("--ref", action="append", default=[], metavar="NAME=PATH",
+                   help="keyref reference table (repeatable)")
+    p.add_argument("--mode", choices=["strict", "lax", "skip"], default="lax")
+    p.add_argument("--output", help="write violations + verdicts here")
+    p.add_argument("--checkpoint", help="resumable manifest dir")
+    p.add_argument("--run-id", default="run-0")
+    p.add_argument("--master", default=None,
+                   help="override master (default: from spark-submit)")
+    p.add_argument("--shuffle-partitions", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from .checkpoint import run_resumable
+    from .distribute import ensure_distributed
+    from .runner import XmlSchemaSparkValidationError, validate
+    from .specs import TableSpec
+
+    b = SparkSession.builder.appName("xmlschema_spark_validate")
+    if args.master:
+        b = b.master(args.master)
+    b = (b.config("spark.sql.adaptive.enabled", "true")
+          .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+          .config("spark.sql.session.timeZone", "UTC"))
+    if args.shuffle_partitions:
+        b = b.config("spark.sql.shuffle.partitions", args.shuffle_partitions)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    ensure_distributed(spark)
+
+    try:
+        with open(args.spec) as f:
+            spec = TableSpec.from_json(f.read())
+    except (OSError, ValueError, KeyError, TypeError) as e:
+        print(f"error: cannot load spec {args.spec!r}: {e}", file=sys.stderr)
+        return 2
+
+    def read(path: str):
+        return spark.read.parquet(path)
+
+    df = read(args.table)
+    refs = {}
+    for r in args.ref:
+        name, _, path = r.partition("=")
+        refs[name] = read(path)
+
+    if args.checkpoint:
+        stats = run_resumable(df, spec, args.checkpoint, refs=refs,
+                              run_id=args.run_id)
+        print(json.dumps({"resumable": True, **stats}))
+        from .checkpoint import read_manifest
+        m = read_manifest(spark, args.checkpoint)
+        n_fail = m.where(~m["pass"]).count()
+        return min(n_fail, 125)
+
+    try:
+        res = validate(df, spec, refs=refs, mode=args.mode)
+    except XmlSchemaSparkValidationError as e:
+        print(json.dumps({"mode": "strict", "valid": False,
+                          "first_violation": e.row}))
+        return 1
+
+    verd = res.verdicts.collect()
+    n_fail = sum(1 for r in verd if not r["pass"])
+    n_viol = sum(r["n_violations"] for r in verd)
+    if args.output:
+        (res.violations.coalesce(1)
+         .sortWithinPartitions("constraint", "row_key", "reason")
+         .write.mode("overwrite")
+         .parquet(f"{args.output}/violations"))
+        res.verdicts.coalesce(1).write.mode("overwrite") \
+            .parquet(f"{args.output}/verdicts")
+    print(json.dumps({
+        "table": args.table, "mode": args.mode,
+        "partitions": len(verd), "failed_partitions": n_fail,
+        "violations": int(n_viol),
+        "valid": n_fail == 0,
+    }))
+    return min(n_fail, 125)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

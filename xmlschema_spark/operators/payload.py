@@ -70,6 +70,8 @@ def payload_violations(
     phash_col: str = "phash",
 ) -> DataFrame:
     """mapInPandas over ONLY the needed columns; returns violation rows."""
+    from ..distribute import ensure_distributed
+    ensure_distributed(df.sparkSession)
     cols = [spec.id_col, spec.bytes_col, spec.fmt_col, spec.w_col, spec.h_col]
     if check_phash:
         cols.append(phash_col)

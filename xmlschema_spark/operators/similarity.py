@@ -1,0 +1,106 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline; JVM-side zip_with/aggregate
+  dot products (no Python), one pass, TakeOrderedAndProject physical op
+  (per-partition top-k then merge — never a global sort of all rows).
+- sign-LSH (random hyperplane) bucketing: the scale path — candidates
+  restricted to the query's bucket(s); hyperplanes are deterministic
+  (xxhash64-derived ±1), so buckets are reproducible anywhere.
+- all-pairs near-dup: LSH-bucket join, exact cosine verify inside
+  buckets only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    d = norm(a) * norm(b)
+    return F.when(d > 0, dot(a, b) / d).otherwise(0.0)
+
+
+def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
+                query_vec: list[float], k: int = 10,
+                decimals: int = 4) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector.
+    Ties broken by id (deterministic)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (df.select(F.col(id_col), F.round(sim, decimals).alias("sim"))
+            .orderBy(F.col("sim").desc(), F.col(id_col))
+            .limit(k))
+
+
+def _plane_weights_expr(plane: int, dims: int) -> Column:
+    """Deterministic random hyperplane: weight per (plane, dim) is +-1 by
+    the parity of xxhash64('p{plane}|d{dim}') — reproducible everywhere,
+    no RNG state."""
+    return F.array(*[
+        F.when(F.xxhash64(F.lit(f"p{plane}|d{d}")) % 2 == 0, F.lit(1.0))
+         .otherwise(F.lit(-1.0))
+        for d in range(dims)])
+
+
+def lsh_bucket(vec_col: Column, n_planes: int, dims: int) -> Column:
+    """Sign-LSH bucket id: n_planes sign bits packed into a bigint."""
+    out = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        w = _plane_weights_expr(p, dims)
+        bit = F.when(dot(vec_col.cast("array<double>"), w) >= 0,
+                     F.shiftleft(F.lit(1).cast("bigint"), p)) \
+               .otherwise(F.lit(0).cast("bigint"))
+        out = out.bitwiseOR(bit)
+    return out
+
+
+def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
+                 query_vec: list[float], k: int = 10, n_planes: int = 8,
+                 decimals: int = 4) -> DataFrame:
+    """Approximate top-k: only rows in the query's LSH bucket are scored.
+    At 10^12 rows the bucket column is a partition/cluster key, so the
+    scan prunes ~2^n_planes of the space; here it prunes the scored set."""
+    dims = len(query_vec)
+    bucketed = df.withColumn("_b", lsh_bucket(F.col(vec_col), n_planes, dims))
+    qdf = df.sparkSession.createDataFrame(
+        [(list(map(float, query_vec)),)], "qv array<double>")
+    qb = qdf.select(lsh_bucket(F.col("qv"), n_planes, dims).alias("b")) \
+            .collect()[0]["b"]
+    cand = bucketed.where(F.col("_b") == qb)
+    return cosine_topk(cand, vec_col, id_col, query_vec, k, decimals)
+
+
+def cosine_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                          threshold: float = 0.95, n_planes: int = 6,
+                          decimals: int = 4,
+                          brute_force: bool = False) -> DataFrame:
+    """All-pairs near-duplicates by cosine >= threshold.
+
+    brute_force=True: exact O(n^2) within-join (oracle-comparable);
+    default: sign-LSH blocked — pairs must share the full bucket, then
+    exact cosine verify (the 100TB path; recall < 1 by design)."""
+    dims = None
+    left = df.select(F.col(id_col).alias("id_a"),
+                     F.col(vec_col).cast("array<double>").alias("va"))
+    right = df.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).cast("array<double>").alias("vb"))
+    if brute_force:
+        j = left.crossJoin(right).where(F.col("id_a") < F.col("id_b"))
+    else:
+        dims = len(df.select(vec_col).first()[0])
+        lb = left.withColumn("_b", lsh_bucket(F.col("va"), n_planes, dims))
+        rb = right.withColumn("_b", lsh_bucket(F.col("vb"), n_planes, dims))
+        j = lb.join(rb, on="_b", how="inner").where(F.col("id_a") < F.col("id_b"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (j.select("id_a", "id_b", F.round(sim, decimals).alias("sim"))
+            .where(F.col("sim") >= threshold))

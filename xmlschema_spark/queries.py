@@ -378,3 +378,254 @@ def drift_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = ev.where(F.col("event_id") % 2 == 1).select(b.alias("bin"))
     return kl_divergence(lo, hi, "bin", n_bins=20).select(
         F.lit("value").alias("col"), F.round("kl", 6).alias("kl"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup / text analysis / fingerprinting
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact_documents", """
+  WITH fp AS (SELECT doc_id, md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+                FROM documents),
+  g AS (SELECT fp, count(*) AS group_n FROM fp GROUP BY fp HAVING count(*) > 1)
+  SELECT CAST(f.doc_id AS VARCHAR) AS doc_id, f.fp AS fp, g.group_n AS group_n
+    FROM fp f JOIN g USING (fp)
+""")
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-text fingerprint. The testdata corpus
+    has no exact dups — exact ZERO result guards false positives."""
+    from .operators.dedup import exact_duplicates
+    d = _load(spark, sf_dir, "documents")
+    return exact_duplicates(d, "text", "doc_id") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "fp", "group_n")
+
+
+@register("minhash_signatures_documents", """
+  WITH toks AS (
+    SELECT doc_id, string_split(trim(regexp_replace(text,'\\s+',' ','g')), ' ') AS w
+      FROM documents),
+  sh AS (
+    SELECT doc_id,
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, greatest(len(w)-2, 0))] AS shingles
+      FROM toks)
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         list_min([md5('0|' || s) for s in shingles]) AS h0,
+         list_min([md5('1|' || s) for s in shingles]) AS h1,
+         list_min([md5('2|' || s) for s in shingles]) AS h2,
+         list_min([md5('3|' || s) for s in shingles]) AS h3
+    FROM sh
+""")
+def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 hash families over word 3-shingles) — the
+    portable md5-min construction, bit-identical in any engine."""
+    from .operators.dedup import minhash_signatures
+    d = _load(spark, sf_dir, "documents")
+    return minhash_signatures(d, "text", "doc_id") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"),
+                "h0", "h1", "h2", "h3")
+
+
+@register("lsh_candidate_pairs_documents", """
+  WITH toks AS (
+    SELECT doc_id, string_split(trim(regexp_replace(text,'\\s+',' ','g')), ' ') AS w
+      FROM documents),
+  sh AS (
+    SELECT doc_id,
+           [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, greatest(len(w)-2, 0))] AS shingles
+      FROM toks),
+  sig AS (
+    SELECT doc_id,
+           list_min([md5('0|' || s) for s in shingles]) AS h0,
+           list_min([md5('1|' || s) for s in shingles]) AS h1,
+           list_min([md5('2|' || s) for s in shingles]) AS h2,
+           list_min([md5('3|' || s) for s in shingles]) AS h3
+      FROM sh),
+  bands AS (
+    SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+    UNION ALL
+    SELECT doc_id, 1 AS band, md5(h2 || '|' || h3) AS bucket FROM sig),
+  hot AS (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) > 1)
+  SELECT DISTINCT CAST(a.doc_id AS VARCHAR) AS id_a,
+                  CAST(b.doc_id AS VARCHAR) AS id_b
+    FROM bands a JOIN hot USING (band, bucket)
+    JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+   WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)
+""")
+def lsh_candidate_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs: 2 bands x 2 rows, singleton buckets
+    dropped before the self-join, deterministic bucket-size cap."""
+    from .operators.dedup import lsh_bucket_pairs
+    d = _load(spark, sf_dir, "documents") \
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    return lsh_bucket_pairs(d, "text", "doc_id", n_hashes=4, band_size=2)
+
+
+@register("text_quality_documents", """
+  WITH t AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(text,'\\s+',' ','g')), ' ') AS w,
+           text
+      FROM documents)
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len(w) AS BIGINT) AS n_tokens,
+         ROUND(len([x for x in w if x IN ('the','a','of','and','to')])::DOUBLE
+               / len(w), 6) AS stop_ratio,
+         ROUND((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+               / length(text), 6) AS punct_ratio
+    FROM t WHERE len(w) > 0
+""")
+def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality components: token count, stopword ratio,
+    punctuation ratio — all JVM-side expressions."""
+    from .operators.text import punct_ratio, stopword_ratio, token_count
+    d = _load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return (d.where(token_count(t) > 0)
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    token_count(t).cast("bigint").alias("n_tokens"),
+                    F.round(stopword_ratio(t, "en"), 6).alias("stop_ratio"),
+                    F.round(punct_ratio(t), 6).alias("punct_ratio")))
+
+
+@register("lang_id_documents", """
+  WITH t AS (
+    SELECT doc_id, lang,
+           string_split(trim(regexp_replace(lower(text),'\\s+',' ','g')), ' ') AS w
+      FROM documents),
+  s AS (
+    SELECT doc_id, lang,
+           len([x for x in w if x IN ('the','a','of','and','to')]) AS s_en,
+           len([x for x in w if x IN ('le','la','de','et','un')]) AS s_fr,
+           len([x for x in w if x IN ('der','die','das','und','ein')]) AS s_de,
+           len([x for x in w if x IN ('el','la','de','y','un')]) AS s_es
+      FROM t),
+  g AS (
+    SELECT lang,
+           CASE WHEN greatest(s_en, s_fr, s_de, s_es) = 0 THEN 'unknown'
+                WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                WHEN s_de >= s_es THEN 'de'
+                ELSE 'es' END AS guess
+      FROM s)
+  SELECT lang, guess, count(*) AS n FROM g GROUP BY lang, guess
+""")
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID vs the labeled lang column (confusion
+    counts). Ties resolve in fixed order en > fr > de > es."""
+    from .operators.text import lang_guess
+    d = _load(spark, sf_dir, "documents")
+    return (d.select("lang", lang_guess(F.col("text")).alias("guess"))
+            .groupBy("lang", "guess").agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("fingerprint_documents", """
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+""")
+def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical whole-document fingerprint (md5 of collapsed text)."""
+    from .operators.text import fingerprint
+    d = _load(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    fingerprint(F.col("text")).alias("fp"))
+
+
+@register("simhash_documents")
+def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (xxhash64 token hashes are Spark-
+    specific — no SQL oracle; rows-only check)."""
+    from .operators.text import simhash64
+    d = _load(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    simhash64(F.col("text")).alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> list[float]:
+    row = (_load(spark, sf_dir, "embeddings")
+           .where(F.col("vec_id") == 0).select("embedding").collect())
+    return [float(x) for x in row[0][0]]
+
+
+@register("ann_topk_bruteforce", """
+  WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+  SELECT CAST(e.vec_id AS VARCHAR) AS vec_id,
+         ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[]))
+               / NULLIF(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                              CAST(q.qv AS DOUBLE[]))), 0),
+               4) AS sim
+    FROM embeddings e, q
+   ORDER BY sim DESC, CAST(e.vec_id AS VARCHAR) ASC
+   LIMIT 10
+""")
+def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 to the vec_id=0 embedding. Physical plan is
+    TakeOrderedAndProject: per-partition top-k, merge on driver — no
+    global sort."""
+    from .operators.similarity import cosine_topk
+    e = _load(spark, sf_dir, "embeddings")
+    return cosine_topk(e, "embedding", "vec_id", _query_vec(spark, sf_dir),
+                       k=10).select(F.col("vec_id").cast("string").alias("vec_id"),
+                                    "sim")
+
+
+@register("ann_topk_lsh")
+def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN (scale path; recall<1 by design — no SQL
+    oracle, rows-only)."""
+    from .operators.similarity import ann_topk_lsh
+    e = _load(spark, sf_dir, "embeddings")
+    return ann_topk_lsh(e, "embedding", "vec_id",
+                        _query_vec(spark, sf_dir), k=10, n_planes=6) \
+        .select(F.col("vec_id").cast("string").alias("vec_id"), "sim")
+
+
+@register("embedding_near_dups", """
+  SELECT CAST(a.vec_id AS VARCHAR) AS id_a, CAST(b.vec_id AS VARCHAR) AS id_b,
+         ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                CAST(b.embedding AS DOUBLE[]))
+               / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(a.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[]))), 0),
+               4) AS sim
+    FROM embeddings a JOIN embeddings b
+      ON a.vec_id < b.vec_id
+   WHERE list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                          CAST(b.embedding AS DOUBLE[]))
+         / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(a.embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]),
+                                        CAST(b.embedding AS DOUBLE[]))), 0)
+         >= 0.3
+""")
+def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (brute-force exact for oracle
+    parity; the LSH-blocked variant is embedding_near_dups_lsh)."""
+    from .operators.similarity import cosine_near_dup_pairs
+    e = _load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, "embedding", "vec_id", threshold=0.3,
+                                 brute_force=True) \
+        .select(F.col("id_a").cast("string").alias("id_a"),
+                F.col("id_b").cast("string").alias("id_b"), "sim")
+
+
+@register("embedding_near_dups_lsh")
+def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked near-dup pairs (the 100TB path: bucket join instead of
+    cross join; recall<1 — rows-only check)."""
+    from .operators.similarity import cosine_near_dup_pairs
+    e = _load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs(e, "embedding", "vec_id", threshold=0.3,
+                                 n_planes=4, brute_force=False) \
+        .select(F.col("id_a").cast("string").alias("id_a"),
+                F.col("id_b").cast("string").alias("id_b"), "sim")

@@ -54,6 +54,8 @@ def make_images(spark: SparkSession, n_rows: int,
     with a downsampled buffer? No — headers must match buffers, so we cap
     BOTH to keep the invariant real: test fixtures use w,h <= 80.
     """
+    from ..distribute import ensure_distributed
+    ensure_distributed(spark)   # mapInPandas closures need the pkg on executors
     base = spark.range(0, n_rows, 1).withColumnRenamed("id", "i")
     m = F.col("i") % MOD
 
