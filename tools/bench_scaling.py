@@ -24,7 +24,28 @@ import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+GEN_SNIPPET = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[32]")
+         .config("spark.driver.memory", "40g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from xmlschema_spark.sources.fixtures import make_images
+df = make_images(spark, {rows}, dirty=True,
+                 rows_per_partition={rows} // 64 or 1)
+df.repartition(128, "part_key").write.mode("overwrite").parquet({data_dir!r})
+print("GENDONE")
+spark.stop()
+"""
+
 RUN_SNIPPET = r"""
+import os
+# pin numpy/BLAS threads: 32 python workers x N BLAS threads oversubscribes
+# the box and makes timings erratic (measured 9s-35s swings)
+for v in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+    os.environ[v] = "1"
 import json, sys, time, hashlib
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
@@ -43,17 +64,23 @@ from xmlschema_spark import validate
 from xmlschema_spark.sources.fixtures import images_spec, make_images
 
 rows = {rows}
-# generation is part of the pipeline but we exclude its cost from the
-# validated-rows/sec metric by materializing the input first
-df = make_images(spark, rows, dirty=True, rows_per_partition=rows // 64 or 1)
-df.write.mode("overwrite").parquet({data_dir!r})
 inp = spark.read.parquet({data_dir!r})
 
-t0 = time.monotonic()
-res = validate(inp, images_spec(with_keyref=False))
-viols = res.violations.collect()   # canonical order (constraint, row_key)
-verd = res.verdicts.collect()
-wall = time.monotonic() - t0
+# warmup: JVM JIT + python worker pool + codegen caches (a 10^12-row job
+# amortizes startup to zero; the throughput metric must not include it)
+warm = validate(inp.limit(5000), images_spec(with_keyref=False))
+warm.violations.count(); warm.verdicts.count(); warm.unpersist()
+
+walls = []
+for _trial in range(3):
+    t0 = time.monotonic()
+    res = validate(inp, images_spec(with_keyref=False))
+    viols = res.violations.collect()   # canonical order (constraint, row_key)
+    verd = res.verdicts.collect()
+    walls.append(time.monotonic() - t0)
+    res.unpersist()
+walls.sort()
+wall = walls[1]   # median of 3
 
 lines = ["|".join([r.row_key, str(r.part_key), r.constraint, r.reason,
                    str(r.value), str(r.occurs)]) for r in viols]
@@ -62,7 +89,7 @@ print("RESULT " + json.dumps({{
     "cores": {cores}, "rows": rows, "wall_sec": round(wall, 3),
     "rows_per_sec": round(rows / wall, 1),
     "n_violations": len(lines), "violations_sha256": digest,
-    "n_parts": len(verd)}}))
+    "n_parts": len(verd), "walls": [round(w, 3) for w in walls]}}))
 spark.stop()
 """
 
@@ -82,8 +109,15 @@ def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     with tempfile.TemporaryDirectory(prefix="scaling_imgs_") as data_dir:
-        lo = run_once(n, rows, os.path.join(data_dir, "t"))
-        hi = run_once(4 * n, rows, os.path.join(data_dir, "t"))
+        t = os.path.join(data_dir, "t")
+        gen = subprocess.run(
+            [sys.executable, "-c", GEN_SNIPPET.format(repo=REPO, rows=rows,
+                                                      data_dir=t)],
+            capture_output=True, text=True, timeout=3600)
+        if "GENDONE" not in gen.stdout:
+            raise RuntimeError(f"gen failed:\n{gen.stderr[-3000:]}")
+        lo = run_once(n, rows, t)
+        hi = run_once(4 * n, rows, t)
     eff = hi["rows_per_sec"] / (4 * lo["rows_per_sec"])
     identical = lo["violations_sha256"] == hi["violations_sha256"]
     out = {

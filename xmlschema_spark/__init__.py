@@ -8,15 +8,18 @@ needed: salted aggregates, anti-join referential checks, drift sketches,
 per-partition lineage manifests, and training-data pipeline operators.
 """
 
-from .specs import (AssertSpec, ColumnSpec, DriftSpec, KeyrefSpec,
-                    OccursSpec, PayloadSpec, TableSpec, UniqueSpec)
+from .specs import (AssertSpec, ColumnSpec, ConditionalSpec, DriftSpec,
+                    KeyrefSpec, OccursSpec, PayloadSpec, TableSpec,
+                    UniqueSpec)
 from .plans.compiler import ValidationPlan, compile_plan
 from .runner import (ValidationResult, XmlSchemaSparkValidationError,
-                     is_valid, validate, violations_frame, verdicts_frame)
+                     apply_defaults, is_valid, schema_violations, validate,
+                     violations_frame, verdicts_frame)
 
 __version__ = "0.1.0"
 __all__ = [
-    "AssertSpec", "ColumnSpec", "DriftSpec", "KeyrefSpec", "OccursSpec",
+    "AssertSpec", "ColumnSpec", "ConditionalSpec", "DriftSpec",
+    "KeyrefSpec", "OccursSpec", "apply_defaults", "schema_violations",
     "PayloadSpec", "TableSpec", "UniqueSpec", "ValidationPlan",
     "compile_plan", "ValidationResult", "XmlSchemaSparkValidationError",
     "is_valid", "validate", "violations_frame", "verdicts_frame",

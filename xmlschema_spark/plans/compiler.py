@@ -249,6 +249,19 @@ def compile_plan(spec: TableSpec) -> ValidationPlan:
         if norm is not None:
             plan.normalizations[cs.name] = norm
         plan.row_checks.extend(checks)
+    for c in spec.conditionals:
+        # conditional type assignment: checks apply only where `when`
+        # holds (xsi:type / type alternatives, elements.py:654-684)
+        cond = F.coalesce(F.expr(c.when), F.lit(False))
+        for cs in c.columns:
+            _norm, cchecks = compile_column(cs)
+            for chk in cchecks:
+                plan.row_checks.append(RowCheck(
+                    constraint=f"cond:{c.name}:{chk.constraint}",
+                    reason=f"[when {c.when}] {chk.reason}",
+                    valid=~cond | chk.valid,
+                    value_col=chk.value_col,
+                ))
     for a in spec.asserts:
         # complex-type xs:assert (validators/assertions.py:119-147)
         plan.row_checks.append(RowCheck(

@@ -629,3 +629,165 @@ def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  n_planes=4, brute_force=False) \
         .select(F.col("id_a").cast("string").alias("id_a"),
                 F.col("id_b").cast("string").alias("id_b"), "sim")
+
+
+# ---------------------------------------------------------------------------
+# Conditional type assignment, temporal ops, sorts/top-k, lexical checks
+# ---------------------------------------------------------------------------
+
+@register("conditional_facets_events", """
+  SELECT CAST(event_id AS VARCHAR) AS row_key,
+         'cond:click_rules:facet:minInclusive:value' AS "constraint"
+    FROM events
+   WHERE event_type = 'click' AND value IS NOT NULL AND NOT (value >= 5)
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'cond:error_rules:facet:maxInclusive:value'
+    FROM events
+   WHERE event_type = 'error' AND value IS NOT NULL AND NOT (value <= 50)
+""")
+def conditional_facets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional type assignment (xsi:type / type alternatives,
+    elements.py:654-684): different facet sets per event_type, compiled
+    to when(cond, check) — no join, single scan."""
+    from .specs import ConditionalSpec
+    ev = _load(spark, sf_dir, "events")
+    spec = TableSpec(
+        name="events", key_column="event_id",
+        conditionals=[
+            ConditionalSpec("click_rules", "event_type = 'click'",
+                            [ColumnSpec("value", "double", min_inclusive=5)]),
+            ConditionalSpec("error_rules", "event_type = 'error'",
+                            [ColumnSpec("value", "double", max_inclusive=50)]),
+        ],
+    )
+    return row_violations(ev, compile_plan(spec)) \
+        .select("row_key", "constraint")
+
+
+@register("quantiles_lineitem", """
+  SELECT 'l_extendedprice' AS col, CAST(0.25 AS DOUBLE) AS quantile,
+         CAST(ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS DOUBLE) AS value FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', CAST(0.5 AS DOUBLE),
+         CAST(ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', CAST(0.75 AS DOUBLE),
+         CAST(ROUND(quantile_cont(l_extendedprice, 0.75), 4) AS DOUBLE) FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', CAST(0.95 AS DOUBLE),
+         CAST(ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS DOUBLE) FROM lineitem
+""")
+def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distributed percentiles (oracle-parity path). The sketch
+    path for 10^12 rows is percentile_approx (t-digest role) — exposed
+    as quantile_sketch_lineitem (rows-only)."""
+    df = _load(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    row = df.agg(F.percentile("l_extendedprice", qs).alias("v"))
+    qarr = F.array(*[F.lit(q) for q in qs])
+    return row.select(
+        F.lit("l_extendedprice").alias("col"),
+        F.posexplode("v").alias("qi", "raw")) \
+        .select("col", F.element_at(qarr, F.col("qi") + 1).alias("quantile"),
+                F.round("raw", 4).alias("value"))
+
+
+@register("quantile_sketch_lineitem")
+def quantile_sketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch (percentile_approx; bounded-error,
+    partition-mergeable — the scale path). Rows-only check."""
+    from .operators.drift import quantile_sketch
+    df = _load(spark, sf_dir, "lineitem")
+    return quantile_sketch(df, ["l_extendedprice", "l_quantity"],
+                           [0.25, 0.5, 0.75, 0.95])
+
+
+@register("topk_orders_per_priority", """
+  WITH r AS (
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders)
+  SELECT o_orderpriority, CAST(o_orderkey AS VARCHAR) AS row_key,
+         ROUND(o_totalprice, 2) AS total
+    FROM r WHERE rn <= 3
+""")
+def topk_orders_per_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group via window row_number (deterministic tiebreak on
+    the key). Physical: one shuffle on the group key, per-partition sort
+    — never a global sort."""
+    from pyspark.sql import Window
+    df = _load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority") \
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .select("o_orderpriority",
+                    F.col("o_orderkey").cast("string").alias("row_key"),
+                    F.round("o_totalprice", 2).alias("total")))
+
+
+@register("orders_by_month", """
+  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         count(*) AS n, ROUND(sum(o_totalprice), 2) AS total
+    FROM orders WHERE o_orderdate IS NOT NULL
+   GROUP BY 1
+""")
+def orders_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal rollup (date_trunc month) — datetime scalar functions
+    (reference datetime parsers, builtins.py:103-136)."""
+    df = _load(spark, sf_dir, "orders")
+    return (df.where(F.col("o_orderdate").isNotNull())
+            .groupBy(F.date_trunc("month", "o_orderdate")
+                     .cast("date").alias("month"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("o_totalprice"), 2).alias("total")))
+
+
+@register("hex_base64_lexical_documents", """
+  WITH x AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN md5(text) || 'g'
+                ELSE md5(text) END AS hexv
+      FROM documents)
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         'facet:hexBinary' AS "constraint", hexv AS value
+    FROM x
+   WHERE NOT regexp_matches(hexv, '^([0-9a-fA-F]{2})*$')
+""")
+def hex_base64_lexical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xs:hexBinary lexical validation (helpers.py:240-248): md5 digests
+    pass; every 7th is corrupted with a non-hex suffix and must fail."""
+    from .functions.lexical import hex_binary_ok
+    d = _load(spark, sf_dir, "documents")
+    hexv = F.when(F.col("doc_id") % 7 == 0,
+                  F.concat(F.md5("text"), F.lit("g"))) \
+            .otherwise(F.md5("text"))
+    x = d.select(F.col("doc_id").cast("string").alias("row_key"),
+                 hexv.alias("hexv"))
+    return (x.where(~hex_binary_ok(F.col("hexv")))
+            .select("row_key", F.lit("facet:hexBinary").alias("constraint"),
+                    F.col("hexv").alias("value")))
+
+
+@register("boolean_lexical_events", """
+  WITH x AS (
+    SELECT event_id,
+           CASE event_id % 5 WHEN 0 THEN 'true' WHEN 1 THEN '1'
+                WHEN 2 THEN 'false' WHEN 3 THEN '0' ELSE 'yes' END AS lex
+      FROM events),
+  m AS (SELECT CASE WHEN trim(lex) IN ('true','1') THEN 'true'
+                    WHEN trim(lex) IN ('false','0') THEN 'false'
+                    ELSE 'invalid' END AS decoded FROM x)
+  SELECT decoded, count(*) AS n FROM m GROUP BY decoded
+""")
+def boolean_lexical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xs:boolean lexical space ('true','1','false','0'; helpers.py:26-29):
+    decode counts over a derived lexical column; 'yes' is invalid."""
+    from .functions.lexical import boolean_lexical
+    ev = _load(spark, sf_dir, "events")
+    lex = F.element_at(F.array(F.lit("true"), F.lit("1"), F.lit("false"),
+                               F.lit("0"), F.lit("yes")),
+                       (F.col("event_id") % 5 + 1).cast("int"))
+    dec = boolean_lexical(lex)
+    decoded = (F.when(dec.isNull(), "invalid")
+               .when(dec, "true").otherwise("false"))
+    return (ev.select(decoded.alias("decoded"))
+            .groupBy("decoded").agg(F.count(F.lit(1)).alias("n")))

@@ -47,14 +47,70 @@ class XmlSchemaSparkValidationError(Exception):
 class ValidationResult:
     violations: DataFrame     # canonical order
     verdicts: DataFrame       # (part_key, n_rows, n_violations, pass)
+    _cached: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self._cached is not None:
+            self._cached.unpersist()
+            self._cached = None
+
+
+def schema_violations(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Structural check: declared columns must exist; undeclared columns
+    are violations unless the wildcard allows them (xs:any/anyAttribute
+    namespace wildcards, reference: wildcards.py:33-99 — schema-evolution
+    tolerance is a compile-time column allowlist)."""
+    import pyspark.sql.functions as _F
+    spark = df.sparkSession
+    declared = {c.name for c in spec.columns} | {spec.key_column}
+    for u in spec.uniques:
+        declared |= set(u.columns)
+    if spec.part_key:
+        declared.add(spec.part_key)
+    actual = set(df.columns)
+    rows = []
+    for c in sorted({c.name for c in spec.columns} - actual):
+        rows.append(("<schema>", 0, f"schema:missing:{c}",
+                     f"declared column '{c}' absent from table", c, 1))
+    if not spec.allow_extra_columns:
+        for c in sorted(actual - declared):
+            rows.append(("<schema>", 0, f"schema:unexpected:{c}",
+                         f"undeclared column '{c}' present (no wildcard)", c, 1))
+    return spark.createDataFrame(
+        rows, "row_key string, part_key bigint, constraint string, "
+              "reason string, value string, occurs bigint")
+
+
+def apply_defaults(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Fill declared defaults into missing values (reference: default
+    value fill at elements.py:771-772; attributes.py:243-262; filler
+    hooks schemas.py:1497-1513)."""
+    import pyspark.sql.functions as _F
+    for cs in spec.columns:
+        if cs.default is not None and cs.name in df.columns:
+            df = df.withColumn(
+                cs.name, _F.coalesce(_F.col(cs.name),
+                                     _F.lit(cs.default).cast(cs.dtype)))
+    return df
 
 
 def violations_frame(df: DataFrame, plan: ValidationPlan,
                      refs: dict[str, DataFrame] | None = None,
-                     include_payload: bool = True) -> DataFrame:
-    """Union of all violation sources, lazily composed (one DAG)."""
+                     include_payload: bool = True,
+                     extra_validators: list | None = None) -> DataFrame:
+    """Union of all violation sources, lazily composed (one DAG).
+
+    extra_validators: user callables df -> violations DataFrame — the
+    analog of the reference extra_validator hook (validation.py:494-498;
+    invoked at elements.py:843-851)."""
     spec = plan.spec
     refs = refs or {}
+    declared = {c.name for c in spec.columns}
+    missing = declared - set(df.columns)
+    if missing:
+        raise KeyError(
+            f"declared columns missing from table: {sorted(missing)} "
+            "(run schema_violations() for a report instead)")
     parts = [row_violations(df, plan)]
     for u in spec.uniques:
         parts.append(unique_violations(df, u, spec.key_column, spec.part_key))
@@ -68,6 +124,8 @@ def violations_frame(df: DataFrame, plan: ValidationPlan,
     if include_payload and spec.payload is not None:
         parts.append(payload_violations(df, spec.payload, spec.part_key,
                                         check_phash=False))
+    for ev in (extra_validators or []):
+        parts.append(ev(df))
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
@@ -93,7 +151,8 @@ def verdicts_frame(df: DataFrame, violations: DataFrame,
 
 def validate(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,
              refs: dict[str, DataFrame] | None = None,
-             mode: str = "lax") -> ValidationResult:
+             mode: str = "lax",
+             extra_validators: list | None = None) -> ValidationResult:
     plan = spec_or_plan if isinstance(spec_or_plan, ValidationPlan) \
         else compile_plan(spec_or_plan)
     spark = df.sparkSession
@@ -102,7 +161,7 @@ def validate(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,
             [], "row_key string, part_key bigint, constraint string, "
                 "reason string, value string, occurs bigint")
         return ValidationResult(empty, verdicts_frame(df, empty, plan.spec))
-    v = violations_frame(df, plan, refs)
+    v = violations_frame(df, plan, refs, extra_validators=extra_validators)
     if mode == "strict":
         # fail-fast: a different physical plan — LIMIT 1, no full scan
         first = v.limit(1).collect()
@@ -110,8 +169,13 @@ def validate(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,
             raise XmlSchemaSparkValidationError(first[0].asDict())
         empty = v.limit(0)
         return ValidationResult(empty, verdicts_frame(df, empty, plan.spec))
+    # persist: the violations DAG (payload decode, salted aggs, joins) is
+    # the expensive part and is consumed by BOTH the violations output and
+    # the verdicts aggregation — without this it would evaluate twice.
+    # The persisted set holds only failures (small by construction).
+    v = v.persist()
     return ValidationResult(canonical_violations(v),
-                            verdicts_frame(df, v, plan.spec))
+                            verdicts_frame(df, v, plan.spec), _cached=v)
 
 
 def is_valid(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,

@@ -163,6 +163,23 @@ class OccursSpec:
 
 
 @dataclass
+class ConditionalSpec:
+    """Conditional type assignment: a different facet set selected by a
+    row predicate — the analog of xsi:type overrides and XSD 1.1 type
+    alternatives (reference: elements.py:659-684 xsi:type resolution;
+    elements.py:654-657 + get_alternative_type at elements.py:1340), and
+    of substitution-group dispatch (elements.py:609-623) — compile-time
+    when(cond, checks) dispatch, never a data join.
+
+    `when` is a Spark SQL boolean expression; `columns` facets apply only
+    to rows where it holds."""
+
+    name: str
+    when: str
+    columns: list[ColumnSpec] = field(default_factory=list)
+
+
+@dataclass
 class TableSpec:
     """Top-level spec — the analog of a compiled XMLSchema instance."""
 
@@ -173,6 +190,7 @@ class TableSpec:
     keyrefs: list[KeyrefSpec] = field(default_factory=list)
     asserts: list[AssertSpec] = field(default_factory=list)
     occurs: list[OccursSpec] = field(default_factory=list)
+    conditionals: list[ConditionalSpec] = field(default_factory=list)
     payload: Optional[PayloadSpec] = None
     drift: Optional[DriftSpec] = None
     part_key: Optional[str] = None        # data-derived partition column
@@ -199,6 +217,10 @@ class TableSpec:
             keyrefs=[KeyrefSpec(**k) for k in d.get("keyrefs", [])],
             asserts=[AssertSpec(**a) for a in d.get("asserts", [])],
             occurs=[OccursSpec(**o) for o in d.get("occurs", [])],
+            conditionals=[
+                ConditionalSpec(name=c["name"], when=c["when"],
+                                columns=[col(x) for x in c.get("columns", [])])
+                for c in d.get("conditionals", [])],
             payload=PayloadSpec(**d["payload"]) if d.get("payload") else None,
             drift=DriftSpec(**d["drift"]) if d.get("drift") else None,
             part_key=d.get("part_key"),
