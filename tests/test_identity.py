@@ -54,3 +54,23 @@ def test_occurs_bounds(spark):
     out = occurs_violations(df, OccursSpec("lines", ["parent"],
                                            min_occurs=1, max_occurs=2)).collect()
     assert {(r.row_key, r.occurs) for r in out} == {("o2", 3)}
+
+
+def test_caption_equality_vs_sidecar(spark):
+    from xmlschema_spark.operators.identity import caption_equality_violations
+    from xmlschema_spark.sources.fixtures import (MOD, make_captions_ref,
+                                                  make_images)
+    n = 4000
+    imgs = make_images(spark, n, dirty=True, with_bytes=False)
+    ref = make_captions_ref(spark, n)
+    out = caption_equality_violations(imgs, ref, part_key="part_key").collect()
+    # defects at k in (4,5,11) mutate the caption; k==7 rows carry row
+    # i-2's id so their caption mismatches that id's reference; k==13 ids
+    # are absent from the sidecar (keyref scope, skipped here)
+    expected = {k for k in (4, 5, 7, 11)}
+    got_ks = {int(r.row_key[4:]) % MOD if r.row_key[4:].isdigit() else -1
+              for r in out}
+    n_expected = len([i for i in range(n)
+                      if i % MOD in (4, 5, 11) or
+                      (i % MOD == 7 and (i - 2) % MOD != 13)])
+    assert len(out) == n_expected, (len(out), n_expected)

@@ -76,6 +76,15 @@ def run_resumable(df: DataFrame, spec: TableSpec, checkpoint_dir: str,
         return {"validated_parts": 0, "rows": 0, "violations": 0,
                 "skipped": True}
 
+    # persist the compiled plan's SOURCE next to the manifest (analog of
+    # schema export, reference: exports.py:141-287) so a resume can verify
+    # it validates under the same spec revision
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    spec_file = os.path.join(checkpoint_dir, f"spec-{sh}.json")
+    if not os.path.exists(spec_file):
+        with open(spec_file, "w") as f:
+            f.write(spec.to_json())
+
     res = validate(todo, spec, refs=refs)
     viols = res.violations
     verd = res.verdicts.withColumn("spec_hash", F.lit(sh)) \

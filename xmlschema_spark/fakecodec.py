@@ -41,11 +41,13 @@ HEADER = struct.Struct("<4sII")
 
 def gen_pixels(i: int, w: int, h: int) -> np.ndarray:
     """Deterministic RGB pixel pattern for row index i (seed-free, pure)."""
-    base = (i * 2654435761) % 256
-    ys = np.arange(h, dtype=np.int64)[:, None, None] * 5
-    xs = np.arange(w, dtype=np.int64)[None, :, None] * 3
-    cs = np.arange(3, dtype=np.int64)[None, None, :] * 17
-    px = ((base + ys + xs + cs) % 256).astype(np.uint8)
+    # uint8 wraparound addition IS mod-256 — no int64 temporaries
+    # (this is the hot path of payload pixel-parity validation)
+    base = np.uint8((i * 2654435761) % 256)
+    ys = ((np.arange(h, dtype=np.int64) * 5) % 256).astype(np.uint8)
+    xs = ((np.arange(w, dtype=np.int64) * 3) % 256).astype(np.uint8)
+    cs = np.array([0, 17, 34], dtype=np.uint8)
+    px = base + ys[:, None, None] + xs[None, :, None] + cs[None, None, :]
     # stamp i into the first 8 bytes so every i yields a distinct buffer
     # (the gradient alone has only 256*65*5 distinct patterns, which would
     # create false phash duplicates in clean fixtures)
@@ -91,7 +93,8 @@ def decode_header(buf: bytes) -> tuple[str, int, int]:
 def psnr(a: np.ndarray, b: np.ndarray) -> float:
     if a.shape != b.shape:
         return 0.0
-    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    d = a.astype(np.int16) - b.astype(np.int16)   # exact in int16
+    mse = np.mean(np.square(d, dtype=np.int32))   # exact integer squares
     if mse == 0:
         return float("inf")
     return float(10.0 * np.log10(255.0 * 255.0 / mse))

@@ -64,10 +64,15 @@ def unique_violations(df: DataFrame, spec: UniqueSpec, key_column: str,
 
     present = df.where(nn)
     salt_n = spec.salt or 16
-    # two-level salted aggregate: (tuple, salt) partial counts -> tuple counts
+    # two-level salted aggregate: (tuple, salt) partial counts -> tuple
+    # counts. Salt = spark_partition_id mod n: it varies WITHIN a hot
+    # tuple group wherever the group spans partitions (a key-derived salt
+    # would be constant inside the group and protect nothing). The salt
+    # never reaches the output — the re-aggregate collapses it, so
+    # results stay bitwise-identical at any parallelism.
     salted = (
         present
-        .withColumn("_salt", F.pmod(F.xxhash64(F.col(key_column)), F.lit(salt_n)))
+        .withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salt_n)))
         .groupBy(*cols, "_salt").agg(F.count(F.lit(1)).alias("_c"))
         .groupBy(*cols).agg(F.sum("_c").alias("occurs"))
         .where(F.col("occurs") > 1)
@@ -155,6 +160,32 @@ def occurs_violations(df: DataFrame, spec: OccursSpec,
                  F.col("occurs").cast("string")).alias("reason"),
         _tuple_str(spec.group_by).alias("value"),
         F.col("occurs").cast("bigint"),
+    )
+
+
+def caption_equality_violations(df: DataFrame, ref: DataFrame,
+                                id_col: str = "image_id",
+                                caption_col: str = "caption",
+                                ref_caption_col: str = "caption_norm",
+                                part_key: str | None = None) -> DataFrame:
+    """Caption-equality invariant vs a sidecar reference (input_hint;
+    reference analog: fixed-value equality, elements.py:750-769).
+    Whitespace-collapsed comparison (simple_types.py:453-463), inner join
+    on the row key — ids absent from the sidecar are the keyref's
+    business, not this check's."""
+    from ..functions.lexical import ws_collapse
+    r = ref.select(F.col(id_col).alias("_rid"),
+                   F.col(ref_caption_col).alias("_rcap"))
+    j = df.join(r, on=df[id_col] == r["_rid"], how="inner")
+    bad = j.where(
+        ws_collapse(F.col(caption_col)) != ws_collapse(F.col("_rcap")))
+    return bad.select(
+        F.col(id_col).cast("string").alias("row_key"),
+        _part(part_key),
+        F.lit("caption:equality").alias("constraint"),
+        F.lit("caption differs from sidecar reference caption").alias("reason"),
+        F.substring(F.col(caption_col), 1, 200).alias("value"),
+        F.lit(1).cast("bigint").alias("occurs"),
     )
 
 

@@ -102,14 +102,15 @@ def payload_violations(
                 out["value"].append(str(value)[:200])
                 out["occurs"].append(1)
 
-            pks = pdf[pk] if pk else None
-            for j in range(len(pdf)):
-                rk = pdf[id_c].iloc[j]
-                pkv = pks.iloc[j] if pks is not None else 0
-                buf = pdf[b_c].iloc[j]
-                meta_fmt = pdf[f_c].iloc[j]
-                meta_w = pdf[w_c].iloc[j]
-                meta_h = pdf[h_c].iloc[j]
+            # plain lists, not .iloc[j] — pandas positional indexing is
+            # ~10x slower per access than list iteration in this loop
+            n = len(pdf)
+            pk_list = pdf[pk].tolist() if pk else [0] * n
+            ph_list = pdf[phash_col].tolist() if check_phash else None
+            rows = zip(pdf[id_c].tolist(), pk_list, pdf[b_c].tolist(),
+                       pdf[f_c].tolist(), pdf[w_c].tolist(),
+                       pdf[h_c].tolist(), range(n))
+            for rk, pkv, buf, meta_fmt, meta_w, meta_h, j in rows:
                 if buf is None:
                     emit(rk, pkv, "payload:required",
                          "missing required payload bytes", "NULL")
@@ -148,7 +149,7 @@ def payload_violations(
                                      f"PSNR {p:.1f}dB below {psnr_min:.0f}dB "
                                      "vs reference", f"{p:.1f}")
                 if deep and check_phash and px is not None:
-                    want = pdf[phash_col].iloc[j]
+                    want = ph_list[j]
                     if want is not None:
                         got = fakecodec.phash64(px)
                         if int(got) != int(want):

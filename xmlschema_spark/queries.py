@@ -791,3 +791,20 @@ def boolean_lexical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                .when(dec, "true").otherwise("false"))
     return (ev.select(decoded.alias("decoded"))
             .groupBy("decoded").agg(F.count(F.lit(1)).alias("n")))
+
+
+@register("decode_to_json_documents", """
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_chars":'
+           || n_chars || '}' AS js
+    FROM documents
+""")
+def decode_to_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Validated-decode sink shape: rows as JSON text (reference:
+    to_json/to_dict sinks, documents.py:275,301 + ColumnarConverter
+    flattening, converters/columnar.py:23-174)."""
+    d = _load(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.to_json(F.struct(F.col("doc_id"), F.col("lang"),
+                           F.col("n_chars"))).alias("js"))

@@ -148,16 +148,31 @@ def make_images(spark: SparkSession, n_rows: int,
 
 
 def make_captions_ref(spark: SparkSession, n_rows: int) -> DataFrame:
-    """F3: all F1 ids except i % 1009 == 13 (keyref misses), with lang."""
+    """F3: all F1 ids except i % 1009 == 13 (keyref misses), with lang and
+    the normalized reference caption (caption-equality sidecar)."""
+    from ..distribute import ensure_distributed
+    ensure_distributed(spark)
     langs = F.array(F.lit("en"), F.lit("it"), F.lit("de"))
-    return (
-        spark.range(0, n_rows, 1).withColumnRenamed("id", "i")
-        .where(F.col("i") % MOD != 13)
-        .select(
-            F.format_string("img-%012d", F.col("i")).alias("image_id"),
-            F.element_at(langs, (F.col("i") % 3 + 1).cast("int")).alias("lang"),
-        )
-    )
+    base = (spark.range(0, n_rows, 1).withColumnRenamed("id", "i")
+            .where(F.col("i") % MOD != 13))
+
+    import pandas as pd  # noqa: F811
+
+    def gen(batches):
+        for pdf in batches:
+            out = pd.DataFrame({
+                "i": pdf["i"],
+                "caption_norm": [caption_for(int(i)) for i in pdf["i"]],
+            })
+            yield out
+
+    caps = base.mapInPandas(gen, "i bigint, caption_norm string")
+    return (base.join(caps, on="i")
+            .select(
+                F.format_string("img-%012d", F.col("i")).alias("image_id"),
+                F.element_at(langs, (F.col("i") % 3 + 1).cast("int")).alias("lang"),
+                F.col("caption_norm"),
+            ))
 
 
 def images_spec(with_payload: bool = True, with_keyref: bool = False,
