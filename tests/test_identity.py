@@ -74,3 +74,12 @@ def test_caption_equality_vs_sidecar(spark):
                       if i % MOD in (4, 5, 11) or
                       (i % MOD == 7 and (i - 2) % MOD != 13)])
     assert len(out) == n_expected, (len(out), n_expected)
+
+
+def test_idref_self_reference(spark):
+    from xmlschema_spark.operators.identity import idref_violations
+    df = spark.createDataFrame(
+        [("r1", "a", None), ("r2", "b", "a"), ("r3", "c", "zz")],
+        "k string, id string, ref string")
+    out = idref_violations(df, "id", "ref", "k").collect()
+    assert {(r.row_key, r.occurs) for r in out} == {("r3", 1)}

@@ -102,3 +102,20 @@ def test_text_stats(spark):
         F.round(quality_score(F.col("text")), 4).alias("q")).collect()
     assert got[0]["n"] == 5 and got[0]["lang"] == "en"
     assert got[1]["lang"] == "unknown" and got[1]["q"] < got[0]["q"] + 1
+
+
+def test_vectorized_near_dup_matches_hof(spark, sf_dir):
+    from xmlschema_spark.operators.similarity import (
+        cosine_near_dup_pairs, cosine_near_dup_pairs_vectorized)
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    def canon(rows):
+        out = {}
+        for r in rows:
+            a, b = sorted([str(r.id_a), str(r.id_b)])
+            out[(a, b)] = r.sim
+        return out
+    v = canon(cosine_near_dup_pairs_vectorized(
+        e, "embedding", "vec_id", threshold=0.3, n_planes=4).collect())
+    h = canon(cosine_near_dup_pairs(
+        e, "embedding", "vec_id", threshold=0.3, n_planes=4).collect())
+    assert v == h

@@ -156,3 +156,14 @@ def test_single_scan_plan(spark):
         F.lit("aa").alias("s"))
     explained = row_violations(df, plan)._jdf.queryExecution().simpleString()
     assert explained.count("Range") == 1
+
+
+def test_explicit_timezone(spark):
+    got = run_one(spark, ColumnSpec("v", "string", explicit_timezone="required"),
+                  [("a", "2024-01-01T00:00:00Z"),
+                   ("b", "2024-01-01T00:00:00+02:00"),
+                   ("c", "2024-01-01T00:00:00")])
+    assert got == {("c", "facet:explicitTimezone:v")}
+    got = run_one(spark, ColumnSpec("v", "string", explicit_timezone="prohibited"),
+                  [("a", "2024-01-01T00:00:00Z"), ("c", "2024-01-01T00:00:00")])
+    assert got == {("a", "facet:explicitTimezone:v")}

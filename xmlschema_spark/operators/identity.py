@@ -137,6 +137,18 @@ def keyref_violations(df: DataFrame, ref: DataFrame, spec: KeyrefSpec,
     )
 
 
+def idref_violations(df: DataFrame, id_col: str, idref_col: str,
+                     key_column: str, part_key: str | None = None) -> DataFrame:
+    """xs:ID/xs:IDREF within one table: every IDREF value must match some
+    row's ID (reference: id_map bookkeeping at validation.py:166;
+    "IDREF not found" at schemas.py:1393-1399). A self-keyref."""
+    from ..specs import KeyrefSpec
+    ref = df.select(F.col(id_col))
+    return keyref_violations(
+        df, ref, KeyrefSpec(f"idref:{idref_col}", [idref_col], "self", [id_col]),
+        key_column, part_key)
+
+
 def occurs_violations(df: DataFrame, spec: OccursSpec,
                       part_key: str | None = None) -> DataFrame:
     """minOccurs/maxOccurs per parent scope (ModelVisitor.occurs,

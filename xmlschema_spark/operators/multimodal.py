@@ -150,3 +150,24 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30,
             "environment; see frame_sample_stub docstring")
 
     return df.select(id_col, bytes_col).mapInPandas(run, schema=schema)
+
+
+def audio_features_stub(df: DataFrame, every_ms: int = 1000,
+                        bytes_col: str = "bytes",
+                        id_col: str = "audio_id") -> DataFrame:
+    """Audio feature extraction — pipeline shape only; no audio decoder
+    in this container (no soundfile/librosa). Production swaps the body
+    for frame decode + mel features; schema/batching/pruning are real."""
+    schema = T.StructType([
+        T.StructField("audio_id", T.StringType()),
+        T.StructField("window_idx", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("mel", T.ArrayType(T.DoubleType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        raise NotImplementedError(
+            "audio decode requires soundfile/librosa — not available in "
+            "this environment; see audio_features_stub docstring")
+
+    return df.select(id_col, bytes_col).mapInPandas(run, schema=schema)

@@ -186,6 +186,20 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
         add("fixed", f"value must be fixed to {cs.fixed!r}",
             typed == _lit(cs.dtype, cs.fixed), typed_guard=typed)
 
+    if cs.explicit_timezone:
+        # XSD 1.1 explicitTimezone (facets.py:561-603): tz designator on
+        # the LEXICAL form (string-typed temporal columns)
+        tz_pat = r"(Z|[+-]\d{2}:\d{2})$"
+        has_tz = val_s.rlike(tz_pat)
+        if cs.explicit_timezone == "required":
+            add("explicitTimezone", "timezone designator required", has_tz)
+        elif cs.explicit_timezone == "prohibited":
+            add("explicitTimezone", "timezone designator prohibited", ~has_tz)
+        else:
+            raise ValueError(
+                f"explicit_timezone must be required|prohibited, "
+                f"got {cs.explicit_timezone!r}")
+
     if cs.assertion:
         # simple-type assert with `value` variable (facets.py:836-894)
         add("assertion", f"assertion failed: {cs.assertion}",

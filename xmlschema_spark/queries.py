@@ -808,3 +808,60 @@ def decode_to_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("string").alias("doc_id"),
         F.to_json(F.struct(F.col("doc_id"), F.col("lang"),
                            F.col("n_chars"))).alias("js"))
+
+
+@register("ngram_jaccard_candidates", """
+  WITH toks AS (
+    SELECT doc_id, string_split(trim(regexp_replace(text,'\\s+',' ','g')), ' ') AS w
+      FROM documents),
+  sh AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
+      FROM toks),
+  sig AS (
+    SELECT doc_id,
+           list_min([md5('0|' || x) for x in s]) AS h0,
+           list_min([md5('1|' || x) for x in s]) AS h1,
+           list_min([md5('2|' || x) for x in s]) AS h2,
+           list_min([md5('3|' || x) for x in s]) AS h3
+      FROM (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, greatest(len(w)-2, 0))] AS s
+              FROM toks) q),
+  bands AS (
+    SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+    UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig),
+  hot AS (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) > 1),
+  pairs AS (
+    SELECT DISTINCT CAST(a.doc_id AS VARCHAR) AS id_a,
+                    CAST(b.doc_id AS VARCHAR) AS id_b
+      FROM bands a JOIN hot USING (band, bucket)
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+     WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR))
+  SELECT p.id_a, p.id_b,
+         ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+               / len(list_distinct(sa.s || sb.s)), 6) AS jaccard
+    FROM pairs p
+    JOIN sh sa ON CAST(sa.doc_id AS VARCHAR) = p.id_a
+    JOIN sh sb ON CAST(sb.doc_id AS VARCHAR) = p.id_b
+""")
+def ngram_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates + exact word-3-gram Jaccard verification — the
+    standard two-stage near-dup pipeline (cheap blocking, exact verify
+    only inside blocks)."""
+    from .operators.dedup import lsh_bucket_pairs, ngram_jaccard
+    d = _load(spark, sf_dir, "documents") \
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    pairs = lsh_bucket_pairs(d, "text", "doc_id")
+    return ngram_jaccard(d, "text", "doc_id", pairs) \
+        .select("id_a", "id_b", "jaccard")
+
+
+@register("embedding_near_dups_vectorized")
+def embedding_near_dups_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-bucket BLAS-matmul near-dups (applyInPandas) — the 100TB
+    compute path for embedding dedup. Rows-only check (recall<1)."""
+    from .operators.similarity import cosine_near_dup_pairs_vectorized
+    e = _load(spark, sf_dir, "embeddings")
+    return cosine_near_dup_pairs_vectorized(e, "embedding", "vec_id",
+                                            threshold=0.3, n_planes=4)

@@ -67,6 +67,7 @@ class ColumnSpec:
     fixed: Optional[Any] = None
     default: Optional[Any] = None
     assertion: Optional[str] = None         # SQL expr over `value`
+    explicit_timezone: Optional[str] = None  # 'required'|'prohibited' (XSD 1.1)
     union_of: Optional[list[str]] = None    # ordered spark type names
     item: Optional["ColumnSpec"] = None     # element spec for arrays
 
