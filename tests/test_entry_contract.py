@@ -1,0 +1,42 @@
+"""Driver contract smoke: entry() returns rows with a stable schema; the
+queries()/oracle_sql() key relationship holds."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod
+
+
+def test_entry_returns_rows(spark):
+    df = entrymod.entry(spark)
+    assert df.schema.simpleString() == "struct<constraint:string,n:bigint>"
+    rows = df.collect()
+    assert len(rows) > 0
+    assert any(r.n > 0 for r in rows)
+
+
+def test_queries_oracle_key_consistency():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 30
+    # every query callable accepts (spark, sf_dir)
+    import inspect
+    for name, fn in qs.items():
+        assert len(inspect.signature(fn).parameters) == 2, name
+
+
+def test_queries_run_at_smoke_scale(spark):
+    """Every registered query must at least execute at sf0.001 (schema
+    errors, missing tables, bad SQL surface here rather than in the
+    driver's gate)."""
+    qs = entrymod.queries()
+    failures = []
+    for name, fn in qs.items():
+        try:
+            fn(spark, "/root/testdata/sf0.001").limit(1).collect()
+        except Exception as e:  # noqa: BLE001
+            failures.append((name, str(e)[:120]))
+    assert not failures, failures

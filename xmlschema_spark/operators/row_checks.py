@@ -80,6 +80,27 @@ def row_valid_mask(df: DataFrame, plan: ValidationPlan) -> DataFrame:
     return df.withColumn("_row_valid", ok)
 
 
+def violation_summary(df: DataFrame, plan: ValidationPlan) -> DataFrame:
+    """(constraint, n) counts WITHOUT materializing violation rows: one
+    aggregate of sum(when(!valid, 1)) per check — a single scan, a single
+    reduce of len(checks) longs, no explode, no row shuffle. The summary
+    path for dashboards/gates at 10^12 rows; zero-count constraints
+    included (stable shape)."""
+    aggs = [
+        F.sum(F.when(~F.coalesce(chk.valid, F.lit(False)), 1).otherwise(0))
+        .cast("bigint").alias(str(i))
+        for i, chk in enumerate(plan.row_checks)
+    ]
+    row = df.agg(*aggs)
+    pairs = F.array(*[
+        F.struct(F.lit(chk.constraint).alias("constraint"),
+                 F.col(str(i)).alias("n"))
+        for i, chk in enumerate(plan.row_checks)])
+    return (row.select(F.explode(pairs).alias("p"))
+            .select(F.col("p.constraint").alias("constraint"),
+                    F.col("p.n").alias("n")))
+
+
 def canonical_violations(v: DataFrame) -> DataFrame:
     """Deterministic output order for bitwise-identical results across
     parallelism levels (north rule): coalesce(1) happens at write time;

@@ -81,17 +81,14 @@ _LINEITEM_VIOLS_SQL = """
   SELECT "constraint", n FROM v WHERE n >= 0
 """)
 def facet_summary_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full facet suite over lineitem in ONE scan; per-constraint counts.
-    Zero-count constraints included (stable shape at any sf)."""
+    """Full facet suite over lineitem: per-constraint counts via ONE
+    aggregate of conditional sums — no violation-row explode, no shuffle
+    beyond a single partial+final reduce of len(checks) longs."""
+    from .operators.row_checks import violation_summary
     df = _load(spark, sf_dir, "lineitem")
     plan = compile_plan(LINEITEM_SPEC)
-    v = row_violations(df, plan)
-    counts = v.groupBy("constraint").agg(F.count(F.lit(1)).alias("n"))
-    all_ids = spark.createDataFrame(
-        [(c,) for c in plan.constraint_ids
-         if not c.startswith("facet:decode")], "constraint string")
-    return (all_ids.join(counts, on="constraint", how="left")
-            .select("constraint", F.coalesce("n", F.lit(0)).alias("n")))
+    return violation_summary(df, plan) \
+        .where(~F.col("constraint").startswith("facet:decode"))
 
 
 @register("facet_rows_orders", """
