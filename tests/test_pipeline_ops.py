@@ -119,3 +119,21 @@ def test_vectorized_near_dup_matches_hof(spark, sf_dir):
     h = canon(cosine_near_dup_pairs(
         e, "embedding", "vec_id", threshold=0.3, n_planes=4).collect())
     assert v == h
+
+
+def test_ivf_ann(spark, sf_dir):
+    from xmlschema_spark.operators.similarity import ann_topk_ivf, cosine_topk
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in e.where(F.col("vec_id") == 0)
+         .select("embedding").first()[0]]
+    approx = [(r.vec_id, r.sim) for r in
+              ann_topk_ivf(e, "embedding", "vec_id", q, k=5,
+                           n_centroids=8, nprobe=3).collect()]
+    assert approx and approx[0][0] == 0 and approx[0][1] == 1.0
+    # full probe == exact brute force
+    full = [(r.vec_id, r.sim) for r in
+            ann_topk_ivf(e, "embedding", "vec_id", q, k=5,
+                         n_centroids=8, nprobe=8).collect()]
+    exact = [(r.vec_id, r.sim) for r in
+             cosine_topk(e, "embedding", "vec_id", q, k=5).collect()]
+    assert full == exact

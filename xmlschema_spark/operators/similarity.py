@@ -166,3 +166,56 @@ def cosine_near_dup_pairs_vectorized(df: DataFrame, vec_col: str,
         F.least("id_a", "id_b").alias("id_a"),
         F.greatest("id_a", "id_b").alias("id_b"),
         "sim").distinct()
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
+               n_centroids: int = 16) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer with DETERMINISTIC centroids: the k vectors
+    with the smallest ids act as seeds (no RNG, no iteration — at 10^12
+    rows a true k-means pass is a separate offline job; the IVF *query*
+    machinery is identical either way). Returns (df + `_cell`, centroids).
+
+    Physical shape: centroids are collected once (k x dims floats) and
+    broadcast inside the argmin expression; assignment is a single
+    narrow projection — no shuffle."""
+    rows = (df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+            .orderBy(F.col(id_col)).limit(n_centroids).collect())
+    cents = [list(map(float, r[1])) for r in rows]
+    assigned = df.withColumn("_cell", _nearest_cell(F.col(vec_col), cents))
+    return assigned, cents
+
+
+def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
+    """argmin_k ||v - c_k||^2 == argmax_k (2*v.c_k - ||c_k||^2); computed
+    as an array of scores + array_position(max) — all JVM expressions."""
+    from .text import bind1
+    arr = vec.cast("array<double>")
+
+    def score_of(v):
+        scores = []
+        for c in centroids:
+            cc = sum(x * x for x in c)
+            carr = F.array(*[F.lit(x) for x in c])
+            scores.append(2.0 * dot(v, carr) - F.lit(cc))
+        s = F.array(*scores)
+        return (F.array_position(s, F.array_max(s)) - 1).cast("int")
+
+    return bind1(arr, score_of)
+
+
+def ann_topk_ivf(df: DataFrame, vec_col: str, id_col: str,
+                 query_vec: list[float], k: int = 10,
+                 n_centroids: int = 16, nprobe: int = 4,
+                 decimals: int = 4) -> DataFrame:
+    """IVF ANN: score only the nprobe cells nearest the query. At scale,
+    `_cell` is the table's partition/cluster key, so probing prunes
+    (n_centroids - nprobe)/n_centroids of the scan."""
+    assigned, cents = ivf_assign(df, vec_col, id_col, n_centroids)
+
+    def d2(a, b):
+        return sum((x - y) ** 2 for x, y in zip(a, b))
+
+    order = sorted(range(len(cents)), key=lambda i: d2(cents[i], query_vec))
+    probe = order[:nprobe]
+    cand = assigned.where(F.col("_cell").isin(probe))
+    return cosine_topk(cand, vec_col, id_col, query_vec, k, decimals)

@@ -862,3 +862,15 @@ def embedding_near_dups_vectorized(spark: SparkSession, sf_dir: str) -> DataFram
     e = _load(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs_vectorized(e, "embedding", "vec_id",
                                             threshold=0.3, n_planes=4)
+
+
+@register("ann_topk_ivf")
+def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: deterministic coarse cells + nprobe scan pruning
+    (rows-only: recall<1 by design)."""
+    from .operators.similarity import ann_topk_ivf
+    e = _load(spark, sf_dir, "embeddings")
+    return ann_topk_ivf(e, "embedding", "vec_id",
+                        _query_vec(spark, sf_dir), k=10,
+                        n_centroids=16, nprobe=4) \
+        .select(F.col("vec_id").cast("string").alias("vec_id"), "sim")
