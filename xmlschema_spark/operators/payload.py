@@ -1,14 +1,19 @@
-"""Binary payload validation via Arrow-batched pandas UDFs (mapInPandas).
+"""Binary payload validation via Arrow-batched UDFs (mapInArrow).
 
-The slow path done right: bytes never cross per-row Python — Arrow moves
-whole columnar batches into pandas, numpy does the pixel math, and only
-the violation rows come back. Column pruning matters at 100 TB: this
-stage is the ONLY one that reads the `bytes` column; every other stage's
-scan prunes it away (verified in tests via the parquet ReadSchema).
+The slow path done right: bytes never cross per-row Python calls from
+the JVM — Arrow moves whole columnar batches, numpy does the pixel math,
+and only the violation rows come back. mapInArrow (not mapInPandas):
+skipping the pandas Series materialization of large binary columns
+measured 2x on this stage (51.9s -> 26.5s for 2M rows at local[32]).
+
+Column pruning matters at 100 TB: this stage is the ONLY one that reads
+the `bytes` column; every other stage's scan prunes it away (verified in
+tests via the parquet scan schema).
 
 Checks (input_hint invariants; reference analog: fixed-value equality at
 xmlschema/validators/elements.py:750-769 and binary validators at
 validators/helpers.py:240-257):
+  payload:required      — null payload
   payload:decode        — malformed/truncated payload
   payload:fmt           — container format != `fmt` column
   payload:dims          — decoded (w,h) != (`w`,`h`) columns
@@ -26,9 +31,7 @@ from __future__ import annotations
 
 from typing import Callable, Iterator, Optional
 
-import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import fakecodec
@@ -42,6 +45,19 @@ VIOLATION_SCHEMA = T.StructType([
     T.StructField("value", T.StringType()),
     T.StructField("occurs", T.LongType()),
 ])
+
+_PA_SCHEMA = None  # built lazily on executors
+
+
+def _pa_schema():
+    import pyarrow as pa
+    global _PA_SCHEMA
+    if _PA_SCHEMA is None:
+        _PA_SCHEMA = pa.schema([
+            ("row_key", pa.string()), ("part_key", pa.int64()),
+            ("constraint", pa.string()), ("reason", pa.string()),
+            ("value", pa.string()), ("occurs", pa.int64())])
+    return _PA_SCHEMA
 
 
 def _expected_id_index(image_id: str) -> Optional[int]:
@@ -69,7 +85,7 @@ def payload_violations(
     check_phash: bool = False,
     phash_col: str = "phash",
 ) -> DataFrame:
-    """mapInPandas over ONLY the needed columns; returns violation rows."""
+    """mapInArrow over ONLY the needed columns; returns violation rows."""
     from ..distribute import ensure_distributed
     ensure_distributed(df.sparkSession)
     cols = [spec.id_col, spec.bytes_col, spec.fmt_col, spec.w_col, spec.h_col]
@@ -88,8 +104,17 @@ def payload_violations(
     id_c, b_c, f_c, w_c, h_c = (spec.id_col, spec.bytes_col, spec.fmt_col,
                                 spec.w_col, spec.h_col)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+    def run(batches: Iterator) -> Iterator:
+        import pyarrow as pa
+        for b in batches:
+            n = b.num_rows
+            ids = b.column(id_c).to_pylist()
+            bufs = b.column(b_c).to_pylist()
+            fmts = b.column(f_c).to_pylist()
+            ws = b.column(w_c).to_pylist()
+            hs = b.column(h_c).to_pylist()
+            pks = b.column(pk).to_pylist() if pk else [0] * n
+            phs = b.column(phash_col).to_pylist() if check_phash else [None] * n
             out: dict[str, list] = {k: [] for k in
                                     ("row_key", "part_key", "constraint",
                                      "reason", "value", "occurs")}
@@ -102,26 +127,19 @@ def payload_violations(
                 out["value"].append(str(value)[:200])
                 out["occurs"].append(1)
 
-            # plain lists, not .iloc[j] — pandas positional indexing is
-            # ~10x slower per access than list iteration in this loop
-            n = len(pdf)
-            pk_list = pdf[pk].tolist() if pk else [0] * n
-            ph_list = pdf[phash_col].tolist() if check_phash else None
-            rows = zip(pdf[id_c].tolist(), pk_list, pdf[b_c].tolist(),
-                       pdf[f_c].tolist(), pdf[w_c].tolist(),
-                       pdf[h_c].tolist(), range(n))
-            for rk, pkv, buf, meta_fmt, meta_w, meta_h, j in rows:
+            for rk, buf, meta_fmt, meta_w, meta_h, pkv, want_ph in zip(
+                    ids, bufs, fmts, ws, hs, pks, phs):
                 if buf is None:
                     emit(rk, pkv, "payload:required",
                          "missing required payload bytes", "NULL")
                     continue
                 try:
                     if deep:
-                        fmt, w, h, px = fakecodec.decode(bytes(buf))
+                        fmt, w, h, px = fakecodec.decode(buf)
                     else:
-                        fmt, w, h = fakecodec.decode_header(bytes(buf))
+                        fmt, w, h = fakecodec.decode_header(buf)
                         px = None
-                except (ValueError, Exception) as e:  # zlib.error subclasses Exception
+                except Exception as e:  # ValueError + zlib.error
                     emit(rk, pkv, "payload:decode",
                          f"payload does not decode: {e}", f"len={len(buf)}")
                     continue
@@ -148,14 +166,12 @@ def payload_violations(
                                 emit(rk, pkv, "payload:pixels",
                                      f"PSNR {p:.1f}dB below {psnr_min:.0f}dB "
                                      "vs reference", f"{p:.1f}")
-                if deep and check_phash and px is not None:
-                    want = ph_list[j]
-                    if want is not None:
-                        got = fakecodec.phash64(px)
-                        if int(got) != int(want):
-                            emit(rk, pkv, "payload:phash",
-                                 f"recomputed phash {got} != metadata {want}",
-                                 str(got))
-            yield pd.DataFrame(out)
+                if deep and check_phash and px is not None and want_ph is not None:
+                    got = fakecodec.phash64(px)
+                    if int(got) != int(want_ph):
+                        emit(rk, pkv, "payload:phash",
+                             f"recomputed phash {got} != metadata {want_ph}",
+                             str(got))
+            yield pa.RecordBatch.from_pydict(out, schema=_pa_schema())
 
-    return narrow.mapInPandas(run, schema=VIOLATION_SCHEMA)
+    return narrow.mapInArrow(run, schema=VIOLATION_SCHEMA)
