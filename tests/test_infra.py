@@ -102,3 +102,24 @@ def test_streaming_row_checks(spark, tmp_path):
     viols = spark.read.parquet(str(tmp_path / "out" / "violations"))
     assert viols.count() > 0
     assert "batch_id" in viols.columns
+
+
+def test_streaming_watermarked_dedup(spark, tmp_path):
+    from xmlschema_spark.streaming.validate_stream import (
+        streaming_unique_violations)
+    src = str(tmp_path / "ev")
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    deduped = streaming_unique_violations(stream, ["user_id"], "ts")
+    out = str(tmp_path / "out")
+    q = (deduped.writeStream.format("parquet")
+         .option("path", out)
+         .option("checkpointLocation", str(tmp_path / "chk"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    n_users = spark.read.parquet(src).select("user_id").distinct().count()
+    assert got.count() == n_users          # first-seen per key survives
+    assert got.select("user_id").distinct().count() == n_users

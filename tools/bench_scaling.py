@@ -66,10 +66,15 @@ from xmlschema_spark.sources.fixtures import images_spec, make_images
 rows = {rows}
 inp = spark.read.parquet({data_dir!r})
 
-# warmup: JVM JIT + python worker pool + codegen caches (a 10^12-row job
-# amortizes startup to zero; the throughput metric must not include it)
+# warmup 1: JVM JIT + python worker pool + codegen caches (a 10^12-row
+# job amortizes startup to zero; the metric must not include it)
 warm = validate(inp.limit(5000), images_spec(with_keyref=False))
 warm.violations.count(); warm.verdicts.count(); warm.unpersist()
+# warmup 2: full input read so trials measure COMPUTE scaling, not the
+# local /tmp disk (a cold 11GB scan at ~150MB/s would dominate both
+# levels identically and fake a flat scaling curve)
+from pyspark.sql import functions as _F
+inp.select(_F.sum(_F.octet_length("bytes")), _F.sum("w")).collect()
 
 walls = []
 for _trial in range(3):

@@ -70,6 +70,10 @@ def streaming_unique_violations(stream_df: DataFrame, key_cols: list[str],
     dropDuplicates emits first-seen rows; duplicates are the complement
     (flagged per batch in foreachBatch by anti-joining the deduped view).
     Exposed as the deduped stream; callers diff against the raw stream."""
+    # watermarks require TIMESTAMP (ltz); parquet often yields
+    # TIMESTAMP_NTZ — normalize (session tz is pinned to UTC)
     return (stream_df
+            .withColumn(event_time_col,
+                        F.col(event_time_col).cast("timestamp"))
             .withWatermark(event_time_col, watermark)
             .dropDuplicates(key_cols))
