@@ -167,3 +167,12 @@ def test_explicit_timezone(spark):
     got = run_one(spark, ColumnSpec("v", "string", explicit_timezone="prohibited"),
                   [("a", "2024-01-01T00:00:00Z"), ("c", "2024-01-01T00:00:00")])
     assert got == {("a", "facet:explicitTimezone:v")}
+
+
+def test_xsd_temporal_dtypes(spark):
+    got = run_one(spark, ColumnSpec("v", "xsd:duration"),
+                  [("a", "P1Y2M3DT4H"), ("b", "PT"), ("c", "P30D")])
+    assert got == {("b", "facet:pattern:v")}
+    got = run_one(spark, ColumnSpec("v", "xsd:gYear"),
+                  [("a", "2024"), ("b", "24")])
+    assert got == {("b", "facet:pattern:v")}

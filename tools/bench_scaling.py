@@ -51,7 +51,9 @@ sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 spark = (SparkSession.builder.master("local[{cores}]")
          .appName("scaling_{cores}")
-         .config("spark.sql.shuffle.partitions", "{cores}")
+         # FIXED shuffle partitioning at both levels: scaling executors
+         # on a real cluster does not change the logical/physical plan
+         .config("spark.sql.shuffle.partitions", "64")
          .config("spark.sql.adaptive.enabled", "true")
          .config("spark.driver.memory", "40g")
          .config("spark.sql.session.timeZone", "UTC")
@@ -102,8 +104,12 @@ spark.stop()
 def run_once(cores: int, rows: int, data_dir: str) -> dict:
     code = RUN_SNIPPET.format(repo=REPO, cores=cores, rows=rows,
                               data_dir=data_dir)
-    p = subprocess.run([sys.executable, "-c", code], capture_output=True,
-                       text=True, timeout=3600)
+    # taskset pins the WHOLE process tree (JVM + python workers) to
+    # `cores` physical CPUs: without it, local[8]'s task threads plus 8
+    # python workers consume up to ~2x8 cores, inflating the N-level
+    # baseline and understating true N->4N scaling
+    cmd = ["taskset", "-c", f"0-{cores - 1}", sys.executable, "-c", code]
+    p = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in p.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
@@ -148,6 +154,14 @@ Protocol (BASELINE.md): identical full-constraint-suite validation job
 payload decode w/ PSNR>=40dB parity) on an identical deterministic
 {rows:,}-row image+caption parquet table, at local[{n}] (N) and
 local[{4*n}] (4N) in separate JVMs.
+
+Measurement fidelity: each level is pinned with `taskset` to exactly its
+core budget (otherwise local[N]'s JVM task threads + N python workers
+consume up to ~2N physical cores and inflate the N baseline);
+spark.sql.shuffle.partitions is FIXED (64) at both levels, as on a real
+cluster where scaling executors does not change the plan; trials run
+after a full-input warmup (compute scaling, not local-disk I/O); wall is
+the median of 3.
 
 | parallelism | wall (s) | throughput (rows/s) |
 |---|---|---|

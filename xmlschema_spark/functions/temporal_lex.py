@@ -1,0 +1,49 @@
+"""XSD temporal lexical-space patterns (for string-typed temporal columns).
+
+The reference decodes these via elementpath.datatypes fromstring parsers
+(builtins.py:97-136,383-415,436-491). Spark maps xs:dateTime/date/time to
+native types via try_cast; the types WITHOUT a Spark native mapping
+(gYear, gYearMonth, gMonth, gDay, gMonthDay, duration and the derived
+yearMonth/dayTime durations) validate as anchored lexical patterns —
+plug into ColumnSpec.pattern (they are XSD-regex compatible: plain
+character classes only).
+
+Usage:
+    ColumnSpec("year", "string", pattern=[GYEAR])
+    ColumnSpec("elapsed", "string", pattern=[DURATION])
+"""
+
+_TZ = r"(Z|[+-](0\d|1[0-4]):[0-5]\d)?"
+
+GYEAR = rf"-?([1-9]\d{{3,}}|0\d{{3}}){_TZ}"
+GYEARMONTH = rf"-?([1-9]\d{{3,}}|0\d{{3}})-(0[1-9]|1[0-2]){_TZ}"
+GMONTH = rf"--(0[1-9]|1[0-2]){_TZ}"
+GMONTHDAY = rf"--(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01]){_TZ}"
+GDAY = rf"---(0[1-9]|[12]\d|3[01]){_TZ}"
+
+DATE = rf"-?([1-9]\d{{3,}}|0\d{{3}})-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01]){_TZ}"
+TIME = rf"(([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?|(24:00:00(\.0+)?)){_TZ}"
+DATETIME = rf"-?([1-9]\d{{3,}}|0\d{{3}})-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])T(([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?|(24:00:00(\.0+)?)){_TZ}"
+
+# xs:duration: sign, P, at least one component; a T must be followed by
+# at least one time component (bare 'PT' is invalid)
+_TIMEPART = (r"T((\d+H)(\d+M)?(\d+(\.\d+)?S)?"
+             r"|(\d+M)(\d+(\.\d+)?S)?"
+             r"|(\d+(\.\d+)?S))")
+DURATION = (rf"-?P((\d+Y)?(\d+M)?(\d+D)?({_TIMEPART})"
+            r"|(\d+Y)(\d+M)?(\d+D)?"
+            r"|(\d+Y)?(\d+M)(\d+D)?"
+            r"|(\d+Y)?(\d+M)?(\d+D))")
+YEARMONTH_DURATION = r"-?P((\d+Y)(\d+M)?|(\d+M))"
+DAYTIME_DURATION = (r"-?P((\d+D)(T((\d+H)?(\d+M)?(\d+(\.\d+)?S)?))?"
+                    r"|T((\d+H)(\d+M)?(\d+(\.\d+)?S)?"
+                    r"|(\d+M)(\d+(\.\d+)?S)?"
+                    r"|(\d+(\.\d+)?S)))")
+
+ALL = {
+    "gYear": GYEAR, "gYearMonth": GYEARMONTH, "gMonth": GMONTH,
+    "gMonthDay": GMONTHDAY, "gDay": GDAY, "date": DATE, "time": TIME,
+    "dateTime": DATETIME, "duration": DURATION,
+    "yearMonthDuration": YEARMONTH_DURATION,
+    "dayTimeDuration": DAYTIME_DURATION,
+}

@@ -79,6 +79,18 @@ def _length_col(col: Column, dtype: str) -> Column:
 
 def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
     """Compile one ColumnSpec -> (normalization expr or None, checks)."""
+    if cs.dtype and cs.dtype.startswith("xsd:"):
+        # XSD temporal types with no native Spark mapping (gYear, gMonth,
+        # duration, ... — SURVEY §1.2): validated as anchored lexical
+        # patterns over strings (reference parsers: builtins.py:97-136)
+        from ..functions.temporal_lex import ALL as _XSD_LEX
+        kind = cs.dtype[4:]
+        if kind not in _XSD_LEX:
+            raise ValueError(f"unknown xsd lexical type {cs.dtype!r}; "
+                             f"known: {sorted(_XSD_LEX)}")
+        cs = ColumnSpec(**{**cs.__dict__,
+                           "dtype": "string",
+                           "pattern": (cs.pattern or []) + [_XSD_LEX[kind]]})
     checks: list[RowCheck] = []
     raw = F.col(cs.name)
     norm = None
