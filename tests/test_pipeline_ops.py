@@ -137,3 +137,22 @@ def test_ivf_ann(spark, sf_dir):
     exact = [(r.vec_id, r.sim) for r in
              cosine_topk(e, "embedding", "vec_id", q, k=5).collect()]
     assert full == exact
+
+
+def test_deduplicate_exact_keeps_min_id(spark, docs):
+    from xmlschema_spark.operators.dedup import deduplicate
+    out = deduplicate(docs.where(F.col("text").isNotNull()),
+                      "text", "doc_id", method="exact")
+    ids = sorted(r.doc_id for r in out.collect())
+    # d1==d2==d5 collapse to d1; d3, d4, d6 survive
+    assert ids == ["d1", "d3", "d4", "d6"]
+
+
+def test_deduplicate_minhash(spark, docs):
+    from xmlschema_spark.operators.dedup import deduplicate
+    out = deduplicate(docs.where(F.col("text").isNotNull()),
+                      "text", "doc_id", method="minhash",
+                      jaccard_threshold=0.9)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert "d1" in ids and "d2" not in ids and "d5" not in ids
+    assert "d3" in ids and "d4" in ids

@@ -129,3 +129,38 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
              .distinct()
              .where(F.col("hamming") <= max_hamming))
     return pairs
+
+
+def deduplicate(df: DataFrame, text_col: str, id_col: str,
+                method: str = "exact", keep: str = "min_id",
+                jaccard_threshold: float = 0.9, k: int = 3) -> DataFrame:
+    """Materialize the DEDUPLICATED table (the report operators above
+    tell you what's duplicated; this returns the survivors).
+
+    method='exact': group by normalized-text fingerprint, keep one row
+    per group (keep='min_id': smallest id — deterministic at any
+    parallelism; never 'first', which is shuffle-order dependent).
+
+    method='minhash': LSH candidates -> exact Jaccard >= threshold ->
+    connected duplicates collapsed via their MIN id as cluster
+    representative (single-link approximation: one anti-join pass
+    removes every non-representative member of a duplicate pair; at
+    near-identical-dup thresholds the star approximation equals true
+    transitive closure for practical corpora — iterate for full
+    closure).
+    """
+    if method == "exact":
+        fp = df.withColumn("_fp", fingerprint(F.col(text_col)))
+        keeper = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+        return (fp.join(keeper, on=[id_col, "_fp"], how="inner")
+                .drop("_fp"))
+    if method == "minhash":
+        pairs = lsh_bucket_pairs(df, text_col, id_col, n_hashes=4,
+                                 band_size=2)
+        dups = ngram_jaccard(df, text_col, id_col, pairs, k=k,
+                             threshold=jaccard_threshold)
+        # id_a < id_b by construction: every id_b in a qualifying pair
+        # is a non-representative duplicate
+        losers = dups.select(F.col("id_b").alias(id_col)).distinct()
+        return df.join(losers, on=id_col, how="left_anti")
+    raise ValueError(f"unknown dedup method {method!r}")

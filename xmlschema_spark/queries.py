@@ -874,3 +874,20 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         _query_vec(spark, sf_dir), k=10,
                         n_centroids=16, nprobe=4) \
         .select(F.col("vec_id").cast("string").alias("vec_id"), "sim")
+
+
+@register("deduplicate_documents_exact", """
+  WITH fp AS (SELECT doc_id,
+                     md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+                FROM documents),
+  keeper AS (SELECT f, min(doc_id) AS doc_id FROM fp GROUP BY f)
+  SELECT CAST(d.doc_id AS VARCHAR) AS doc_id, d.lang AS lang
+    FROM documents d JOIN keeper k USING (doc_id)
+""")
+def deduplicate_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized exact dedup: survivors only, min-id representative
+    (deterministic at any parallelism — never shuffle-order 'first')."""
+    from .operators.dedup import deduplicate
+    d = _load(spark, sf_dir, "documents")
+    return deduplicate(d, "text", "doc_id", method="exact") \
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "lang")
