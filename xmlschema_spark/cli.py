@@ -96,12 +96,19 @@ def main(argv: list[str] | None = None) -> int:
     n_fail = sum(1 for r in verd if not r["pass"])
     n_viol = sum(r["n_violations"] for r in verd)
     if args.output:
-        (res.violations.coalesce(1)
-         .sortWithinPartitions("constraint", "row_key", "reason")
-         .write.mode("overwrite")
+        # distributed deterministic write: hash-repartition by the
+        # data-derived part_key (each key lands wholly in one task) and
+        # sort within partitions — file CONTENT per part_key directory is
+        # byte-stable at any parallelism, verified by per-partition
+        # sha256s in tools/bench_scaling.py. A coalesce(1) here would be
+        # a single-writer bottleneck at 10^12 rows.
+        (res.violations.repartition("part_key")
+         .sortWithinPartitions("part_key", "constraint", "row_key",
+                               "reason", "value")
+         .write.mode("overwrite").partitionBy("part_key")
          .parquet(f"{args.output}/violations"))
         res.verdicts.coalesce(1).write.mode("overwrite") \
-            .parquet(f"{args.output}/verdicts")
+            .parquet(f"{args.output}/verdicts")   # one row per partition
     print(json.dumps({
         "table": args.table, "mode": args.mode,
         "partitions": len(verd), "failed_partitions": n_fail,

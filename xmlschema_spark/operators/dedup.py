@@ -1,30 +1,40 @@
 """Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
 
 Scale notes (the whole point of these shapes):
-- exact: one hash-aggregate on a fingerprint — partial+final combine,
-  shuffle carries (digest, count) only, never the text.
+- exact: one window pass partitioned by fingerprint — the shuffle carries
+  each row once; the keeper is the min-id row (deterministic at any
+  parallelism, never shuffle-order 'first'). NULL-text rows are kept
+  unconditionally (no content to compare; a naive equi-join on the
+  fingerprint would silently DROP them — null keys never match).
 - MinHash LSH: signatures computed in the scan projection (JVM HOFs);
   the band -> bucket-join turns an O(n^2) all-pairs problem into
   per-bucket candidate pairs. Buckets of size 1 are dropped BEFORE the
   self-join so the shuffle carries only colliding docs.
-- candidate pair join is bounded per bucket; a hot bucket (boilerplate
-  spam) is capped with a deterministic per-bucket limit rather than
-  letting one key explode the join (skew control).
+- hot buckets are bounded BEFORE materialization: a row_number() window
+  cap keeps only the lexicographically-first max_bucket members per
+  bucket, so a degenerate bucket (boilerplate spam at 100 TB) never
+  reaches a collect_list aggregation buffer. The window and the
+  following groupBy share the same hash partitioning, so the cap costs
+  a sort, not an extra shuffle.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint, minhash_signature, shingles, tokens
+from .text import fingerprint, minhash_signature, shingles, simhash48, tokens
+
+SIMHASH_BITS = 48
+SIMHASH_BANDS = 4          # 4 x 12-bit bands: pigeonhole-safe for d <= 3
 
 
 def exact_duplicates(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact duplicate groups by whole-text fingerprint: one row per
     duplicated doc with its group digest + group size."""
     with_fp = df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
-    groups = (with_fp.groupBy("fp").agg(F.count(F.lit(1)).alias("group_n"))
+    groups = (with_fp.where(F.col("fp").isNotNull())
+              .groupBy("fp").agg(F.count(F.lit(1)).alias("group_n"))
               .where(F.col("group_n") > 1))
     return with_fp.join(groups, on="fp", how="inner") \
         .select(id_col, "fp", "group_n")
@@ -41,6 +51,18 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return df.select(F.col(id_col), F.inline(F.array(sig)))
 
 
+def _cap_buckets(df: DataFrame, keys: list[str], order_col: str,
+                 max_bucket: int) -> DataFrame:
+    """Keep the first max_bucket rows per bucket, ordered by order_col —
+    deterministic at any parallelism, and BOUNDED BEFORE any
+    collect_list/applyInPandas materializes the bucket. The window's
+    hash partitioning is reused by a following groupBy on the same keys
+    (no extra Exchange — asserted in tests/test_plan_shapes.py)."""
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_bucket).drop("_rn"))
+
+
 def lsh_bucket_pairs(df: DataFrame, text_col: str, id_col: str,
                      n_hashes: int = 4, band_size: int = 2,
                      max_bucket: int = 64) -> DataFrame:
@@ -48,9 +70,10 @@ def lsh_bucket_pairs(df: DataFrame, text_col: str, id_col: str,
     bands, emit ordered (id_a < id_b) distinct pairs.
 
     max_bucket caps pathological buckets (all-identical boilerplate) so
-    one hot key can't quadratically explode the self-join; capped
-    buckets keep their lexicographically-first max_bucket members
-    (deterministic at any parallelism)."""
+    one hot key can't quadratically explode the pair list; capped
+    buckets keep their lexicographically-first max_bucket members, and
+    the cap is applied by a pre-aggregation window so the aggregation
+    buffer itself is bounded (a post-collect slice() would OOM first)."""
     sigs = minhash_signatures(df, text_col, id_col, n_hashes)
     n_bands = n_hashes // band_size
     # one scan: per doc, an array of (band, bucket) structs -> explode.
@@ -64,12 +87,12 @@ def lsh_bucket_pairs(df: DataFrame, text_col: str, id_col: str,
     bands = (sigs.select(F.col(id_col).alias("doc"),
                          F.explode(F.array(*band_structs)).alias("bb"))
              .select("doc", "bb.band", "bb.bucket"))
-    # ONE shuffle: collect sorted member list per bucket; singleton
-    # buckets (the vast majority) die in the HAVING before any join;
-    # a deterministic slice caps pathological buckets (skew control).
-    grouped = (bands.groupBy("band", "bucket")
-               .agg(F.slice(F.array_sort(F.collect_list("doc")),
-                            1, max_bucket).alias("docs"),
+    # ONE shuffle: window-cap then collect member list per bucket;
+    # singleton buckets (the vast majority) die in the HAVING before any
+    # pair generation.
+    capped = _cap_buckets(bands, ["band", "bucket"], "doc", max_bucket)
+    grouped = (capped.groupBy("band", "bucket")
+               .agg(F.array_sort(F.collect_list("doc")).alias("docs"),
                     F.count(F.lit(1)).alias("bn"))
                .where(F.col("bn") > 1))
     # ordered pairs generated INSIDE the array — no self-join:
@@ -102,33 +125,54 @@ def ngram_jaccard(df: DataFrame, text_col: str, id_col: str,
 
 
 def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
-                      max_hamming: int = 8) -> DataFrame:
-    """SimHash near-dup pairs: block on the four 16-bit sub-bands (a pair
-    within Hamming distance <= 3*16 must collide on >=1 band; for small
-    max_hamming this is the standard pigeonhole blocking), then verify
-    Hamming distance exactly via bit_count(xor)."""
-    from .text import simhash64
+                      max_hamming: int = 3,
+                      max_bucket: int = 64) -> DataFrame:
+    """SimHash near-dup pairs over the portable 48-bit simhash: block on
+    the four 12-bit bands, then verify Hamming distance exactly via
+    bit_count(xor) inside each block.
+
+    Recall guarantee (pigeonhole): a pair within Hamming distance d
+    shares at least one of the 4 bands iff d <= 3; this is exact for the
+    default max_hamming=3. For max_hamming in 4..7 the blocking is
+    best-effort (pairs differing in all 4 bands are missed) — callers
+    wanting guaranteed recall at larger d must raise the band count.
+
+    Hot bands are capped with the same pre-aggregation window as the
+    MinHash path (bounded before materialization; deterministic
+    lexicographic survivors), and pairs are generated inside the
+    collected array — no self-join, no quadratic hot-key blowup."""
+    if max_hamming >= SIMHASH_BANDS:
+        import warnings
+        warnings.warn(
+            f"simhash banding guarantees recall only for hamming <= "
+            f"{SIMHASH_BANDS - 1}; pairs at distance {SIMHASH_BANDS}.."
+            f"{max_hamming} that differ in all bands will be missed",
+            stacklevel=2)
     sh = df.select(F.col(id_col).alias("doc"),
-                   simhash64(F.col(text_col)).alias("sh"))
-    blocks = None
-    for b in range(4):
-        part = sh.select(
-            "doc", "sh", F.lit(b).alias("band"),
-            F.shiftrightunsigned(F.col("sh"), b * 16)
-             .bitwiseAND(F.lit(0xFFFF)).alias("key"))
-        blocks = part if blocks is None else blocks.unionByName(part)
-    a = blocks.select("band", "key", F.col("doc").alias("id_a"),
-                      F.col("sh").alias("sh_a"))
-    b_ = blocks.select("band", "key", F.col("doc").alias("id_b"),
-                       F.col("sh").alias("sh_b"))
-    pairs = (a.join(b_, on=["band", "key"], how="inner")
-             .where(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b",
-                     F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-                     .alias("hamming"))
-             .distinct()
-             .where(F.col("hamming") <= max_hamming))
-    return pairs
+                   simhash48(F.col(text_col)).alias("sh"))
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("sh"), b * 12)
+                  .bitwiseAND(F.lit(0xFFF)).alias("key"))
+        for b in range(SIMHASH_BANDS)]
+    blocks = (sh.select("doc", "sh",
+                        F.explode(F.array(*band_structs)).alias("bb"))
+              .select("doc", "sh", "bb.band", "bb.key"))
+    capped = _cap_buckets(blocks, ["band", "key"], "doc", max_bucket)
+    grouped = (capped.groupBy("band", "key")
+               .agg(F.array_sort(F.collect_list(F.struct("doc", "sh")))
+                    .alias("ms"),
+                    F.count(F.lit(1)).alias("bn"))
+               .where(F.col("bn") > 1))
+    pairs_arr = F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), b -> struct("
+        "a.doc AS id_a, b.doc AS id_b, "
+        "bit_count(a.sh ^ b.sh) AS hamming))))")
+    return (grouped.select(F.explode(pairs_arr).alias("p"))
+            .select("p.id_a", "p.id_b", "p.hamming")
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
 
 
 def deduplicate(df: DataFrame, text_col: str, id_col: str,
@@ -137,9 +181,12 @@ def deduplicate(df: DataFrame, text_col: str, id_col: str,
     """Materialize the DEDUPLICATED table (the report operators above
     tell you what's duplicated; this returns the survivors).
 
-    method='exact': group by normalized-text fingerprint, keep one row
-    per group (keep='min_id': smallest id — deterministic at any
-    parallelism; never 'first', which is shuffle-order dependent).
+    method='exact': one window pass partitioned by the normalized-text
+    fingerprint; keep='min_id' keeps the smallest id per group
+    (deterministic at any parallelism; never 'first', which is
+    shuffle-order dependent). Rows with NULL text have no content to
+    compare and are kept unconditionally — the previous equi-join
+    formulation silently dropped them (null join keys never match).
 
     method='minhash': LSH candidates -> exact Jaccard >= threshold ->
     connected duplicates collapsed via their MIN id as cluster
@@ -151,9 +198,10 @@ def deduplicate(df: DataFrame, text_col: str, id_col: str,
     """
     if method == "exact":
         fp = df.withColumn("_fp", fingerprint(F.col(text_col)))
-        keeper = fp.groupBy("_fp").agg(F.min(id_col).alias(id_col))
-        return (fp.join(keeper, on=[id_col, "_fp"], how="inner")
-                .drop("_fp"))
+        w = Window.partitionBy("_fp").orderBy(id_col)
+        return (fp.withColumn("_rn", F.row_number().over(w))
+                .where(F.col("_fp").isNull() | (F.col("_rn") == 1))
+                .drop("_fp", "_rn"))
     if method == "minhash":
         pairs = lsh_bucket_pairs(df, text_col, id_col, n_hashes=4,
                                  band_size=2)

@@ -19,8 +19,10 @@ traffic per row drops from ~75KB to ~12KB):
     row in the batch, so the parity math runs in L1/L2 cache instead of
     allocating ~8 arrays per row (gen_pixels + psnr cost 68us/row and
     ~60KB/row of DRAM churn in round 1);
-  * the expected deterministic pattern is an LRU-cached (w, h) gradient
-    template + one uint8 wraparound add (base) + an 8-byte stamp;
+  * the expected deterministic pattern is SYNTHESIZED by one uint8
+    np.add.outer of two L1-resident scanline vectors (it is separable:
+    base + 5y + 3x + 17c) + an 8-byte stamp — near-zero DRAM reads (a
+    full (w,h)-template cache costs a 6KB random DRAM read per row);
   * pixel parity needs only the integer SSE: exact-compare for lossless
     is SSE != 0, and PSNR < psnr_min is the exact algebra
     SSE/n > 255^2 * 10^(-psnr_min/10); SSE is computed int16-diff ->
@@ -106,30 +108,6 @@ def default_expected_pixels(image_id: str, w: int, h: int):
     return fakecodec.gen_pixels(i, w, h)
 
 
-def _grad_template(w: int, h: int):
-    """Flat uint8 gradient 5y+3x+17c for dims (w, h) — the id-independent
-    part of fakecodec.gen_pixels. Cached per worker process: the expected
-    pattern for row i is then template + base(i) (one wraparound add)."""
-    import numpy as np
-    global _TPL_CACHE
-    try:
-        cache = _TPL_CACHE
-    except NameError:
-        cache = _TPL_CACHE = {}
-    t = cache.get((w, h))
-    if t is None:
-        ys = ((np.arange(h, dtype=np.int64) * 5) % 256).astype(np.uint8)
-        xs = ((np.arange(w, dtype=np.int64) * 3) % 256).astype(np.uint8)
-        cs = np.array([0, 17, 34], dtype=np.uint8)
-        t = (ys[:, None, None] + xs[None, :, None] + cs[None, None, :]) \
-            .reshape(-1)
-        t.setflags(write=False)
-        if len(cache) >= 1024:     # bound worker memory on wild dim mixes
-            cache.clear()
-        cache[(w, h)] = t
-    return t
-
-
 def _binary_views(arr):
     """(offsets int64 ndarray, data memoryview, isnull bool ndarray) for a
     pyarrow Binary/LargeBinary array — zero-copy row access."""
@@ -150,13 +128,23 @@ def _binary_views(arr):
 
 class _Scratch:
     """Per-batch reusable buffers for the parity math: the whole pixel
-    pipeline for one row fits in L1/L2 and allocates nothing."""
+    pipeline for one row fits in L1/L2 and allocates nothing.
+
+    The expected pattern base + 5y + 3x + 17c is SEPARABLE: it is the
+    uint8 outer sum of a per-h scanline offset vector (h bytes) and a
+    per-w inner scanline (w*3 bytes, L1-resident). Synthesizing it with
+    one np.add.outer keeps the expected-pattern DRAM READ traffic near
+    zero — a full (w, h) template cache is a ~30MB random-access working
+    set per worker that costs a 6KB DRAM read per row (measured as part
+    of the N->4N shared-bandwidth ceiling)."""
 
     def __init__(self):
         import numpy as np
         self.np = np
         self.cap = 0
         self.exp8 = self.d16 = self.sq = None
+        self._inner: dict = {}     # w -> (3x + 17c) scanline, uint8
+        self._ys: dict = {}        # h -> (5y) offsets, uint8
 
     def ensure(self, n: int):
         if n > self.cap:
@@ -178,11 +166,24 @@ class _Scratch:
 
     def expected_view(self, i: int, w: int, h: int, n: int):
         """Fill exp8[:n] with the default deterministic pattern for row
-        index i at dims (w, h): cached gradient + base add + stamp."""
+        index i at dims (w, h): outer-sum synthesis + 8-byte id stamp."""
         np = self.np
+        inner = self._inner.get(w)
+        if inner is None:
+            if len(self._inner) >= 4096:
+                self._inner.clear()
+            xs = ((np.arange(w, dtype=np.int64) * 3) % 256).astype(np.uint8)
+            cs = np.array([0, 17, 34], dtype=np.uint8)
+            inner = self._inner[w] = (xs[:, None] + cs[None, :]).reshape(-1)
+        ys = self._ys.get(h)
+        if ys is None:
+            if len(self._ys) >= 4096:
+                self._ys.clear()
+            ys = self._ys[h] = ((np.arange(h, dtype=np.int64) * 5) % 256) \
+                .astype(np.uint8)
+        base = np.uint8((i * 2654435761) % 256)
+        np.add.outer(ys + base, inner, out=self.exp8[:n].reshape(h, 3 * w))
         ev = self.exp8[:n]
-        np.add(_grad_template(w, h), np.uint8((i * 2654435761) % 256),
-               out=ev)
         m = min(8, n)
         ev[:m] = np.frombuffer((i % (1 << 64)).to_bytes(8, "little"),
                                np.uint8)[:m]

@@ -81,17 +81,32 @@ def lsh_bucket(vec_col: Column, n_planes: int, dims: int) -> Column:
 
 def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
                  query_vec: list[float], k: int = 10, n_planes: int = 8,
-                 decimals: int = 4) -> DataFrame:
-    """Approximate top-k: only rows in the query's LSH bucket are scored.
+                 decimals: int = 4, multiprobe: int = 1) -> DataFrame:
+    """Approximate top-k: only rows in the query's LSH bucket — plus, by
+    default, every bucket within Hamming distance `multiprobe` of it —
+    are scored. Single-probe recall falls off a cliff as n_planes grows
+    (a near neighbor differing on ONE plane's sign lands in a sibling
+    bucket); multi-probe recovers most of it for the price of scanning
+    1 + C(n_planes, 1..multiprobe) buckets instead of 1.
+
     At 10^12 rows the bucket column is a partition/cluster key, so the
-    scan prunes ~2^n_planes of the space; here it prunes the scored set."""
+    probe list prunes the SCAN (an isin on the cluster key is partition
+    pruning); here it prunes the scored set."""
+    from itertools import combinations
     dims = len(query_vec)
     bucketed = df.withColumn("_b", lsh_bucket(F.col(vec_col), n_planes, dims))
     qdf = df.sparkSession.createDataFrame(
         [(list(map(float, query_vec)),)], "qv array<double>")
     qb = qdf.select(lsh_bucket(F.col("qv"), n_planes, dims).alias("b")) \
             .collect()[0]["b"]
-    cand = bucketed.where(F.col("_b") == qb)
+    probes = {qb}
+    for d in range(1, max(0, multiprobe) + 1):
+        for bits in combinations(range(n_planes), d):
+            flip = 0
+            for p in bits:
+                flip |= 1 << p
+            probes.add(qb ^ flip)
+    cand = bucketed.where(F.col("_b").isin(*sorted(probes)))
     return cosine_topk(cand, vec_col, id_col, query_vec, k, decimals)
 
 
@@ -145,11 +160,18 @@ def cosine_near_dup_pairs_vectorized(df: DataFrame, vec_col: str,
         F.col(id_col).cast("string").alias("id"),
         unit_vector(F.col(vec_col)).alias("u"),
         lsh_bucket(F.col(vec_col), n_planes, dims).alias("b"))
+    # bound hot buckets BEFORE the groupBy ships them to Python: the
+    # row_number window caps the shuffle and the Arrow transfer (a
+    # .head() inside per_bucket would receive the full degenerate bucket
+    # first — unbounded transfer). Window + applyInPandas share the same
+    # hash partitioning on `b`, so the cap costs a sort, not a shuffle.
+    from .dedup import _cap_buckets
+    base = _cap_buckets(base, ["b"], "id", max_bucket)
 
     out_schema = "id_a string, id_b string, sim double"
 
     def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("id").head(max_bucket)
+        pdf = pdf.sort_values("id")
         ids = pdf["id"].to_numpy()
         m = np.vstack(pdf["u"].to_numpy())          # (n, dims) unit rows
         sims = m @ m.T                              # one gemm
@@ -169,19 +191,36 @@ def cosine_near_dup_pairs_vectorized(df: DataFrame, vec_col: str,
 
 
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
-               n_centroids: int = 16) -> tuple[DataFrame, list[list[float]]]:
-    """IVF coarse quantizer with DETERMINISTIC centroids: the k vectors
-    with the smallest ids act as seeds (no RNG, no iteration — at 10^12
-    rows a true k-means pass is a separate offline job; the IVF *query*
-    machinery is identical either way). Returns (df + `_cell`, centroids).
+               n_centroids: int = 16,
+               n_iters: int = 2) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic seeds (the k vectors with the
+    smallest ids — no RNG) refined by `n_iters` distributed Lloyd steps.
+    Returns (df + `_cell`, centroids).
 
-    Physical shape: centroids are collected once (k x dims floats) and
-    broadcast inside the argmin expression; assignment is a single
-    narrow projection — no shuffle."""
+    Physical shape per Lloyd step: assignment is a narrow projection
+    (centroids broadcast inside the argmin expression — no join), and
+    the centroid update is ONE partial+final aggregate of `dims` avg()s
+    per cell (no explode: dims separate avg aggregates in a single
+    groupBy pass, shuffling k x dims doubles). Centroids are rounded to
+    6 dp after each step so the float-sum reduction order cannot leak
+    nondeterminism into the assignment. Empty cells keep their previous
+    centroid. At 10^12 rows run more iters as an offline job; the query
+    machinery is identical either way."""
     rows = (df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
             .orderBy(F.col(id_col)).limit(n_centroids).collect())
-    cents = [list(map(float, r[1])) for r in rows]
-    assigned = df.withColumn("_cell", _nearest_cell(F.col(vec_col), cents))
+    cents = [[round(float(x), 6) for x in r[1]] for r in rows]
+    dims = len(cents[0]) if cents else 0
+    vec = F.col(vec_col).cast("array<double>")
+    for _ in range(max(0, n_iters)):
+        means = (df.withColumn("_cell", _nearest_cell(vec, cents))
+                 .groupBy("_cell")
+                 .agg(*[F.avg(F.element_at(vec, d + 1)).alias(f"m{d}")
+                        for d in range(dims)])
+                 .collect())
+        new = {int(r["_cell"]): [round(float(r[f"m{d}"]), 6)
+                                 for d in range(dims)] for r in means}
+        cents = [new.get(i, c) for i, c in enumerate(cents)]
+    assigned = df.withColumn("_cell", _nearest_cell(vec, cents))
     return assigned, cents
 
 

@@ -151,27 +151,47 @@ def minhash_signature(col: Column, n_hashes: int = 4, k: int = 3) -> Column:
     return bind1(shingles(col, k), sig_from)
 
 
-def simhash64(col: Column) -> Column:
-    """64-bit SimHash over whitespace tokens: per-bit majority vote of
-    token hashes (xxhash64 — stable across sessions). JVM-side via
-    explode-free HOF aggregation."""
-    one = F.lit(1).cast("bigint")
+def _hex_digits(m: Column, n_digits: int) -> Column:
+    """First n_digits hex digits of a (lowercase-hex) digest string as an
+    array<int> — the PORTABLE bit source for simhash: md5 is identical in
+    every engine, and digit extraction is plain substring+base-16 parse
+    (DuckDB: strpos('0123456789abcdef', substr(m, p, 1)) - 1)."""
+    return F.array(*[F.conv(F.substring(m, p + 1, 1), 16, 10).cast("int")
+                     for p in range(n_digits)])
 
-    def voter(hashes, mask):
-        def step(acc, h):
-            return acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1)
-        return step
 
-    def fold(hashes):
+def _band_bit_pred(c: int, mask: int):
+    # NOTE: never use default-arg lambdas (see _isin_pred) — bind c/mask
+    # through a closure factory instead.
+    def pred(d):
+        return d.getItem(c).bitwiseAND(mask) != 0
+    return pred
+
+
+def simhash48(col: Column) -> Column:
+    """48-bit SimHash over whitespace tokens: per-bit majority vote of
+    md5-derived token bits. JVM-side via explode-free HOF aggregation.
+
+    Portability: bit b of token t is bit (b % 4) of hex digit (b // 4)
+    of md5(t) — exactly reproducible in any SQL engine (the DuckDB
+    oracle replicates it with list comprehensions), unlike xxhash64.
+    48 bits (12 hex digits) keeps every intermediate in positive bigint
+    range on both sides (no signed-overflow edge at bit 63)."""
+    def fold(dgs):                       # array<array<int>>, one per token
+        n = F.size(dgs)
         out = F.lit(0).cast("bigint")
-        for b in range(64):
-            mask = F.shiftleft(one, b)
-            votes = F.aggregate(hashes, F.lit(0), voter(hashes, mask))
-            out = out.bitwiseOR(F.when(votes > 0, mask)
-                                .otherwise(F.lit(0).cast("bigint")))
+        for b in range(48):
+            c, mask = b // 4, 1 << (b % 4)
+            ones = F.size(F.filter(dgs, _band_bit_pred(c, mask)))
+            out = out.bitwiseOR(
+                F.when(ones * 2 > n, F.lit(1 << b).cast("bigint"))
+                 .otherwise(F.lit(0).cast("bigint")))
         return out
 
-    # bind the token-hash array once; 64 per-bit folds share it
+    # bind the per-token digit arrays once; 48 per-bit folds share them
     return bind1(
-        bind1(tokens(col), lambda t: F.transform(t, lambda x: F.xxhash64(x))),
+        bind1(tokens(col),
+              lambda t: F.transform(
+                  t, lambda x: bind1(F.md5(x),
+                                     lambda m: _hex_digits(m, 12)))),
         fold)

@@ -20,6 +20,7 @@ absence is governed solely by nullable/required
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Optional
 
@@ -124,7 +125,19 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
             value_col=val_s,
         ))
 
-    if cs.union_of:
+    if cs.union_members:
+        # XsdUnion with member facet re-application: valid iff SOME member
+        # decodes AND passes that member's own facets/patterns
+        # (simple_types.py:1180-1207). Tried in declaration order; the
+        # whole disjunction is one codegen expression — no data movement.
+        ok = _member_predicate(col, val_s, cs.union_members[0])
+        for m in cs.union_members[1:]:
+            ok = ok | _member_predicate(col, val_s, m)
+        add("union",
+            "value does not match any union member (with member facets) "
+            f"{[m.dtype for m in cs.union_members]}", ok)
+        typed = col
+    elif cs.union_of:
         # XsdUnion: no member decodes => violation (simple_types.py:1198-1207)
         add("union", f"value does not match any union member {cs.union_of}",
             union_matches(col, cs.union_of))
@@ -213,52 +226,137 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
                 f"got {cs.explicit_timezone!r}")
 
     if cs.assertion:
-        # simple-type assert with `value` variable (facets.py:836-894)
+        # simple-type assert with `value` variable (facets.py:836-894).
+        # Whole-word substitution only: identifiers like values(...) or
+        # string literals containing 'value' must survive untouched —
+        # mirrors binding the $value variable, not textual splicing.
         add("assertion", f"assertion failed: {cs.assertion}",
-            F.expr(cs.assertion.replace("value", f"`{cs.name}`")))
+            F.expr(re.sub(r"\bvalue\b", f"`{cs.name}`", cs.assertion)))
 
     return norm, checks
+
+
+def _member_predicate(col: Column, val_s: Column,
+                      member: ColumnSpec) -> Column:
+    """TRUE when the value decodes as this union member AND satisfies the
+    member's own facets (member facet re-application after union decode,
+    reference: simple_types.py:1180-1196 — pushed patterns/facets are
+    checked against the member that actually decoded the value).
+
+    Patterns apply to the LEXICAL form (the original string), ordered
+    facets to the decoded member value — same split as the reference."""
+    typed = col.try_cast(member.dtype) if member.dtype != "string" else col
+    ok = typed.isNotNull() if member.dtype != "string" else col.isNotNull()
+    if member.pattern:
+        pats = [translate_xsd_pattern(p) for p in member.pattern]
+        pok = val_s.rlike(pats[0])
+        for p in pats[1:]:
+            pok = pok | val_s.rlike(p)
+        ok = ok & pok
+    if member.enum is not None:
+        ok = ok & typed.isin(*member.enum)
+    if member.min_inclusive is not None:
+        ok = ok & (typed >= _lit(member.dtype, member.min_inclusive))
+    if member.min_exclusive is not None:
+        ok = ok & (typed > _lit(member.dtype, member.min_exclusive))
+    if member.max_inclusive is not None:
+        ok = ok & (typed <= _lit(member.dtype, member.max_inclusive))
+    if member.max_exclusive is not None:
+        ok = ok & (typed < _lit(member.dtype, member.max_exclusive))
+    if member.min_length is not None:
+        ok = ok & (_length_col(col, member.dtype) >= member.min_length)
+    if member.max_length is not None:
+        ok = ok & (_length_col(col, member.dtype) <= member.max_length)
+    return ok
 
 
 def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
     """Array-element facets via exists() on the NEGATED element predicate.
 
-    Built as SQL-expr lambdas (JVM HOFs) so the whole thing stays in
-    codegen. Only a practical subset of facets is supported per element.
-    """
+    Built with the Column API (F.exists + Column lambdas) so the whole
+    thing stays in codegen WITHOUT interpolating patterns/enums into SQL
+    literal syntax — Spark SQL string literals eat backslashes ('\\d'
+    parses as 'd'), so an F.expr-built item pattern silently validated
+    against the wrong regex; Column.rlike takes the pattern verbatim.
+
+    lexical_list columns (XsdList over a string column,
+    simple_types.py:991-1019) are whitespace-collapsed and split first;
+    items are then try_cast to the item dtype, with a dedicated
+    facet:item:decode check for non-castable members."""
     item = cs.item
     col = F.col(cs.name)
+    if cs.lexical_list:
+        arr = F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
+        value_col = col.cast("string")
+    else:
+        arr = col
+        value_col = F.to_json(col)
     present = col.isNotNull()
+    typed_items = item.dtype not in (None, "string")
+
+    def cast_item(x: Column) -> Column:
+        return x.try_cast(item.dtype) if typed_items else x
+
     checks: list[RowCheck] = []
 
-    def add(kind: str, reason: str, elem_valid_sql: str) -> None:
-        bad = F.expr(f"exists(`{cs.name}`, x -> x IS NOT NULL AND NOT ({elem_valid_sql}))")
+    def add(kind: str, reason: str, elem_valid) -> None:
+        bad = F.exists(arr, lambda x: x.isNotNull() & ~elem_valid(x))
         checks.append(RowCheck(
             constraint=f"facet:item:{kind}:{cs.name}",
             reason=f"list item: {reason}",
             valid=~present | ~bad,
-            value_col=F.to_json(col),
+            value_col=value_col,
         ))
+
+    if typed_items:
+        add("decode", f"item is not a valid {item.dtype}",
+            lambda x: cast_item(x).isNotNull())
+
+    def ordered(op, bound):
+        lit = _lit(item.dtype, bound)
+        # decode failures are reported by facet:item:decode only — a
+        # null cast must not double-fire the ordered facet (typed_guard
+        # semantics of compile_column, applied per element)
+        def pred(x):
+            xv = cast_item(x)
+            return xv.isNull() | op(xv, lit)
+        return pred
 
     if item.min_inclusive is not None:
         add("minInclusive", f"item must be >= {item.min_inclusive}",
-            f"x >= {item.min_inclusive}")
+            ordered(lambda a, b: a >= b, item.min_inclusive))
     if item.max_inclusive is not None:
         add("maxInclusive", f"item must be <= {item.max_inclusive}",
-            f"x <= {item.max_inclusive}")
+            ordered(lambda a, b: a <= b, item.max_inclusive))
+    if item.min_exclusive is not None:
+        add("minExclusive", f"item must be > {item.min_exclusive}",
+            ordered(lambda a, b: a > b, item.min_exclusive))
+    if item.max_exclusive is not None:
+        add("maxExclusive", f"item must be < {item.max_exclusive}",
+            ordered(lambda a, b: a < b, item.max_exclusive))
     if item.pattern:
         pats = [translate_xsd_pattern(p) for p in item.pattern]
-        sql = " OR ".join(f"x rlike '{p}'" for p in pats)
-        add("pattern", f"item must match {item.pattern}", sql)
+
+        def pat_pred(x):
+            ok = x.rlike(pats[0])
+            for p in pats[1:]:
+                ok = ok | x.rlike(p)
+            return ok
+        add("pattern", f"item must match {item.pattern}", pat_pred)
     if item.enum is not None:
-        vals = ", ".join(repr(v) if isinstance(v, str) else str(v) for v in item.enum)
-        add("enumeration", f"item must be in {item.enum}", f"x in ({vals})")
+        enum_vals = list(item.enum)
+
+        def enum_pred(x):
+            xv = cast_item(x)
+            guard = xv.isNull() if typed_items else F.lit(False)
+            return guard | xv.isin(*enum_vals)
+        add("enumeration", f"item must be in {item.enum}", enum_pred)
     if item.min_length is not None:
         add("minLength", f"item length >= {item.min_length}",
-            f"length(x) >= {item.min_length}")
+            lambda x: F.length(x) >= item.min_length)
     if item.max_length is not None:
         add("maxLength", f"item length <= {item.max_length}",
-            f"length(x) <= {item.max_length}")
+            lambda x: F.length(x) <= item.max_length)
     return checks
 
 

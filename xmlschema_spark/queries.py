@@ -530,14 +530,35 @@ def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     fingerprint(F.col("text")).alias("fp"))
 
 
-@register("simhash_documents")
+# portable simhash oracle: bit b of token t = bit (b%4) of hex digit
+# (b//4) of md5(t); per-bit majority vote — identical math to
+# operators/text.simhash48, generated for all 48 bits
+_SIMHASH_TERMS = " + ".join(
+    f"CASE WHEN 2*len([1 for v in dg if (v[{b // 4 + 1}] & {1 << (b % 4)}) <> 0]) > n"
+    f" THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
+    for b in range(48))
+
+
+@register("simhash_documents", f"""
+  WITH t AS (
+    SELECT doc_id, string_split(trim(regexp_replace(text,'\\s+',' ','g')), ' ') AS w
+      FROM documents),
+  d AS (
+    SELECT doc_id,
+           [[strpos('0123456789abcdef', substr(md5(x), p, 1)) - 1
+             for p in generate_series(1, 12)] for x in w] AS dg,
+           len(w) AS n
+      FROM t)
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, ({_SIMHASH_TERMS}) AS simhash
+    FROM d
+""")
 def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (xxhash64 token hashes are Spark-
-    specific — no SQL oracle; rows-only check)."""
-    from .operators.text import simhash64
+    """48-bit portable SimHash per document (md5-digit bit source —
+    bit-identical in any engine; full DuckDB value oracle)."""
+    from .operators.text import simhash48
     d = _load(spark, sf_dir, "documents")
     return d.select(F.col("doc_id").cast("string").alias("doc_id"),
-                    simhash64(F.col("text")).alias("simhash"))
+                    simhash48(F.col("text")).alias("simhash"))
 
 
 # ---------------------------------------------------------------------------
@@ -874,6 +895,242 @@ def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         _query_vec(spark, sf_dir), k=10,
                         n_centroids=16, nprobe=4) \
         .select(F.col("vec_id").cast("string").alias("vec_id"), "sim")
+
+
+# ---------------------------------------------------------------------------
+# Round-2 additions: approx profile, sketch guarantees, ANN recall gates,
+# union member facets, lexical list decode, cross-increment identity scope
+# ---------------------------------------------------------------------------
+
+@register("profile_lineitem_approx", """
+  SELECT 'l_quantity' AS col, CAST(count(l_quantity) AS BIGINT) AS n,
+         TRUE AS approx_ok FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', count(l_discount), TRUE FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', count(l_extendedprice), TRUE FROM lineitem
+""")
+def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate column profile — the 10^12-row scale path: HLL
+    approx_count_distinct (mergeable, no full-key shuffle) instead of the
+    exact countDistinct of profile_lineitem. The check verifies the HLL
+    estimate lands within tolerance of truth (exact is computable at test
+    scale; at production scale only the approx branch runs)."""
+    df = _load(spark, sf_dir, "lineitem")
+    parts = []
+    for c in ["l_quantity", "l_discount", "l_extendedprice"]:
+        parts.append(df.agg(
+            F.lit(c).alias("col"),
+            F.count(c).alias("n"),
+            F.countDistinct(c).alias("_exact"),
+            F.approx_count_distinct(c, 0.02).alias("_approx")))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    tol_ok = (F.abs(F.col("_approx") - F.col("_exact"))
+              <= F.greatest(F.lit(1.0), 0.1 * F.col("_exact")))
+    return out.select("col", "n", tol_ok.alias("approx_ok"))
+
+
+@register("quantile_sketch_rank_check", """
+  WITH qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS quantile)
+  SELECT 'l_extendedprice' AS col, CAST(quantile AS DOUBLE) AS quantile,
+         TRUE AS rank_ok FROM qs
+  UNION ALL
+  SELECT 'l_quantity', CAST(quantile AS DOUBLE), TRUE FROM qs
+""")
+def quantile_sketch_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-guarantee gate: each percentile_approx output value must sit
+    within rank tolerance of its target quantile (the bounded-error
+    contract of the mergeable sketch; accuracy=10000 => rank error 1e-4,
+    checked at 1e-2 for slack). Exact ranks are computed as conditional
+    sums — one extra pass, test-scale only."""
+    from .operators.drift import quantile_sketch
+    df = _load(spark, sf_dir, "lineitem")
+    qs = [0.25, 0.5, 0.75, 0.95]
+    sk = quantile_sketch(df, ["l_extendedprice", "l_quantity"], qs).collect()
+    checks = []
+    aggs = []
+    for idx, r in enumerate(sk):
+        c, v = r["col"], float(r["value"])
+        aggs.append((F.sum(F.when(F.col(c) < v, 1).otherwise(0))
+                     / F.count(c)).alias(f"lo{idx}"))
+        aggs.append((F.sum(F.when(F.col(c) <= v, 1).otherwise(0))
+                     / F.count(c)).alias(f"hi{idx}"))
+    ranks = df.agg(*aggs).collect()[0]
+    rows = []
+    for idx, r in enumerate(sk):
+        q = float(r["quantile"])
+        ok = (float(ranks[f"lo{idx}"]) - 1e-2 <= q
+              <= float(ranks[f"hi{idx}"]) + 1e-2)
+        rows.append((r["col"], q, ok))
+    return spark.createDataFrame(
+        rows, "col string, quantile double, rank_ok boolean")
+
+
+@register("ann_lsh_recall", """
+  SELECT 10 AS k, TRUE AS recall_ok
+""")
+def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for multi-probe sign-LSH ANN: top-10 of the LSH path
+    must recover >= 9 of the exact brute-force top-10 (recall@10 >= 0.9).
+    Single-probe LSH has a recall cliff; 1-bit multiprobe recovers it."""
+    from .operators.similarity import ann_topk_lsh, cosine_topk
+    e = _load(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    brute = cosine_topk(e, "embedding", "vec_id", q, k=10).select("vec_id")
+    approx = ann_topk_lsh(e, "embedding", "vec_id", q, k=10, n_planes=6,
+                          multiprobe=3).select("vec_id")
+    hits = brute.join(approx, on="vec_id", how="left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("_h")).select(
+        F.lit(10).alias("k"), (F.col("_h") >= 9).alias("recall_ok"))
+
+
+@register("ann_ivf_recall", """
+  SELECT 10 AS k, TRUE AS recall_ok
+""")
+def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for IVF ANN with k-means-refined centroids (2 Lloyd
+    iterations) probing 4/16 cells: recall@10 >= 0.9 vs brute force."""
+    from .operators.similarity import ann_topk_ivf, cosine_topk
+    e = _load(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    brute = cosine_topk(e, "embedding", "vec_id", q, k=10).select("vec_id")
+    approx = ann_topk_ivf(e, "embedding", "vec_id", q, k=10,
+                          n_centroids=16, nprobe=4).select("vec_id")
+    hits = brute.join(approx, on="vec_id", how="left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("_h")).select(
+        F.lit(10).alias("k"), (F.col("_h") >= 9).alias("recall_ok"))
+
+
+@register("near_dups_lsh_precision", """
+  SELECT CAST(NULL AS VARCHAR) AS id_a, CAST(NULL AS VARCHAR) AS id_b,
+         CAST(NULL AS DOUBLE) AS sim
+   WHERE FALSE
+""")
+def near_dups_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-false-positive gate for the LSH-blocked near-dup path: every
+    emitted pair must also appear in the exact brute-force result with
+    the same similarity (LSH trades recall, NEVER precision). Expected
+    result: zero rows."""
+    from .operators.similarity import cosine_near_dup_pairs
+    e = _load(spark, sf_dir, "embeddings")
+    lsh = cosine_near_dup_pairs(e, "embedding", "vec_id", threshold=0.3,
+                                n_planes=4, brute_force=False) \
+        .select(F.col("id_a").cast("string").alias("id_a"),
+                F.col("id_b").cast("string").alias("id_b"), "sim")
+    brute = cosine_near_dup_pairs(e, "embedding", "vec_id", threshold=0.3,
+                                  brute_force=True) \
+        .select(F.col("id_a").cast("string").alias("id_a"),
+                F.col("id_b").cast("string").alias("id_b"), "sim")
+    return lsh.join(brute, on=["id_a", "id_b", "sim"], how="left_anti")
+
+
+@register("union_member_facets_events", """
+  WITH x AS (SELECT event_id, json_extract_string(props, '$.k') AS v
+               FROM events)
+  SELECT CAST(event_id AS VARCHAR) AS row_key, v AS value
+    FROM x
+   WHERE v IS NOT NULL
+     AND NOT (TRY_CAST(v AS BIGINT) IS NOT NULL
+              AND TRY_CAST(v AS BIGINT) >= 0 AND TRY_CAST(v AS BIGINT) <= 50)
+     AND NOT regexp_matches(v, '^(?:[a-z]+)$')
+""")
+def union_member_facets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union decode WITH member facet re-application
+    (simple_types.py:1180-1196): props.k must be a bigint in [0, 50] OR a
+    lowercase word. Castability alone is NOT enough — 51..99 decode as
+    bigint but fail the member's range facet, so they violate."""
+    ev = _load(spark, sf_dir, "events")
+    d = ev.select(F.col("event_id"),
+                  F.get_json_object("props", "$.k").alias("k_val"))
+    spec = TableSpec(
+        name="events_k", key_column="event_id",
+        columns=[ColumnSpec(
+            "k_val", "string",
+            union_members=[
+                ColumnSpec("m_int", "bigint", min_inclusive=0,
+                           max_inclusive=50),
+                ColumnSpec("m_word", "string", pattern=["[a-z]+"]),
+            ])],
+    )
+    return row_violations(d, compile_plan(spec)) \
+        .select("row_key", "value")
+
+
+@register("lexical_list_items_documents", """
+  WITH lx AS (
+    SELECT doc_id,
+           CAST(n_chars AS VARCHAR) || ' ' || CAST(doc_id % 97 AS VARCHAR)
+             || ' ' || (CASE WHEN doc_id % 11 = 0 THEN 'x' ELSE '7' END)
+             AS vals
+      FROM documents),
+  sp AS (SELECT doc_id, vals, string_split(vals, ' ') AS items FROM lx)
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         'facet:item:decode:vals' AS constraint, vals AS value
+    FROM sp WHERE len([1 for x in items if TRY_CAST(x AS INT) IS NULL]) > 0
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'facet:item:maxInclusive:vals', vals
+    FROM sp WHERE len([1 for x in items if TRY_CAST(x AS INT) > 400]) > 0
+""")
+def lexical_list_items_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XsdList LEXICAL decode (simple_types.py:991-1019): a space-
+    separated string column is collapsed+split and every item must decode as
+    int and satisfy item facets (here int in [0, 400]). Every 11th doc
+    carries a non-numeric item (decode violation); docs with n_chars>400
+    violate the item range."""
+    d = _load(spark, sf_dir, "documents")
+    lx = d.select(
+        F.col("doc_id"),
+        F.concat_ws(" ", F.col("n_chars").cast("string"),
+                    (F.col("doc_id") % 97).cast("string"),
+                    F.when(F.col("doc_id") % 11 == 0, "x").otherwise("7"))
+        .alias("vals"))
+    spec = TableSpec(
+        name="doc_lists", key_column="doc_id",
+        columns=[ColumnSpec("vals", "string", lexical_list=True,
+                            item=ColumnSpec("v", "int", min_inclusive=0,
+                                            max_inclusive=400))],
+    )
+    return row_violations(lx, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")
+
+
+@register("global_unique_across_increments", """
+  WITH g AS (
+    SELECT o_custkey, count(*) AS occurs FROM orders
+     WHERE o_custkey IS NOT NULL GROUP BY o_custkey HAVING count(*) > 1),
+  h0 AS (
+    SELECT o_custkey FROM orders
+     WHERE o_custkey IS NOT NULL AND o_orderkey % 2 = 0
+     GROUP BY o_custkey HAVING count(*) > 1),
+  h1 AS (
+    SELECT o_custkey FROM orders
+     WHERE o_custkey IS NOT NULL AND o_orderkey % 2 = 1
+     GROUP BY o_custkey HAVING count(*) > 1),
+  flagged AS (
+    SELECT o.o_orderkey, g.occurs FROM orders o JOIN g USING (o_custkey)
+     WHERE NOT (o.o_orderkey % 2 = 0 AND o.o_custkey IN (SELECT * FROM h0))
+       AND NOT (o.o_orderkey % 2 = 1 AND o.o_custkey IN (SELECT * FROM h1)))
+  SELECT CAST(o_orderkey AS VARCHAR) AS row_key, occurs FROM flagged
+""")
+def global_unique_across_increments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment identity scope (reference: deferred identity
+    counter merge at scan end, schemas.py:1386-1405): rows whose
+    o_custkey duplicates STRADDLE two increments (even/odd o_orderkey
+    halves). Per-increment validation (run_resumable's scope) misses
+    them; the terminal full-table pass (checkpoint.
+    finalize_global_identities) catches exactly these rows."""
+    df = _load(spark, sf_dir, "orders")
+    u = UniqueSpec("custkey", ["o_custkey"])
+    full = unique_violations(df, u, "o_orderkey")
+    lo = unique_violations(df.where(F.col("o_orderkey") % 2 == 0),
+                           u, "o_orderkey")
+    hi = unique_violations(df.where(F.col("o_orderkey") % 2 == 1),
+                           u, "o_orderkey")
+    per_inc = lo.select("row_key").unionByName(hi.select("row_key"))
+    return (full.join(per_inc, on="row_key", how="left_anti")
+            .select("row_key", "occurs"))
 
 
 @register("deduplicate_documents_exact", """

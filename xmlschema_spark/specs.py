@@ -45,8 +45,17 @@ class ColumnSpec:
                      (facets.py:836-894); a Spark SQL expression string
       union_of     — ordered member type names; first successful try_cast
                      wins (XsdUnion, simple_types.py:1178-1211)
+      union_members — ordered member ColumnSpecs: a value is valid iff
+                     SOME member decodes AND satisfies that member's own
+                     facets/patterns (member facet re-application after
+                     union decode, simple_types.py:1180-1196). Overrides
+                     union_of when both are set.
       item         — for array columns: ColumnSpec applied per element
                      (XsdList, simple_types.py:845,991-1019)
+      lexical_list — the column is a SPACE-SEPARATED string list: it is
+                     whitespace-collapsed and split before item facets
+                     apply (XsdList lexical decode,
+                     simple_types.py:991-1019)
     """
 
     name: str
@@ -69,7 +78,9 @@ class ColumnSpec:
     assertion: Optional[str] = None         # SQL expr over `value`
     explicit_timezone: Optional[str] = None  # 'required'|'prohibited' (XSD 1.1)
     union_of: Optional[list[str]] = None    # ordered spark type names
+    union_members: Optional[list["ColumnSpec"]] = None  # member facets
     item: Optional["ColumnSpec"] = None     # element spec for arrays
+    lexical_list: bool = False              # split space-separated string
 
 
 @dataclass
@@ -208,6 +219,8 @@ class TableSpec:
             c = dict(c)
             if c.get("item"):
                 c["item"] = col(c["item"])
+            if c.get("union_members"):
+                c["union_members"] = [col(m) for m in c["union_members"]]
             return ColumnSpec(**c)
 
         return TableSpec(

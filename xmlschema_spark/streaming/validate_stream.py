@@ -63,6 +63,69 @@ def validate_stream(stream_df: DataFrame, spec: TableSpec,
     return w.start()
 
 
+def streaming_global_unique_violations(stream_df: DataFrame,
+                                       key_cols: list[str],
+                                       id_col: str,
+                                       constraint: str = "unique:stream"
+                                       ) -> DataFrame:
+    """GLOBAL cross-batch uniqueness via applyInPandasWithState keyed by
+    the field tuple — the streaming analog of the reference's document-
+    wide identity counter merge (schemas.py:1386-1405), with state
+    bounded to (count, first_id) per DISTINCT key tuple (not per row).
+
+    Emission matches batch unique_violations semantics: every occurrence
+    of a duplicated tuple is flagged, including the FIRST one
+    retroactively when the second arrives; `occurs` carries the running
+    group count at emission time.
+
+    At 10^12 rows the state store shards by the key tuple across
+    executors (RocksDB-backed in production configs); a skewed hot tuple
+    costs one state entry, not memory."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = ("row_key string, constraint string, reason string, "
+                  "value string, occurs bigint")
+    state_schema = "seen bigint, first_id string"
+    reason_prefix = f"duplicated value for '{constraint}' fields {key_cols}: "
+
+    def track(key, pdfs, state):
+        import pandas as pd
+        if state.exists:
+            seen, first = state.get
+        else:
+            seen, first = 0, None
+        value = "|".join(str(k) for k in key)
+        out_rows = []
+        for pdf in pdfs:
+            for rid in pdf[id_col].astype(str).sort_values():
+                seen += 1
+                if seen == 1:
+                    first = rid
+                else:
+                    if seen == 2 and first is not None:
+                        out_rows.append(first)   # retroactive first hit
+                    out_rows.append(rid)
+        state.update((seen, first))
+        if out_rows:
+            yield pd.DataFrame({
+                "row_key": out_rows,
+                "constraint": constraint,
+                "reason": reason_prefix + value,
+                "value": value,
+                "occurs": seen,
+            })
+
+    nn = None
+    for c in key_cols:
+        p = F.col(c).isNotNull()
+        nn = p if nn is None else nn & p
+    return (stream_df.where(nn)
+            .select(*key_cols, F.col(id_col).cast("string").alias(id_col))
+            .groupBy(*key_cols)
+            .applyInPandasWithState(track, out_schema, state_schema,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
 def streaming_unique_violations(stream_df: DataFrame, key_cols: list[str],
                                 event_time_col: str,
                                 watermark: str = "10 minutes") -> DataFrame:
