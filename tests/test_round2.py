@@ -314,3 +314,69 @@ def test_tz_edge_timestamps_explicit_timezone(spark):
     bad2 = sorted(r.row_key for r in
                   row_violations(df, compile_plan(spec2)).collect())
     assert bad2 == ["a", "b", "c"]
+
+
+# ------------------------------------- selectors, staged strict, converters
+
+def test_selector_dsl_identity(spark):
+    from xmlschema_spark.operators.identity import unique_violations
+    df = spark.createDataFrame(
+        [("r1", {"owner": {"id": 7}}), ("r2", {"owner": {"id": 7}}),
+         ("r3", {"owner": {"id": 8}})],
+        "k string, meta struct<owner: struct<id: int>>")
+    v = unique_violations(df, UniqueSpec("oid", ["meta/owner/@id"]), "k")
+    got = sorted(r.row_key for r in v.collect())
+    assert got == ["r1", "r2"]
+
+
+def test_selector_rejects_unsupported_axes():
+    from xmlschema_spark.functions.selectors import compile_selector
+    for bad in ("a//b", "a[1]/b", "a/*", ""):
+        with pytest.raises(ValueError):
+            compile_selector(bad)
+
+
+def test_select_paths_prunes_nested_fields(spark, tmp_path):
+    from xmlschema_spark.functions.selectors import select_paths
+    df = spark.createDataFrame(
+        [("r1", {"a": 1, "b": "x"*100})], "k string, m struct<a:int, b:string>")
+    p = str(tmp_path / "t")
+    df.write.parquet(p)
+    out = select_paths(spark.read.parquet(p), {"ma": "m/@a", "k": "k"})
+    assert out.collect() == [(1, "r1")] or out.collect()[0].asDict() == {"ma": 1, "k": "r1"}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "m.a" in plan.replace("#", ".").replace("m#", "m.") or "ReadSchema" in plan
+
+
+def test_strict_mode_staged_failfast(spark):
+    from xmlschema_spark.runner import XmlSchemaSparkValidationError, validate
+    df = spark.createDataFrame([("a", -1), ("b", 2)], "k string, v int")
+    spec = TableSpec(name="t", key_column="k",
+                     columns=[ColumnSpec("v", "int", min_inclusive=0)],
+                     uniques=[UniqueSpec("k", ["k"])])
+    with pytest.raises(XmlSchemaSparkValidationError) as e:
+        validate(df, spec, mode="strict")
+    assert "facet:minInclusive:v" in str(e.value)
+    clean = spark.createDataFrame([("a", 1), ("b", 2)], "k string, v int")
+    res = validate(clean, spec, mode="strict")
+    assert res.violations.count() == 0
+
+
+def test_decode_converters(spark):
+    import json
+    from xmlschema_spark.functions.converters import (attr_prefix_converter,
+                                                      decode_table,
+                                                      nested_converter)
+    df = spark.createDataFrame([("d1", "en", 5)],
+                               "doc_id string, lang string, n int")
+    spec = TableSpec(name="t", key_column="doc_id",
+                     columns=[ColumnSpec("lang", "string"),
+                              ColumnSpec("n", "int")])
+    d0 = json.loads(decode_table(df, spec).collect()[0].doc)
+    assert d0 == {"lang": "en", "n": 5}
+    d1 = json.loads(decode_table(
+        df, spec, attr_prefix_converter(["lang"])).collect()[0].doc)
+    assert d1 == {"@lang": "en", "n": 5}
+    d2 = json.loads(decode_table(
+        df, spec, nested_converter({"meta": ["lang", "n"]})).collect()[0].doc)
+    assert d2 == {"meta": {"lang": "en", "n": 5}}

@@ -44,7 +44,11 @@ def unique_violations(df: DataFrame, spec: UniqueSpec, key_column: str,
     first groupBy benefits from partial aggregation (map-side combine);
     salting bounds reducer skew when one tuple dominates.
     """
-    cols = spec.columns
+    # selector-addressed fields (reference: restricted-XPath selectors,
+    # identities.py:28-120): 'meta/owner/@id' resolves to a nested-field
+    # projection; plain column names pass through untouched
+    from ..functions.selectors import resolve_selectors
+    df, cols = resolve_selectors(df, spec.columns)
     nn = F.lit(True)
     for c in cols:
         nn = nn & F.col(c).isNotNull()
@@ -55,7 +59,7 @@ def unique_violations(df: DataFrame, spec: UniqueSpec, key_column: str,
             F.col(key_column).cast("string").alias("row_key"),
             _part(part_key),
             F.lit(f"key:{spec.name}:missing").alias("constraint"),
-            F.lit(f"missing key field for '{spec.name}' {cols}").alias("reason"),
+            F.lit(f"missing key field for '{spec.name}' {spec.columns}").alias("reason"),
             _tuple_str(cols).alias("value"),
             F.lit(1).cast("bigint").alias("occurs"),
         )
@@ -85,7 +89,7 @@ def unique_violations(df: DataFrame, spec: UniqueSpec, key_column: str,
             F.col(key_column).cast("string").alias("row_key"),
             _part(part_key),
             F.lit(f"unique:{spec.name}").alias("constraint"),
-            F.concat(F.lit(f"duplicated value for '{spec.name}' fields {cols}: "),
+            F.concat(F.lit(f"duplicated value for '{spec.name}' fields {spec.columns}: "),
                      _tuple_str(cols)).alias("reason"),
             _tuple_str(cols).alias("value"),
             F.col("occurs").cast("bigint"),
@@ -105,8 +109,13 @@ def keyref_violations(df: DataFrame, ref: DataFrame, spec: KeyrefSpec,
     key set, then rejoin to rows to attribute row_keys. The distinct key
     set is broadcast when small (dimension-table case).
     """
-    cols, rcols = spec.columns, spec.ref_columns
-    keys = ref.select(*[F.col(c).alias(f"_k{i}") for i, c in enumerate(rcols)]).distinct()
+    from ..functions.selectors import compile_selector, is_selector
+    from ..functions.selectors import resolve_selectors
+    df, cols = resolve_selectors(df, spec.columns)
+    rcols = spec.ref_columns
+    keys = ref.select(*[
+        (compile_selector(c) if is_selector(c) else F.col(c)).alias(f"_k{i}")
+        for i, c in enumerate(rcols)]).distinct()
     if broadcast_ref is None or broadcast_ref:
         keys = F.broadcast(keys)
 

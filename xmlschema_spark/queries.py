@@ -1133,6 +1133,27 @@ def global_unique_across_increments(spark: SparkSession, sf_dir: str) -> DataFra
             .select("row_key", "occurs"))
 
 
+@register("selector_unique_events", """
+  WITH x AS (SELECT event_id, json_extract_string(props, '$.k') AS kv
+               FROM events),
+  d AS (SELECT kv, count(*) AS occurs FROM x
+         WHERE kv IS NOT NULL GROUP BY kv HAVING count(*) > 1)
+  SELECT CAST(x.event_id AS VARCHAR) AS row_key, d.occurs AS occurs,
+         x.kv AS value
+    FROM x JOIN d USING (kv)
+""")
+def selector_unique_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector-addressed identity field (reference: restricted-XPath
+    selectors, identities.py:28-120): uniqueness over the nested field
+    'props_s/@k' of a struct column, resolved by the selector DSL to a
+    Catalyst nested-field projection."""
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "props_s", F.from_json("props", "k string"))
+    v = unique_violations(ev, UniqueSpec("propk", ["props_s/@k"]),
+                          "event_id")
+    return v.select("row_key", "occurs", "value")
+
+
 @register("deduplicate_documents_exact", """
   WITH fp AS (SELECT doc_id,
                      md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS f

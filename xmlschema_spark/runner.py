@@ -94,15 +94,15 @@ def apply_defaults(df: DataFrame, spec: TableSpec) -> DataFrame:
     return df
 
 
-def violations_frame(df: DataFrame, plan: ValidationPlan,
-                     refs: dict[str, DataFrame] | None = None,
-                     include_payload: bool = True,
-                     extra_validators: list | None = None) -> DataFrame:
-    """Union of all violation sources, lazily composed (one DAG).
-
-    extra_validators: user callables df -> violations DataFrame — the
-    analog of the reference extra_validator hook (validation.py:494-498;
-    invoked at elements.py:843-851)."""
+def violation_parts(df: DataFrame, plan: ValidationPlan,
+                    refs: dict[str, DataFrame] | None = None,
+                    include_payload: bool = True,
+                    extra_validators: list | None = None) -> list[DataFrame]:
+    """The violation sources as separate lazy frames, CHEAPEST FIRST
+    (row checks — one shuffle-free codegen pass — before identity
+    aggregates, joins, and the payload Arrow stage). Strict mode probes
+    them in this order so the common dirty-data case fails after the
+    cheap stage without ever launching the expensive branches."""
     spec = plan.spec
     refs = refs or {}
     declared = {c.name for c in spec.columns}
@@ -126,7 +126,21 @@ def violations_frame(df: DataFrame, plan: ValidationPlan,
                                         check_phash=False))
     for ev in (extra_validators or []):
         parts.append(ev(df))
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    return parts
+
+
+def violations_frame(df: DataFrame, plan: ValidationPlan,
+                     refs: dict[str, DataFrame] | None = None,
+                     include_payload: bool = True,
+                     extra_validators: list | None = None) -> DataFrame:
+    """Union of all violation sources, lazily composed (one DAG).
+
+    extra_validators: user callables df -> violations DataFrame — the
+    analog of the reference extra_validator hook (validation.py:494-498;
+    invoked at elements.py:843-851)."""
+    return reduce(lambda a, b: a.unionByName(b),
+                  violation_parts(df, plan, refs, include_payload,
+                                  extra_validators))
 
 
 def verdicts_frame(df: DataFrame, violations: DataFrame,
@@ -161,14 +175,23 @@ def validate(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,
             [], "row_key string, part_key bigint, constraint string, "
                 "reason string, value string, occurs bigint")
         return ValidationResult(empty, verdicts_frame(df, empty, plan.spec))
-    v = violations_frame(df, plan, refs, extra_validators=extra_validators)
     if mode == "strict":
-        # fail-fast: a different physical plan — LIMIT 1, no full scan
-        first = v.limit(1).collect()
-        if first:
-            raise XmlSchemaSparkValidationError(first[0].asDict())
-        empty = v.limit(0)
+        # STAGED fail-fast (reference: raise on first error,
+        # validation.py:216-236): probe each violation source with its
+        # own LIMIT 1, cheapest stage first — a facet violation stops
+        # the run without ever launching the identity shuffles or the
+        # payload Arrow stage (a LIMIT 1 on the unioned DAG still
+        # schedules jobs for every branch).
+        for part in violation_parts(df, plan, refs,
+                                    extra_validators=extra_validators):
+            first = part.limit(1).collect()
+            if first:
+                raise XmlSchemaSparkValidationError(first[0].asDict())
+        empty = spark.createDataFrame(
+            [], "row_key string, part_key bigint, constraint string, "
+                "reason string, value string, occurs bigint")
         return ValidationResult(empty, verdicts_frame(df, empty, plan.spec))
+    v = violations_frame(df, plan, refs, extra_validators=extra_validators)
     # persist: the violations DAG (payload decode, salted aggs, joins) is
     # the expensive part and is consumed by BOTH the violations output and
     # the verdicts aggregation — without this it would evaluate twice.
