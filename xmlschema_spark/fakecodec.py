@@ -20,10 +20,12 @@ Wire format (little-endian):
     w uint32, h uint32
     zlib-compressed RGB uint8 pixel buffer (h*w*3 bytes)
 
-Lossy variants quantize each channel to a multiple of Q=4 before
-compression: max per-pixel error 3 => MSE <= 3.5 => PSNR ~= 42.7dB,
-deterministically above the 40dB gate; a "corrupt" re-encode at wrong
-dims or heavier quantization falls below it.
+Lossy variants quantize each channel to the NEAREST multiple of Q=4
+(top level clamped to 255): max per-pixel error Q/2 = 2 => worst-case
+MSE <= 4 => PSNR >= 42.1dB for EVERY image size, deterministically above
+the 40dB gate (floor-quantization's error-3 worst case dips to 39.5dB on
+1x1 images — found by hypothesis, tests/test_property.py); a "corrupt"
+re-encode at wrong dims or heavier quantization falls below the gate.
 """
 
 from __future__ import annotations
@@ -61,7 +63,11 @@ def gen_pixels(i: int, w: int, h: int) -> np.ndarray:
 def encode(pixels: np.ndarray, fmt: str, q: int = LOSSY_Q) -> bytes:
     h, w = pixels.shape[0], pixels.shape[1]
     if fmt != "png":
-        pixels = (pixels // q) * q
+        # round-to-NEAREST multiple of q, top clamped to 255: max error
+        # q/2 (floor-quantization's q-1 worst case breaks the PSNR>=40dB
+        # contract on tiny images)
+        r = ((pixels.astype(np.int16) + q // 2) // q) * q
+        pixels = np.minimum(r, 255).astype(np.uint8)
     return HEADER.pack(MAGIC[fmt], w, h) + zlib.compress(pixels.tobytes(), 1)
 
 

@@ -161,7 +161,11 @@ class _Scratch:
         dv = self.d16[:n]
         np.subtract(a, ev, out=dv, dtype=np.int16, casting="unsafe")
         sv = self.sq[:n]
-        np.square(dv, out=sv, casting="unsafe")
+        # dtype=int32 is LOAD-BEARING: np.square(dv, out=sv) without it
+        # selects the int16 loop and casts AFTER — diffs > 181 wrap to
+        # negative squares and a grossly corrupted payload could pass
+        # the PSNR gate (found by hypothesis, tests/test_property.py)
+        np.multiply(dv, dv, out=sv, dtype=np.int32, casting="unsafe")
         return int(sv.sum(dtype=np.int64))
 
     def expected_view(self, i: int, w: int, h: int, n: int):
