@@ -203,7 +203,13 @@ def validate(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,
 
 def is_valid(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,
              refs: dict[str, DataFrame] | None = None) -> bool:
-    """reference: XMLSchema.is_valid (schemas.py:1266-1283)."""
+    """reference: XMLSchema.is_valid (schemas.py:1266-1283). Staged like
+    strict mode: probes each violation source with its own LIMIT 1,
+    cheapest first, so dirty data answers False after the shuffle-free
+    row stage without launching the expensive branches."""
     plan = spec_or_plan if isinstance(spec_or_plan, ValidationPlan) \
         else compile_plan(spec_or_plan)
-    return len(violations_frame(df, plan, refs).limit(1).take(1)) == 0
+    for part in violation_parts(df, plan, refs):
+        if part.limit(1).take(1):
+            return False
+    return True
