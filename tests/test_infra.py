@@ -105,14 +105,13 @@ def test_streaming_row_checks(spark, tmp_path):
 
 
 def test_streaming_watermarked_dedup(spark, tmp_path):
-    from xmlschema_spark.streaming.validate_stream import (
-        streaming_unique_violations)
+    from xmlschema_spark.streaming.validate_stream import watermarked_dedup
     src = str(tmp_path / "ev")
     spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
         .write.parquet(src)
     stream = spark.readStream.schema(
         spark.read.parquet(src).schema).parquet(src)
-    deduped = streaming_unique_violations(stream, ["user_id"], "ts")
+    deduped = watermarked_dedup(stream, ["user_id"], "ts")
     out = str(tmp_path / "out")
     q = (deduped.writeStream.format("parquet")
          .option("path", out)

@@ -39,14 +39,42 @@ def test_row_checks_single_exchange_free_stage(spark, sf_dir):
     assert "Exchange" not in p, p
 
 
-def test_keyref_uses_broadcast_join(spark, sf_dir):
-    """Small key side must broadcast, not sort-merge."""
+def test_keyref_broadcasts_small_ref_when_asked(spark, sf_dir):
+    """Explicit dimension-table fast path: broadcast_ref=True forces a
+    broadcast hash join on the anti-join against the key set."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     v = keyref_violations(li, part,
                           KeyrefSpec("fk", ["l_partkey"], "part", ["p_partkey"]),
-                          "l_orderkey")
+                          "l_orderkey", broadcast_ref=True)
     assert "BroadcastHashJoin" in _plan(v)
+
+
+def test_keyref_default_does_not_force_broadcast(spark, sf_dir):
+    """Default (None) must leave the strategy to Catalyst/AQE: with the
+    autoBroadcast threshold off (simulating a ref side too big to
+    broadcast), the anti-join must compile to SortMergeJoin — a forced
+    broadcast of a 10^9-distinct-key referenced table would OOM
+    executors at scale."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    aqe = spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        v = keyref_violations(
+            li, part,
+            KeyrefSpec("fk", ["l_partkey"], "part", ["p_partkey"]),
+            "l_orderkey")
+        p = _plan(v)
+        assert re.search(r"SortMergeJoin.*LeftAnti", p), p
+        assert "BroadcastHashJoin" not in p, p
+    finally:
+        if old is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if aqe is not None:
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", aqe)
 
 
 def test_row_checks_whole_stage_codegen(spark, sf_dir):

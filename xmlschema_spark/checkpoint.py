@@ -134,7 +134,8 @@ def global_identity_violations(df: DataFrame, spec: TableSpec,
     for k in spec.keyrefs:
         if k.ref_table in refs:
             parts.append(keyref_violations(df, refs[k.ref_table], k,
-                                           spec.key_column, spec.part_key))
+                                           spec.key_column, spec.part_key,
+                                           broadcast_ref=k.broadcast))
     if not parts:
         return df.sparkSession.createDataFrame(
             [], "row_key string, part_key bigint, constraint string, "
@@ -147,15 +148,20 @@ def finalize_global_identities(df: DataFrame, spec: TableSpec,
                                refs: dict[str, DataFrame] | None = None,
                                run_id: str = "final") -> dict:
     """Terminal full-table identity pass after all increments validated:
-    catches cross-increment duplicates/missing refs and appends them
-    under <checkpoint_dir>/violations_global. Idempotent per run_id."""
+    catches cross-increment duplicates/missing refs and writes them under
+    <checkpoint_dir>/violations_global/run_id=<run_id>. The overwrite is
+    scoped to THIS run's subdirectory, so re-running the same run_id is
+    idempotent while other runs' outputs are untouched (a whole-directory
+    overwrite silently deleted earlier runs)."""
     viols = global_identity_violations(df, spec, refs)
     n = viols.count()
-    (viols.withColumn("run_id", F.lit(run_id))
+    out = os.path.join(checkpoint_dir, "violations_global",
+                       f"run_id={run_id}")
+    (viols
      .repartition("part_key")
      .sortWithinPartitions("part_key", "constraint", "row_key", "reason",
                            "value")
      .write.mode("overwrite")
      .partitionBy("part_key")
-     .parquet(os.path.join(checkpoint_dir, "violations_global")))
+     .parquet(out))
     return {"global_identity_violations": int(n), "run_id": run_id}

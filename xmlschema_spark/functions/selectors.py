@@ -60,8 +60,15 @@ def compile_selector(path: str) -> Column:
 
 
 def selector_alias(path: str) -> str:
-    """Deterministic flat column name for a compiled selector."""
-    return "_sel_" + re.sub(r"[^A-Za-z0-9]+", "_", path.strip()).strip("_")
+    """Deterministic flat column name for a compiled selector. A short
+    stable hash of the RAW path disambiguates selectors whose slugs
+    collide ('a/b' vs 'a/@b' both slug to 'a_b' — without the hash the
+    second withColumn in one UniqueSpec silently overwrote the first
+    and the constraint evaluated over the wrong field)."""
+    import zlib
+    slug = re.sub(r"[^A-Za-z0-9]+", "_", path.strip()).strip("_")
+    crc = format(zlib.crc32(path.strip().encode()) & 0xFF, "02x")
+    return f"_sel_{slug}_{crc}"
 
 
 def resolve_selectors(df: DataFrame,

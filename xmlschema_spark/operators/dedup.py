@@ -198,10 +198,16 @@ def deduplicate(df: DataFrame, text_col: str, id_col: str,
     """
     if method == "exact":
         fp = df.withColumn("_fp", fingerprint(F.col(text_col)))
+        # NULL-fp rows bypass the window entirely: they are all keepers
+        # anyway, and hashing every null to ONE window partition would
+        # make a large null-text fraction a single-task sort hot spot
+        nulls = fp.where(F.col("_fp").isNull()).drop("_fp")
         w = Window.partitionBy("_fp").orderBy(id_col)
-        return (fp.withColumn("_rn", F.row_number().over(w))
-                .where(F.col("_fp").isNull() | (F.col("_rn") == 1))
-                .drop("_fp", "_rn"))
+        keepers = (fp.where(F.col("_fp").isNotNull())
+                   .withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") == 1)
+                   .drop("_fp", "_rn"))
+        return keepers.unionByName(nulls)
     if method == "minhash":
         pairs = lsh_bucket_pairs(df, text_col, id_col, n_hashes=4,
                                  band_size=2)

@@ -106,8 +106,14 @@ def keyref_violations(df: DataFrame, ref: DataFrame, spec: KeyrefSpec,
 
     Plan: dedupe+count referring tuples first (shrinks the join input and
     produces the "(n times)" count), left-anti join against the DISTINCT
-    key set, then rejoin to rows to attribute row_keys. The distinct key
-    set is broadcast when small (dimension-table case).
+    key set, then rejoin to rows to attribute row_keys.
+
+    broadcast_ref: None (default) leaves the join strategy to Catalyst +
+    AQE — the reference's semantics (identities.py:403-418) say nothing
+    about the referred side being small, and a fact->fact keyref with
+    10^9 distinct keys would OOM executors under a forced broadcast.
+    Pass True only for known dimension tables (explicit fast path);
+    False forbids broadcast even if AQE would pick it.
     """
     from ..functions.selectors import compile_selector, is_selector
     from ..functions.selectors import resolve_selectors
@@ -116,8 +122,10 @@ def keyref_violations(df: DataFrame, ref: DataFrame, spec: KeyrefSpec,
     keys = ref.select(*[
         (compile_selector(c) if is_selector(c) else F.col(c)).alias(f"_k{i}")
         for i, c in enumerate(rcols)]).distinct()
-    if broadcast_ref is None or broadcast_ref:
+    if broadcast_ref is True:
         keys = F.broadcast(keys)
+    elif broadcast_ref is False:
+        keys = keys.hint("shuffle_merge")
 
     nn = F.lit(True)
     for c in cols:

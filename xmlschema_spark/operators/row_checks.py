@@ -41,6 +41,12 @@ def _part_col(plan: ValidationPlan) -> Column:
 def row_violations(df: DataFrame, plan: ValidationPlan) -> DataFrame:
     """All row-local violations: one scan, one codegen stage, then a
     filter+explode that keeps only failing (row, constraint) pairs."""
+    if not plan.row_checks:
+        # identity/assert-only spec: an empty F.array() is array<void>
+        # and cannot be exploded into the violation struct
+        return df.sparkSession.createDataFrame(
+            [], "row_key string, part_key bigint, constraint string, "
+                "reason string, value string, occurs bigint")
     structs = [
         F.when(
             ~F.coalesce(chk.valid, F.lit(False)),

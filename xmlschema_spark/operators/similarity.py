@@ -57,14 +57,21 @@ def cosine_topk(df: DataFrame, vec_col: str, id_col: str,
             .limit(k))
 
 
+def plane_weight(plane: int, dim: int) -> float:
+    """Deterministic random-hyperplane weight: +-1 by the parity of the
+    FIRST md5 byte of 'p{plane}|d{dim}'. md5-derived (not Spark
+    xxhash64) so the exact same weights are computable by any engine —
+    the DuckDB oracles replicate buckets bit-for-bit via
+    strpos('13579bdf', substr(md5(key), 2, 1)) (same portability move
+    as simhash48 in operators/text.py). No RNG state anywhere."""
+    import hashlib
+    h = hashlib.md5(f"p{plane}|d{dim}".encode()).digest()[0]
+    return -1.0 if h % 2 else 1.0
+
+
 def _plane_weights_expr(plane: int, dims: int) -> Column:
-    """Deterministic random hyperplane: weight per (plane, dim) is +-1 by
-    the parity of xxhash64('p{plane}|d{dim}') — reproducible everywhere,
-    no RNG state."""
-    return F.array(*[
-        F.when(F.xxhash64(F.lit(f"p{plane}|d{d}")) % 2 == 0, F.lit(1.0))
-         .otherwise(F.lit(-1.0))
-        for d in range(dims)])
+    """Hyperplane as a literal array — constant-folded by Catalyst."""
+    return F.array(*[F.lit(plane_weight(plane, d)) for d in range(dims)])
 
 
 def lsh_bucket(vec_col: Column, n_planes: int, dims: int) -> Column:
@@ -113,25 +120,40 @@ def ann_topk_lsh(df: DataFrame, vec_col: str, id_col: str,
 def cosine_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                           threshold: float = 0.95, n_planes: int = 6,
                           decimals: int = 4,
-                          brute_force: bool = False) -> DataFrame:
+                          brute_force: bool = False,
+                          max_bucket: int = 20_000) -> DataFrame:
     """All-pairs near-duplicates by cosine >= threshold.
 
     brute_force=True: exact O(n^2) within-join (oracle-comparable);
     default: sign-LSH blocked — pairs must share the full bucket, then
-    exact cosine verify (the 100TB path; recall < 1 by design)."""
+    exact cosine verify (the 100TB path; recall < 1 by design). Hot
+    buckets are capped at max_bucket rows (deterministic, smallest ids
+    survive) BEFORE the self-join, same as the vectorized path — a
+    degenerate bucket (e.g. many identical embeddings) is otherwise
+    quadratic in the join."""
     # pre-normalize ONCE PER ROW before the join: computing norm() per
     # PAIR re-traverses both arrays O(pairs) times (measured 3x on the
     # LSH-blocked path). After this, each pair costs exactly one dot.
+    # The bucket is computed from the RAW vector (same sign bits as the
+    # unit vector mathematically, and bit-identical to an external
+    # engine that sees only the raw floats — oracle parity).
     base = df.select(F.col(id_col).alias("_id"),
-                     unit_vector(F.col(vec_col)).alias("_u"))
-    left = base.select(F.col("_id").alias("id_a"), F.col("_u").alias("va"))
-    right = base.select(F.col("_id").alias("id_b"), F.col("_u").alias("vb"))
+                     unit_vector(F.col(vec_col)).alias("_u"),
+                     F.col(vec_col).alias("_raw"))
     if brute_force:
+        left = base.select(F.col("_id").alias("id_a"), F.col("_u").alias("va"))
+        right = base.select(F.col("_id").alias("id_b"), F.col("_u").alias("vb"))
         j = left.crossJoin(right).where(F.col("id_a") < F.col("id_b"))
     else:
+        from .dedup import _cap_buckets
         dims = len(df.select(vec_col).first()[0])
-        lb = left.withColumn("_b", lsh_bucket(F.col("va"), n_planes, dims))
-        rb = right.withColumn("_b", lsh_bucket(F.col("vb"), n_planes, dims))
+        # bucket ONCE on the shared base, cap, then derive both join
+        # sides from the SAME capped frame so left/right survivors
+        # agree row-for-row
+        bb = base.withColumn("_b", lsh_bucket(F.col("_raw"), n_planes, dims))
+        bb = _cap_buckets(bb, ["_b"], "_id", max_bucket)
+        lb = bb.select(F.col("_id").alias("id_a"), F.col("_u").alias("va"), "_b")
+        rb = bb.select(F.col("_id").alias("id_b"), F.col("_u").alias("vb"), "_b")
         j = lb.join(rb, on="_b", how="inner").where(F.col("id_a") < F.col("id_b"))
     sim = dot(F.col("va"), F.col("vb"))
     return (j.select("id_a", "id_b", F.round(sim, decimals).alias("sim"))
@@ -190,16 +212,62 @@ def cosine_near_dup_pairs_vectorized(df: DataFrame, vec_col: str,
         "sim").distinct()
 
 
+# above this many centroids the unrolled argmin expression (k branches
+# in one projection) stops being reasonable: codegen size grows O(k) and
+# the driver-side expression build dominates. The broadcast-join
+# assignment takes over — O(1) plan size at any k.
+_IVF_EXPR_MAX_K = 64
+
+
+def _assign_cells(df: DataFrame, vec_col: str, id_col: str,
+                  cents: list[list[float]], method: str = "auto"
+                  ) -> DataFrame:
+    """df + `_cell` = argmin_k ||v - c_k||^2.
+
+    method='expr' (small k): centroids inlined into ONE codegen argmin
+    expression — a narrow projection, no join, no shuffle.
+    method='join' (large k): centroids as a BROADCAST DataFrame; score
+    every (row, centroid) pair in the broadcast-nested-loop stage, then
+    max_by per id. The groupBy partially aggregates BEFORE the shuffle
+    (each input row's k scored copies live in one partition), so the
+    exchange carries n (id, cell) pairs, not n*k. Tie-break matches the
+    expr path: highest score, then lowest cell (max_by on a
+    (score, -cell) struct vs array_position-of-first-max)."""
+    vec = F.col(vec_col).cast("array<double>")
+    if method == "expr" or (method == "auto"
+                            and len(cents) <= _IVF_EXPR_MAX_K):
+        return df.withColumn("_cell", _nearest_cell(vec, cents))
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(cents)],
+        "_cell int, _cvec array<double>")
+    cnorm = F.aggregate(F.col("_cvec"), F.lit(0.0),
+                        lambda a, x: a + x * x)
+    score = 2.0 * dot(F.col("_v"), F.col("_cvec")) - cnorm
+    best = (df.select(F.col(id_col).alias("_aid"), vec.alias("_v"))
+            .join(F.broadcast(cdf), how="cross")
+            .groupBy("_aid")
+            .agg(F.max_by(
+                "_cell",
+                F.struct(score.alias("s"),
+                         (-F.col("_cell")).alias("nc"))).alias("_cell")))
+    return df.join(best, on=df[id_col] == best["_aid"], how="inner") \
+        .drop("_aid")
+
+
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
                n_centroids: int = 16,
-               n_iters: int = 2) -> tuple[DataFrame, list[list[float]]]:
+               n_iters: int = 2,
+               assign_method: str = "auto"
+               ) -> tuple[DataFrame, list[list[float]]]:
     """IVF coarse quantizer: deterministic seeds (the k vectors with the
     smallest ids — no RNG) refined by `n_iters` distributed Lloyd steps.
     Returns (df + `_cell`, centroids).
 
-    Physical shape per Lloyd step: assignment is a narrow projection
-    (centroids broadcast inside the argmin expression — no join), and
-    the centroid update is ONE partial+final aggregate of `dims` avg()s
+    Physical shape per Lloyd step: assignment via _assign_cells (inlined
+    argmin expression for small k; broadcast-join + partial-agg max_by
+    for k beyond _IVF_EXPR_MAX_K — the 10^3+-centroid path), and the
+    centroid update is ONE partial+final aggregate of `dims` avg()s
     per cell (no explode: dims separate avg aggregates in a single
     groupBy pass, shuffling k x dims doubles). Centroids are rounded to
     6 dp after each step so the float-sum reduction order cannot leak
@@ -212,7 +280,7 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
     dims = len(cents[0]) if cents else 0
     vec = F.col(vec_col).cast("array<double>")
     for _ in range(max(0, n_iters)):
-        means = (df.withColumn("_cell", _nearest_cell(vec, cents))
+        means = (_assign_cells(df, vec_col, id_col, cents, assign_method)
                  .groupBy("_cell")
                  .agg(*[F.avg(F.element_at(vec, d + 1)).alias(f"m{d}")
                         for d in range(dims)])
@@ -220,7 +288,7 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
         new = {int(r["_cell"]): [round(float(r[f"m{d}"]), 6)
                                  for d in range(dims)] for r in means}
         cents = [new.get(i, c) for i, c in enumerate(cents)]
-    assigned = df.withColumn("_cell", _nearest_cell(vec, cents))
+    assigned = _assign_cells(df, vec_col, id_col, cents, assign_method)
     return assigned, cents
 
 
@@ -245,11 +313,13 @@ def _nearest_cell(vec: Column, centroids: list[list[float]]) -> Column:
 def ann_topk_ivf(df: DataFrame, vec_col: str, id_col: str,
                  query_vec: list[float], k: int = 10,
                  n_centroids: int = 16, nprobe: int = 4,
-                 decimals: int = 4) -> DataFrame:
+                 decimals: int = 4,
+                 assign_method: str = "auto") -> DataFrame:
     """IVF ANN: score only the nprobe cells nearest the query. At scale,
     `_cell` is the table's partition/cluster key, so probing prunes
     (n_centroids - nprobe)/n_centroids of the scan."""
-    assigned, cents = ivf_assign(df, vec_col, id_col, n_centroids)
+    assigned, cents = ivf_assign(df, vec_col, id_col, n_centroids,
+                                 assign_method=assign_method)
 
     def d2(a, b):
         return sum((x - y) ** 2 for x, y in zip(a, b))

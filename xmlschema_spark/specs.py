@@ -111,7 +111,10 @@ class KeyrefSpec:
     columns: list[str] = field(default_factory=list)
     ref_table: str = ""
     ref_columns: list[str] = field(default_factory=list)
-    broadcast_threshold: int = 10_000_000   # bytes; small dims broadcast
+    # None = let Catalyst/AQE pick the join strategy (safe default at
+    # any ref-side cardinality); True = known dimension table, force
+    # broadcast; False = forbid broadcast (hint shuffle_merge)
+    broadcast: bool | None = None
 
 
 @dataclass

@@ -47,11 +47,18 @@ def validate_stream(stream_df: DataFrame, spec: TableSpec,
         if batch_df.isEmpty():
             return
         res = validate(batch_df, spec, refs=refs)
+        # distributed deterministic write, same shape as the batch
+        # engine's checkpoint writer (checkpoint.py): hash-repartition by
+        # part_key + in-partition sort — byte-stable at any parallelism,
+        # no single-writer coalesce(1) bottleneck per micro-batch
         (res.violations
          .withColumn("batch_id", F.lit(batch_id))
-         .coalesce(1)
-         .sortWithinPartitions("constraint", "row_key", "reason")
-         .write.mode("append").parquet(f"{output_dir}/violations"))
+         .repartition("part_key")
+         .sortWithinPartitions("part_key", "constraint", "row_key",
+                               "reason", "value")
+         .write.mode("append")
+         .partitionBy("part_key")
+         .parquet(f"{output_dir}/violations"))
         (res.verdicts.withColumn("batch_id", F.lit(batch_id))
          .write.mode("append").parquet(f"{output_dir}/verdicts"))
 
@@ -126,13 +133,13 @@ def streaming_global_unique_violations(stream_df: DataFrame,
                                     "append", GroupStateTimeout.NoTimeout))
 
 
-def streaming_unique_violations(stream_df: DataFrame, key_cols: list[str],
-                                event_time_col: str,
-                                watermark: str = "10 minutes") -> DataFrame:
-    """Cross-batch duplicate detection with bounded state: watermarked
-    dropDuplicates emits first-seen rows; duplicates are the complement
-    (flagged per batch in foreachBatch by anti-joining the deduped view).
-    Exposed as the deduped stream; callers diff against the raw stream."""
+def watermarked_dedup(stream_df: DataFrame, key_cols: list[str],
+                      event_time_col: str,
+                      watermark: str = "10 minutes") -> DataFrame:
+    """Deduped stream with bounded state: watermarked dropDuplicates
+    emits first-seen rows per key tuple within the watermark horizon.
+    For the VIOLATION rows (the reference always yields the error,
+    schemas.py:1386-1405) use streaming_unique_violations below."""
     # watermarks require TIMESTAMP (ltz); parquet often yields
     # TIMESTAMP_NTZ — normalize (session tz is pinned to UTC)
     return (stream_df
@@ -140,3 +147,98 @@ def streaming_unique_violations(stream_df: DataFrame, key_cols: list[str],
                         F.col(event_time_col).cast("timestamp"))
             .withWatermark(event_time_col, watermark)
             .dropDuplicates(key_cols))
+
+
+_UNIT_MS = {"millisecond": 1, "second": 1000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}
+
+
+def _delay_ms(watermark: str) -> int:
+    """'10 minutes' -> 600000 (the subset of CalendarInterval syntax
+    watermarks accept)."""
+    import re
+    m = re.fullmatch(r"\s*(\d+)\s*([a-z]+?)s?\s*", watermark.lower())
+    if not m or m.group(2) not in _UNIT_MS:
+        raise ValueError(f"unsupported watermark delay {watermark!r}")
+    return int(m.group(1)) * _UNIT_MS[m.group(2)]
+
+
+def streaming_unique_violations(stream_df: DataFrame, key_cols: list[str],
+                                id_col: str, event_time_col: str,
+                                watermark: str = "10 minutes",
+                                constraint: str = "unique:stream"
+                                ) -> DataFrame:
+    """Watermarked cross-batch uniqueness that EMITS the violation rows
+    (parity with batch unique_violations; the reference always yields
+    the error, schemas.py:1386-1405) instead of returning the deduped
+    stream and asking callers to diff.
+
+    Same applyInPandasWithState mechanism as the global path, but state
+    per key tuple expires on an EVENT-TIME timeout at (max event time
+    seen + watermark delay): once the watermark passes that point no
+    further row for the tuple can arrive (late rows are dropped by the
+    watermark), so the entry is dead weight and is removed — state is
+    bounded by the watermark horizon, not the key-tuple cardinality.
+
+    Emission matches batch semantics within the horizon: every
+    occurrence of a duplicated tuple is flagged, including the FIRST
+    retroactively when the second arrives; `occurs` is the running
+    count at emission."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    delay = _delay_ms(watermark)
+    out_schema = ("row_key string, constraint string, reason string, "
+                  "value string, occurs bigint")
+    state_schema = "seen bigint, first_id string, max_ev bigint"
+    reason_prefix = f"duplicated value for '{constraint}' fields {key_cols}: "
+
+    def track(key, pdfs, state):
+        import pandas as pd
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            seen, first, max_ev = state.get
+        else:
+            seen, first, max_ev = 0, None, 0
+        value = "|".join(str(k) for k in key)
+        out_rows = []
+        for pdf in pdfs:
+            ev_ms = (pdf[event_time_col].astype("int64") // 1_000_000)
+            max_ev = max(max_ev, int(ev_ms.max()))
+            for rid in pdf[id_col].astype(str).sort_values():
+                seen += 1
+                if seen == 1:
+                    first = rid
+                else:
+                    if seen == 2 and first is not None:
+                        out_rows.append(first)   # retroactive first hit
+                    out_rows.append(rid)
+        state.update((seen, first, max_ev))
+        # timeout fires only once the watermark passes this timestamp —
+        # by then no on-time row for the tuple can still arrive
+        state.setTimeoutTimestamp(max(max_ev + delay,
+                                      state.getCurrentWatermarkMs() + 1))
+        if out_rows:
+            yield pd.DataFrame({
+                "row_key": out_rows,
+                "constraint": constraint,
+                "reason": reason_prefix + value,
+                "value": value,
+                "occurs": seen,
+            })
+
+    nn = None
+    for c in key_cols:
+        p = F.col(c).isNotNull()
+        nn = p if nn is None else nn & p
+    return (stream_df.where(nn)
+            .withColumn(event_time_col,
+                        F.col(event_time_col).cast("timestamp"))
+            .withWatermark(event_time_col, watermark)
+            .select(*key_cols, event_time_col,
+                    F.col(id_col).cast("string").alias(id_col))
+            .groupBy(*key_cols)
+            .applyInPandasWithState(track, out_schema, state_schema,
+                                    "append",
+                                    GroupStateTimeout.EventTimeTimeout))
