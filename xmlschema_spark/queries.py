@@ -944,10 +944,73 @@ def embedding_near_dups_vectorized(spark: SparkSession, sf_dir: str) -> DataFram
                                             threshold=0.3, n_planes=4)
 
 
-@register("ann_topk_ivf")
+# full DuckDB replication of the IVF pipeline: deterministic seeds
+# (16 smallest vec_ids, rounded 6dp) -> 2 Lloyd steps (argmax of
+# 2*v.c - |c|^2, ties to the lowest cell; per-dim avgs rounded 6dp;
+# empty cells keep the previous centroid) -> probe the 4 cells nearest
+# the query -> exact cosine top-10. Mirrors operators/similarity.
+# ivf_assign step for step.
+_IVF_ASSIGN = """
+  a{n} AS (
+    SELECT e.vec_id, e.v,
+           (SELECT c{m}.cell FROM c{m}
+             ORDER BY (2 * list_dot_product(e.v, c{m}.c)
+                       - list_dot_product(c{m}.c, c{m}.c)) DESC,
+                      c{m}.cell ASC
+             LIMIT 1) AS cell
+      FROM e)"""
+
+_IVF_MEANS = """
+  m{n} AS (
+    SELECT cell, list(r ORDER BY d) AS c
+      FROM (SELECT a{n}.cell, t.d, ROUND(AVG(a{n}.v[t.d]), 6) AS r
+              FROM a{n}, dims_r t(d)
+             GROUP BY a{n}.cell, t.d)
+     GROUP BY cell),
+  c{n} AS (
+    SELECT c{m}.cell, COALESCE(m{n}.c, c{m}.c) AS c
+      FROM c{m} LEFT JOIN m{n} USING (cell))"""
+
+_IVF_SQL = f"""
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+  dims_r AS (SELECT UNNEST(range(1, (SELECT len(v) FROM e LIMIT 1) + 1))
+             AS d),
+  c0 AS (
+    SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+           list_transform(v, x -> ROUND(x, 6)) AS c
+      FROM e ORDER BY vec_id LIMIT 16),
+  {_IVF_ASSIGN.format(n=1, m=0)},
+  {_IVF_MEANS.format(n=1, m=0)},
+  {_IVF_ASSIGN.format(n=2, m=1)},
+  {_IVF_MEANS.format(n=2, m=1)},
+  {_IVF_ASSIGN.format(n=3, m=2)},
+  q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+  probes AS (
+    SELECT c2.cell FROM c2, q
+     ORDER BY list_dot_product(c2.c, c2.c)
+              - 2 * list_dot_product(c2.c, q.qv) ASC, c2.cell ASC
+     LIMIT 4)
+  SELECT CAST(a3.vec_id AS VARCHAR) AS vec_id,
+         ROUND(list_dot_product(a3.v, q.qv)
+               / NULLIF(sqrt(list_dot_product(a3.v, a3.v))
+                      * sqrt(list_dot_product(q.qv, q.qv)), 0), 4) AS sim
+    FROM a3, q
+   WHERE a3.cell IN (SELECT cell FROM probes)
+   ORDER BY sim DESC, a3.vec_id ASC
+   LIMIT 10
+"""
+
+
+@register("ann_topk_ivf", _IVF_SQL)
 def ann_topk_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: deterministic coarse cells + nprobe scan pruning
-    (rows-only: recall<1 by design)."""
+    """IVF-style ANN: deterministic coarse cells + nprobe scan pruning.
+    Fully oracle-checked: the whole pipeline (seeds, Lloyd refinement,
+    probe selection, exact cosine re-rank) is deterministic, so DuckDB
+    reproduces it end to end. (Caveat: Spark rounds centroid means via
+    Python banker's rounding, DuckDB via half-away — divergence needs an
+    avg landing within 1 ulp of a 5e-7 boundary, checked green at the
+    driver's sf.)"""
     from .operators.similarity import ann_topk_ivf
     e = _load(spark, sf_dir, "embeddings")
     return ann_topk_ivf(e, "embedding", "vec_id",
