@@ -331,3 +331,102 @@ def test_cli_distributed_summary_multi_part(spark, tmp_path, capsys):
     assert rc >= 1 and captured["partitions"] == 8
     verd = spark.read.parquet(f"{out}/verdicts")
     assert verd.count() == 8
+
+
+# ----------------------------------------------------- dup clustering
+
+def test_dup_clusters_transitive_closure(spark):
+    """A chain a-b-c-d must collapse to ONE cluster (true transitive
+    closure — the star approximation in deduplicate() can't see a-d)."""
+    from xmlschema_spark.operators.dedup import dup_clusters
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "id_a string, id_b string")
+    got = {(r.member, r.cluster) for r in dup_clusters(pairs).collect()}
+    assert got == {("a", "a"), ("b", "a"), ("c", "a"), ("d", "a"),
+                   ("x", "x"), ("y", "x")}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    """A 12-node path graph needs several propagation rounds; early-stop
+    must still reach the fixpoint (min label everywhere)."""
+    from xmlschema_spark.operators.dedup import dup_clusters
+    n = 12
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n - 1)],
+        "id_a string, id_b string")
+    got = {(r.member, r.cluster) for r in dup_clusters(pairs).collect()}
+    assert got == {(f"n{i:02d}", "n00") for i in range(n)}
+
+
+# ------------------------------------------------ streaming windowed drift
+
+def test_streaming_windowed_histogram_and_drift(spark, tmp_path):
+    """Windowed histogram counts emit once per closed window (append +
+    watermark); per-window KL against a static reference flags the
+    shifted window."""
+    from xmlschema_spark.streaming.validate_stream import (
+        drift_from_windowed_counts, streaming_windowed_histogram)
+    rows = (
+        # window 10:00-11:00 — uniform-ish low values
+        [("2024-01-01 10:05:00", float(v)) for v in (1, 2, 3, 4, 5)] +
+        # window 11:00-12:00 — shifted high values
+        [("2024-01-01 11:20:00", float(v)) for v in (9, 9, 9, 9, 9)] +
+        # watermark pusher: closes both windows above
+        [("2024-01-01 13:30:00", 5.0)])
+    df = (spark.createDataFrame(rows, "ts string, value double")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    src = str(tmp_path / "src")
+    df.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("recursiveFileLookup", "true").parquet(src))
+    hist = streaming_windowed_histogram(stream, "value", "ts",
+                                        lo=0.0, width=1.0, n_bins=10)
+    out = str(tmp_path / "hist")
+    q = (hist.writeStream.format("parquet").option("path", out)
+         .option("checkpointLocation", str(tmp_path / "chk"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    # only the two CLOSED windows are emitted (13:00-14:00 stays open)
+    wins = {str(r.win_start) for r in
+            got.select("win_start").distinct().collect()}
+    assert wins == {"2024-01-01 10:00:00", "2024-01-01 11:00:00"}
+    assert got.agg(F.sum("n")).collect()[0][0] == 10
+
+    # reference: the SAME distribution as the 10:00 window -> kl~0 for
+    # it, large for the shifted 11:00 window
+    ref = spark.createDataFrame([(1, 1), (2, 1), (3, 1), (4, 1), (5, 1)],
+                                "bin int, n int")
+    kl = drift_from_windowed_counts(got, ref, n_bins=10,
+                                    kl_threshold=0.05)
+    by_win = {str(r.win_start): (r.kl, r.drifted) for r in kl.collect()}
+    assert by_win["2024-01-01 10:00:00"][1] is False
+    assert by_win["2024-01-01 11:00:00"][1] is True
+    assert by_win["2024-01-01 11:00:00"][0] > by_win["2024-01-01 10:00:00"][0]
+
+
+# ----------------------------------------------------- incremental dedup
+
+def test_incremental_dedup_across_batches(spark, tmp_path):
+    """A document seen in increment 1 must not survive increment 2; the
+    fingerprint store accumulates across calls; NULL text always
+    survives."""
+    from xmlschema_spark.operators.dedup import incremental_deduplicate
+    store = str(tmp_path / "fps")
+    inc1 = spark.createDataFrame(
+        [("a", "hello world"), ("b", "hello world"), ("c", "other"),
+         ("n1", None)],
+        "doc_id string, text string")
+    s1 = incremental_deduplicate(inc1, "text", "doc_id", store)
+    assert sorted(r.doc_id for r in s1.collect()) == ["a", "c", "n1"]
+    inc2 = spark.createDataFrame(
+        [("d", "hello world"), ("e", "brand new"), ("f", "brand new"),
+         ("n2", None)],
+        "doc_id string, text string")
+    s2 = incremental_deduplicate(inc2, "text", "doc_id", store)
+    assert sorted(r.doc_id for r in s2.collect()) == ["e", "n2"]
+    inc3 = spark.createDataFrame([("g", "brand new")],
+                                 "doc_id string, text string")
+    s3 = incremental_deduplicate(inc3, "text", "doc_id", store)
+    assert s3.count() == 0

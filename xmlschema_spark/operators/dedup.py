@@ -218,3 +218,98 @@ def deduplicate(df: DataFrame, text_col: str, id_col: str,
         losers = dups.select(F.col("id_b").alias(id_col)).distinct()
         return df.join(losers, on=id_col, how="left_anti")
     raise ValueError(f"unknown dedup method {method!r}")
+
+
+def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Connected components over a duplicate-pair graph: (member,
+    cluster) with cluster = the MIN member id of the component — the
+    exact transitive closure the star approximation in deduplicate()
+    skips ("iterate for full closure").
+
+    Algorithm: iterative min-label propagation with early stop — per
+    round, every node takes min(own label, neighbors' labels); stops
+    when a round changes nothing. Rounds needed = graph diameter;
+    duplicate clusters are near-cliques (LSH blocks + verified pairs),
+    so 2-3 rounds close almost any real corpus; max_iters bounds
+    adversarial chains. Each round is one join + one partial+final min
+    aggregate (shuffle on node id); labels persist round-to-round and
+    the previous round is unpersisted — bounded memory. At 10^12-edge
+    scale swap in alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce") — same join shape, fewer
+    rounds; the propagation here IS its small-star step.
+
+    Deterministic: min over ids at any parallelism; no shuffle-order
+    dependence."""
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    edges = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
+    # localCheckpoint per round, not persist: iterative plans grow their
+    # lineage geometrically and a 10+-round loop overflows plan
+    # compilation; checkpointing truncates the DAG to the materialized
+    # result (on a real cluster use reliable checkpoint() for executor-
+    # loss tolerance — same call shape)
+    labels = (edges.select(F.col("a").alias("node")).distinct()
+              .withColumn("lab", F.col("node"))
+              .localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iters):
+            nbr = (edges.join(labels.select(F.col("node").alias("b"),
+                                            F.col("lab").alias("nlab")),
+                              on="b")
+                   .groupBy("a").agg(F.min("nlab").alias("nlab")))
+            new = (labels.join(nbr, labels["node"] == nbr["a"], "left")
+                   .select(F.col("node"),
+                           F.least(F.col("lab"),
+                                   F.coalesce(F.col("nlab"), F.col("lab")))
+                           .alias("lab"))
+                   .localCheckpoint(eager=True))
+            changed = (new.join(labels.withColumnRenamed("lab", "old"),
+                                on="node")
+                       .where(F.col("lab") != F.col("old"))
+                       .limit(1).count())
+            labels = new
+            if changed == 0:
+                break
+        return labels.select(F.col("node").alias("member"),
+                             F.col("lab").alias("cluster"))
+    finally:
+        edges.unpersist()
+
+
+def incremental_deduplicate(df: DataFrame, text_col: str, id_col: str,
+                            store_path: str) -> DataFrame:
+    """Exact dedup of an INCREMENT against all previously-seen content:
+    the training-pipeline shape where data arrives in batches and a
+    document seen in ANY earlier batch must not survive again.
+
+    Steps (all deterministic):
+      1. within-increment dedup (min-id keeper per fingerprint; NULL
+         text kept, bypasses the window — same rules as deduplicate);
+      2. left-anti join of the survivors against the fingerprint STORE
+         (parquet of distinct fps from all prior increments);
+      3. append the new survivors' fingerprints to the store.
+
+    Returns the surviving rows. At 10^12-fp scale the store should be a
+    bucketed table on fp (shuffle-free anti-join) or the manifest side
+    of checkpoint.run_resumable; here it is plain parquet + AQE (the
+    anti-join broadcasts while the store is small and sort-merges once
+    it is not — no forced hint, same policy as keyref_violations)."""
+    spark = df.sparkSession
+    fp = df.withColumn("_fp", fingerprint(F.col(text_col)))
+    nulls = fp.where(F.col("_fp").isNull())
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    keepers = (fp.where(F.col("_fp").isNotNull())
+               .withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn"))
+    try:
+        seen = spark.read.parquet(store_path).select("fp")
+    except Exception:
+        seen = spark.createDataFrame([], "fp string")
+    fresh = keepers.join(seen.withColumnRenamed("fp", "_fp"),
+                         on="_fp", how="left_anti")
+    # materialize BEFORE appending to the store: the store write must
+    # not re-read its own output mid-plan
+    fresh = fresh.localCheckpoint(eager=True)
+    (fresh.select(F.col("_fp").alias("fp")).distinct()
+     .write.mode("append").parquet(store_path))
+    return fresh.drop("_fp").unionByName(nulls.drop("_fp"))

@@ -1394,3 +1394,106 @@ def gyear_facet_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         columns=[ColumnSpec("yr", "xsd:gYear", min_inclusive="1990")])
     return row_violations(ev, compile_plan(spec)) \
         .select("row_key", "constraint", "value")
+
+
+@register("dup_clusters_documents", """
+  WITH RECURSIVE toks AS (
+    SELECT doc_id, string_split(trim(regexp_replace(text,'\\s+',' ','g')), ' ') AS w
+      FROM documents),
+  sh AS (
+    SELECT doc_id,
+           list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, greatest(len(w)-2, 0))]) AS s
+      FROM toks),
+  sig AS (
+    SELECT doc_id,
+           list_min([md5('0|' || x) for x in s]) AS h0,
+           list_min([md5('1|' || x) for x in s]) AS h1,
+           list_min([md5('2|' || x) for x in s]) AS h2,
+           list_min([md5('3|' || x) for x in s]) AS h3
+      FROM (SELECT doc_id, [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+            for i in generate_series(1, greatest(len(w)-2, 0))] AS s
+              FROM toks) q),
+  bands AS (
+    SELECT doc_id, 0 AS band, md5(h0 || '|' || h1) AS bucket FROM sig
+    UNION ALL SELECT doc_id, 1, md5(h2 || '|' || h3) FROM sig),
+  hot AS (SELECT band, bucket FROM bands GROUP BY band, bucket HAVING count(*) > 1),
+  cand AS (
+    SELECT DISTINCT CAST(a.doc_id AS VARCHAR) AS id_a,
+                    CAST(b.doc_id AS VARCHAR) AS id_b
+      FROM bands a JOIN hot USING (band, bucket)
+      JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+     WHERE CAST(a.doc_id AS VARCHAR) < CAST(b.doc_id AS VARCHAR)),
+  verified AS (
+    SELECT p.id_a, p.id_b
+      FROM cand p
+      JOIN sh sa ON CAST(sa.doc_id AS VARCHAR) = p.id_a
+      JOIN sh sb ON CAST(sb.doc_id AS VARCHAR) = p.id_b
+     WHERE ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+                 / len(list_distinct(sa.s || sb.s)), 6) >= 0.5),
+  edges AS (SELECT id_a AS a, id_b AS b FROM verified
+            UNION SELECT id_b, id_a FROM verified),
+  nodes AS (SELECT DISTINCT a AS node FROM edges),
+  reach AS (
+    SELECT node, node AS r FROM nodes
+    UNION
+    SELECT e.a AS node, reach.r FROM edges e JOIN reach ON reach.node = e.b)
+  SELECT node AS member, min(r) AS cluster FROM reach GROUP BY node
+""")
+def dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE transitive closure of the near-dup graph (LSH candidates
+    verified at jaccard >= 0.5): (member, cluster) with cluster = min
+    member id per connected component, via iterative min-label
+    propagation (operators/dedup.dup_clusters). The oracle computes the
+    same components with a recursive CTE — full pipeline parity from
+    raw text to cluster labels."""
+    from .operators.dedup import dup_clusters, lsh_bucket_pairs, ngram_jaccard
+    d = _load(spark, sf_dir, "documents") \
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    cand = lsh_bucket_pairs(d, "text", "doc_id", n_hashes=4, band_size=2)
+    verified = ngram_jaccard(d, "text", "doc_id", cand, threshold=0.5) \
+        .select("id_a", "id_b")
+    return dup_clusters(verified)
+
+
+@register("incremental_dedup_documents", """
+  WITH fp AS (
+    SELECT doc_id, lang,
+           md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS f
+      FROM documents),
+  inc1 AS (SELECT * FROM fp WHERE doc_id % 2 = 0),
+  inc2 AS (SELECT * FROM fp WHERE doc_id % 2 = 1),
+  seen AS (SELECT DISTINCT f FROM inc1 WHERE f IS NOT NULL),
+  keep2 AS (SELECT f, min(doc_id) AS doc_id FROM inc2
+             WHERE f IS NOT NULL GROUP BY f)
+  SELECT CAST(i.doc_id AS VARCHAR) AS doc_id, i.lang AS lang
+    FROM inc2 i JOIN keep2 k ON i.doc_id = k.doc_id AND i.f = k.f
+   WHERE i.f NOT IN (SELECT f FROM seen)
+  UNION ALL
+  SELECT CAST(doc_id AS VARCHAR), lang FROM inc2 WHERE f IS NULL
+""")
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-increment exact dedup with a persistent fingerprint store
+    (operators/dedup.incremental_deduplicate): increment 1 = even
+    doc_ids, increment 2 = odd; returns increment-2 survivors — rows
+    whose content was never seen in EITHER increment before them. The
+    oracle replays both increments in SQL."""
+    import shutil
+    import tempfile
+
+    from .operators.dedup import incremental_deduplicate
+    d = _load(spark, sf_dir, "documents")
+    store = tempfile.mkdtemp(prefix="xmlschema_spark_fps_")
+    try:
+        store_path = f"{store}/fps"
+        incremental_deduplicate(d.where(F.col("doc_id") % 2 == 0),
+                                "text", "doc_id", store_path)
+        s2 = incremental_deduplicate(d.where(F.col("doc_id") % 2 == 1),
+                                     "text", "doc_id", store_path)
+        # survivors are localCheckpoint-materialized inside the
+        # operator, so the frame stays valid after the store directory
+        # is gone
+        return s2.select(F.col("doc_id").cast("string").alias("doc_id"),
+                         "lang")
+    finally:
+        shutil.rmtree(store, ignore_errors=True)

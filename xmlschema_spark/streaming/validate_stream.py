@@ -242,3 +242,69 @@ def streaming_unique_violations(stream_df: DataFrame, key_cols: list[str],
             .applyInPandasWithState(track, out_schema, state_schema,
                                     "append",
                                     GroupStateTimeout.EventTimeTimeout))
+
+
+def streaming_windowed_histogram(stream_df: DataFrame, col: str,
+                                 event_time_col: str,
+                                 lo: float, width: float, n_bins: int,
+                                 window: str = "1 hour",
+                                 watermark: str = "10 minutes"
+                                 ) -> DataFrame:
+    """Per-event-time-window histogram of a numeric column on a stream:
+    (win_start, win_end, bin, n), emitted in APPEND mode — a window's
+    rows appear exactly once, when the watermark passes its end and the
+    count is final. Late rows inside the watermark are aggregated
+    correctly; later ones are dropped by the watermark (bounded state:
+    open windows x bins).
+
+    Same clamped fixed-width binning as the batch operator
+    (operators/drift.histogram), so a streamed histogram is directly
+    comparable to a batch reference histogram — that comparison is
+    drift_from_windowed_counts below."""
+    b = F.greatest(
+        F.least(F.floor((F.col(col) - lo) / width), F.lit(n_bins - 1)),
+        F.lit(0)).cast("bigint")
+    return (stream_df
+            .withColumn(event_time_col,
+                        F.col(event_time_col).cast("timestamp"))
+            .withWatermark(event_time_col, watermark)
+            .where(F.col(col).isNotNull())
+            .groupBy(F.window(event_time_col, window).alias("win"),
+                     b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"), "bin", "n"))
+
+
+def drift_from_windowed_counts(hist: DataFrame, ref_counts: DataFrame,
+                               n_bins: int, smooth: float = 0.5,
+                               kl_threshold: float = 0.05) -> DataFrame:
+    """Per-window KL(window || reference) from finalized windowed
+    histogram counts (the sink of streaming_windowed_histogram) against
+    a static reference histogram (bin, n). Batch pass over closed
+    windows — streaming can't nest a second aggregation, and KL over a
+    FINAL window is the only sound reading anyway.
+
+    Returns (win_start, win_end, kl, drifted)."""
+    spark = hist.sparkSession
+    wins = hist.select("win_start", "win_end").distinct()
+    bins = spark.range(n_bins).select(F.col("id").alias("bin"))
+    grid = wins.crossJoin(F.broadcast(bins))
+    pc = hist.groupBy("win_start", "win_end", "bin") \
+        .agg(F.sum("n").cast("double").alias("pc"))
+    qc = ref_counts.groupBy("bin").agg(F.sum("n").cast("double").alias("qc"))
+    j = (grid.join(pc, on=["win_start", "win_end", "bin"], how="left")
+         .join(F.broadcast(qc), on="bin", how="left")
+         .select("win_start", "win_end", "bin",
+                 F.coalesce("pc", F.lit(0.0)).alias("pc"),
+                 F.coalesce("qc", F.lit(0.0)).alias("qc")))
+    tot = j.groupBy("win_start", "win_end").agg(
+        F.sum("pc").alias("pt"))
+    qt = qc.agg(F.sum("qc").alias("qt"))
+    j = j.join(tot, on=["win_start", "win_end"]).crossJoin(F.broadcast(qt))
+    p = (F.col("pc") + smooth) / (F.col("pt") + smooth * n_bins)
+    q = (F.col("qc") + smooth) / (F.col("qt") + smooth * n_bins)
+    return (j.groupBy("win_start", "win_end")
+            .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
+            .select("win_start", "win_end", "kl",
+                    (F.col("kl") > kl_threshold).alias("drifted")))
