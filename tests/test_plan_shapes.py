@@ -93,3 +93,18 @@ def test_topk_uses_take_ordered(spark, sf_dir):
     q = [float(x) for x in e.select("embedding").first()[0]]
     p = _plan(cosine_topk(e, "embedding", "vec_id", q, k=5))
     assert "TakeOrderedAndProject" in p
+
+
+def test_temporal_facet_queries_shuffle_free_and_pruned(spark, sf_dir):
+    """Temporal ordered facets are row-local: the whole query must stay
+    in one codegen stage with NO Exchange, and the parquet scan must
+    prune to the single id column the derived value needs."""
+    from xmlschema_spark.queries import QUERIES
+    for q, id_col in (("duration_facet_documents", "doc_id"),
+                      ("gyear_facet_events", "event_id")):
+        p = _plan(QUERIES[q](spark, sf_dir))
+        assert "Exchange" not in p, (q, p)
+        assert "*(" in p, (q, p)
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", p)
+        cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+        assert cols == {id_col}, (q, cols)

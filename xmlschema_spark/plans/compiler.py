@@ -344,6 +344,62 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
         arr = col
         value_col = F.to_json(col)
     present = col.isNotNull()
+
+    if item.dtype and item.dtype.startswith("xsd:"):
+        # list/array of XSD temporal items (e.g. xs:list of xs:gYear,
+        # simple_types.py:991-1019 with a temporal item type): each item
+        # is validated against the type's lexical pattern, and ordered
+        # facets compile per element through the same partial-order
+        # machinery as scalar columns (functions/temporal_order.py) —
+        # the lambda builds the comparison fresh per element, so no HOF
+        # re-inline hazard on a shared outer expression.
+        from ..functions import temporal_order as _TORD
+        from ..functions.temporal_lex import ALL as _XSD_LEX
+        kind = item.dtype[4:]
+        if kind not in _XSD_LEX:
+            raise ValueError(f"unknown xsd lexical item type {item.dtype!r}")
+        lex = translate_xsd_pattern(_XSD_LEX[kind])
+        checks: list[RowCheck] = []
+
+        def addx(kind_name: str, reason: str, elem_valid) -> None:
+            bad = F.exists(arr, lambda x: x.isNotNull() & ~elem_valid(x))
+            checks.append(RowCheck(
+                constraint=f"facet:item:{kind_name}:{cs.name}",
+                reason=f"list item: {reason}",
+                valid=~present | ~bad,
+                value_col=value_col,
+            ))
+
+        addx("decode", f"item is not a valid {item.dtype}",
+             lambda x: x.cast("string").rlike(lex))
+        for fname, lit_v in (("minInclusive", item.min_inclusive),
+                             ("minExclusive", item.min_exclusive),
+                             ("maxInclusive", item.max_inclusive),
+                             ("maxExclusive", item.max_exclusive)):
+            if lit_v is None:
+                continue
+            if kind in _TORD.DURATION_KINDS:
+                _TORD.parse_duration_literal(str(lit_v), kind)
+
+                def ordered_pred(x, f=fname, v=str(lit_v), k=kind):
+                    return ~x.cast("string").rlike(lex) \
+                        | _TORD.duration_ordered_valid(x.cast("string"),
+                                                       f, v, k)
+            else:
+                _TORD.parse_temporal_literal(str(lit_v), kind)
+
+                def ordered_pred(x, f=fname, v=str(lit_v), k=kind):
+                    return ~x.cast("string").rlike(lex) \
+                        | _TORD.temporal_ordered_valid(x.cast("string"),
+                                                       f, v, k)
+            addx(fname, f"item must satisfy {fname} {lit_v} "
+                        f"(xsd:{kind})", ordered_pred)
+        if item.enum is not None:
+            addx("enumeration", f"item must be in {item.enum}",
+                 lambda x: x.cast("string").isin(
+                     *[str(e) for e in item.enum]))
+        return checks
+
     typed_items = item.dtype not in (None, "string")
 
     def cast_item(x: Column) -> Column:
