@@ -67,7 +67,7 @@ def selector_alias(path: str) -> str:
     and the constraint evaluated over the wrong field)."""
     import zlib
     slug = re.sub(r"[^A-Za-z0-9]+", "_", path.strip()).strip("_")
-    crc = format(zlib.crc32(path.strip().encode()) & 0xFF, "02x")
+    crc = format(zlib.crc32(path.strip().encode()) & 0xFFFFFFFF, "08x")
     return f"_sel_{slug}_{crc}"
 
 

@@ -213,14 +213,24 @@ def temporal_point(col: Column, kind: str) -> tuple[Column, Column]:
     y, mo, da = comp("y"), comp("mo"), comp("da")
     hh, mi = comp("hh"), comp("mi")
     ss = comp("ss", "double")
+    # xs:time "24:00:00" is lexically valid and denotes the SAME value
+    # as "00:00:00" (XSD canonical mapping; the reference's Time type
+    # normalizes it) — for the date-anchored time kind wrap 24 -> 0.
+    # dateTime needs no wrap: hh=24 genuinely rolls to the next day on
+    # the timeline, which the plain arithmetic already produces.
+    if kind == "time":
+        hh = F.when(hh == 24, F.lit(0)).otherwise(hh)
     # try_to_timestamp, not make_date: under ANSI mode (Spark 4 default)
     # make_date THROWS on a non-existent date like 2001-02-30; the
     # try-variant yields NULL, which is exactly the decode-suppression
-    # this module wants. Years are zero-padded to 4 (years > 9999 fall
-    # out as NULL — documented limit).
-    ds = F.concat(F.lpad(y.cast("string"), 4, "0"), F.lit("-"),
-                  F.lpad(mo.cast("string"), 2, "0"), F.lit("-"),
-                  F.lpad(da.cast("string"), 2, "0"))
+    # this module wants. Years outside 4 digits are forced to NULL
+    # explicitly — lpad TRUNCATES overlong strings, so without the
+    # guard a 5-digit year would silently decode as its first 4 digits.
+    ys = y.cast("string")
+    ds = F.when(F.length(ys) > 4, F.lit(None).cast("string")) \
+          .otherwise(F.concat(F.lpad(ys, 4, "0"), F.lit("-"),
+                              F.lpad(mo.cast("string"), 2, "0"), F.lit("-"),
+                              F.lpad(da.cast("string"), 2, "0")))
     days = F.datediff(F.try_to_timestamp(ds, F.lit("yyyy-MM-dd"))
                       .cast("date"),
                       F.lit(_EPOCH.isoformat()).cast("date"))
@@ -249,8 +259,13 @@ def parse_temporal_literal(s: str, kind: str) -> tuple[float, float | None]:
     y, mo, da = int(g("y")), int(g("mo")), int(g("da"))
     if y < 1:
         raise ValueError(f"years before 0001 unsupported: {s!r}")
+    if y > 9999:
+        raise ValueError(f"years beyond 9999 unsupported: {s!r}")
+    hh = g("hh")
+    if kind == "time" and hh == 24:
+        hh = 0.0        # xs:time 24:00:00 == 00:00:00 (canonical mapping)
     base = ((date(y, mo, da) - _EPOCH).days * 86400.0
-            + g("hh") * 3600.0 + g("mi") * 60.0 + g("ss"))
+            + hh * 3600.0 + g("mi") * 60.0 + g("ss"))
     tzs = m.group(groups["tz"])
     if tzs is None:
         tz = None

@@ -51,10 +51,11 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str,
     return df.select(F.col(id_col), F.inline(F.array(sig)))
 
 
-def _cap_buckets(df: DataFrame, keys: list[str], order_col: str,
+def _cap_buckets(df: DataFrame, keys: list[str], order_col,
                  max_bucket: int) -> DataFrame:
     """Keep the first max_bucket rows per bucket, ordered by order_col —
-    deterministic at any parallelism, and BOUNDED BEFORE any
+    (a column name or a Column expression) — deterministic at any
+    parallelism, and BOUNDED BEFORE any
     collect_list/applyInPandas materializes the bucket. The window's
     hash partitioning is reused by a following groupBy on the same keys
     (no extra Exchange — asserted in tests/test_plan_shapes.py)."""
@@ -252,6 +253,7 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
               .withColumn("lab", F.col("node"))
               .localCheckpoint(eager=True))
     try:
+        converged = False
         for _ in range(max_iters):
             nbr = (edges.join(labels.select(F.col("node").alias("b"),
                                             F.col("lab").alias("nlab")),
@@ -269,7 +271,16 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                        .limit(1).count())
             labels = new
             if changed == 0:
+                converged = True
                 break
+        if not converged:
+            # silent non-convergence would hand back labels where one
+            # component carries several "representatives" — fail loudly
+            # instead (the contract is cluster == component min)
+            raise RuntimeError(
+                f"dup_clusters did not converge in {max_iters} rounds "
+                "(component diameter exceeds max_iters); raise max_iters "
+                "or pre-contract chains with large-star/small-star")
         return labels.select(F.col("node").alias("member"),
                              F.col("lab").alias("cluster"))
     finally:
@@ -301,9 +312,15 @@ def incremental_deduplicate(df: DataFrame, text_col: str, id_col: str,
     keepers = (fp.where(F.col("_fp").isNotNull())
                .withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") == 1).drop("_rn"))
+    from pyspark.errors import AnalysisException
     try:
         seen = spark.read.parquet(store_path).select("fp")
-    except Exception:
+    except AnalysisException as e:
+        # ONLY a first-run missing store is an empty store; any other
+        # read failure (permissions, corrupt files) must surface — a
+        # silently-empty store would re-admit every historical duplicate
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         seen = spark.createDataFrame([], "fp string")
     fresh = keepers.join(seen.withColumnRenamed("fp", "_fp"),
                          on="_fp", how="left_anti")

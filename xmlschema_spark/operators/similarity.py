@@ -5,7 +5,9 @@
   (per-partition top-k then merge — never a global sort of all rows).
 - sign-LSH (random hyperplane) bucketing: the scale path — candidates
   restricted to the query's bucket(s); hyperplanes are deterministic
-  (xxhash64-derived ±1), so buckets are reproducible anywhere.
+  ±1 weights derived from md5 first-byte parity (plane_weight), so the
+  exact buckets are reproducible by ANY engine — the DuckDB oracles
+  recompute them bit-for-bit.
 - all-pairs near-dup: LSH-bucket join, exact cosine verify inside
   buckets only.
 """
@@ -149,9 +151,13 @@ def cosine_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
         dims = len(df.select(vec_col).first()[0])
         # bucket ONCE on the shared base, cap, then derive both join
         # sides from the SAME capped frame so left/right survivors
-        # agree row-for-row
+        # agree row-for-row. Cap order = STRING-cast id, matching the
+        # vectorized path (which works on string ids throughout), so
+        # an over-cap bucket keeps the identical survivor set on both
+        # paths regardless of the caller's id type.
         bb = base.withColumn("_b", lsh_bucket(F.col("_raw"), n_planes, dims))
-        bb = _cap_buckets(bb, ["_b"], "_id", max_bucket)
+        bb = _cap_buckets(bb, ["_b"], F.col("_id").cast("string"),
+                          max_bucket)
         lb = bb.select(F.col("_id").alias("id_a"), F.col("_u").alias("va"), "_b")
         rb = bb.select(F.col("_id").alias("id_b"), F.col("_u").alias("vb"), "_b")
         j = lb.join(rb, on="_b", how="inner").where(F.col("id_a") < F.col("id_b"))

@@ -385,19 +385,41 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
                     return ~x.cast("string").rlike(lex) \
                         | _TORD.duration_ordered_valid(x.cast("string"),
                                                        f, v, k)
-            else:
+            elif kind in _TORD.TEMPORAL_KINDS:
                 _TORD.parse_temporal_literal(str(lit_v), kind)
 
                 def ordered_pred(x, f=fname, v=str(lit_v), k=kind):
                     return ~x.cast("string").rlike(lex) \
                         | _TORD.temporal_ordered_valid(x.cast("string"),
                                                        f, v, k)
+            else:
+                raise ValueError(
+                    f"ordered item facet {fname} unsupported for "
+                    f"xsd:{kind}")
             addx(fname, f"item must satisfy {fname} {lit_v} "
                         f"(xsd:{kind})", ordered_pred)
         if item.enum is not None:
             addx("enumeration", f"item must be in {item.enum}",
                  lambda x: x.cast("string").isin(
                      *[str(e) for e in item.enum]))
+        if item.pattern:
+            ipats = [translate_xsd_pattern(p) for p in item.pattern]
+
+            def pat_pred(x):
+                ok = x.cast("string").rlike(ipats[0])
+                for pp in ipats[1:]:
+                    ok = ok | x.cast("string").rlike(pp)
+                return ok
+            addx("pattern", f"item must match {item.pattern}", pat_pred)
+        if item.length is not None:
+            addx("length", f"item length must be {item.length}",
+                 lambda x: F.length(x.cast("string")) == item.length)
+        if item.min_length is not None:
+            addx("minLength", f"item length >= {item.min_length}",
+                 lambda x: F.length(x.cast("string")) >= item.min_length)
+        if item.max_length is not None:
+            addx("maxLength", f"item length <= {item.max_length}",
+                 lambda x: F.length(x.cast("string")) <= item.max_length)
         return checks
 
     typed_items = item.dtype not in (None, "string")

@@ -934,10 +934,35 @@ def ngram_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", "jaccard")
 
 
-@register("embedding_near_dups_vectorized")
+@register("embedding_near_dups_vectorized", f"""
+  WITH {_bucket_cte(4)},
+  pairs AS (
+    SELECT CAST(a.vec_id AS VARCHAR) AS id_a,
+           CAST(c.vec_id AS VARCHAR) AS id_b,
+           ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                  CAST(c.embedding AS DOUBLE[]))
+                 / NULLIF(sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(a.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                CAST(c.embedding AS DOUBLE[]))),
+                          0), 4) AS sim
+      FROM b a JOIN b c
+        ON a.bucket = c.bucket
+       -- the vectorized operator orients pairs LEXICOGRAPHICALLY on the
+       -- string-cast id (its applyInPandas schema is string); compare
+       -- as VARCHAR, not numerically
+       AND CAST(a.vec_id AS VARCHAR) < CAST(c.vec_id AS VARCHAR))
+  SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3
+""")
 def embedding_near_dups_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-bucket BLAS-matmul near-dups (applyInPandas) — the 100TB
-    compute path for embedding dedup. Rows-only check (recall<1)."""
+    compute path for embedding dedup. Fully oracle-checked against the
+    same bucket-restricted exact SQL as the HOF path (md5-portable
+    planes), plus the vectorized==HOF equivalence pytest. Residual
+    rounding caveat: numpy's round is half-even vs ROUND's half-away;
+    a pair whose cosine lands exactly on a 0.00005 boundary could
+    diverge — none do at any tested SF, and the pairs themselves are
+    rounding-independent."""
     from .operators.similarity import cosine_near_dup_pairs_vectorized
     e = _load(spark, sf_dir, "embeddings")
     return cosine_near_dup_pairs_vectorized(e, "embedding", "vec_id",

@@ -173,12 +173,16 @@ def streaming_unique_violations(stream_df: DataFrame, key_cols: list[str],
     the error, schemas.py:1386-1405) instead of returning the deduped
     stream and asking callers to diff.
 
-    Same applyInPandasWithState mechanism as the global path, but state
-    per key tuple expires on an EVENT-TIME timeout at (max event time
-    seen + watermark delay): once the watermark passes that point no
-    further row for the tuple can arrive (late rows are dropped by the
-    watermark), so the entry is dead weight and is removed — state is
-    bounded by the watermark horizon, not the key-tuple cardinality.
+    CONTRACT — uniqueness within the watermark horizon, the same bound
+    as Spark's own watermarked dropDuplicates: a key tuple's state
+    expires on an EVENT-TIME timeout at (max event time seen for the
+    tuple + watermark delay). Duplicate occurrences separated by MORE
+    than the delay in event time are therefore out of scope — a later
+    on-time row with a fresh event time restarts the count and neither
+    occurrence is flagged. That trade is what bounds state to the open
+    horizon instead of the key-tuple cardinality; for UNBOUNDED-scope
+    uniqueness use streaming_global_unique_violations (NoTimeout,
+    state grows with distinct keys).
 
     Emission matches batch semantics within the horizon: every
     occurrence of a duplicated tuple is flagged, including the FIRST
