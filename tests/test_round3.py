@@ -348,15 +348,26 @@ def test_dup_clusters_transitive_closure(spark):
 
 
 def test_dup_clusters_long_chain_converges(spark):
-    """A 12-node path graph needs several propagation rounds; early-stop
-    must still reach the fixpoint (min label everywhere)."""
+    """A 40-node path graph must converge in ~log2(40) rounds thanks to
+    pointer jumping — max_iters=10 would take 39 rounds under plain
+    neighbor-min propagation."""
     from xmlschema_spark.operators.dedup import dup_clusters
-    n = 12
+    n = 40
     pairs = spark.createDataFrame(
         [(f"n{i:02d}", f"n{i+1:02d}") for i in range(n - 1)],
         "id_a string, id_b string")
-    got = {(r.member, r.cluster) for r in dup_clusters(pairs).collect()}
+    got = {(r.member, r.cluster) for r in
+           dup_clusters(pairs, max_iters=10).collect()}
     assert got == {(f"n{i:02d}", "n00") for i in range(n)}
+
+
+def test_dup_clusters_raises_on_nonconvergence(spark):
+    from xmlschema_spark.operators.dedup import dup_clusters
+    pairs = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(30)],
+        "id_a string, id_b string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dup_clusters(pairs, max_iters=2)
 
 
 # ------------------------------------------------ streaming windowed drift

@@ -227,12 +227,14 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     exact transitive closure the star approximation in deduplicate()
     skips ("iterate for full closure").
 
-    Algorithm: iterative min-label propagation with early stop — per
-    round, every node takes min(own label, neighbors' labels); stops
-    when a round changes nothing. Rounds needed = graph diameter;
-    duplicate clusters are near-cliques (LSH blocks + verified pairs),
-    so 2-3 rounds close almost any real corpus; max_iters bounds
-    adversarial chains. Each round is one join + one partial+final min
+    Algorithm: iterative min-label propagation COMPOSED WITH pointer
+    jumping (lab <- lab(lab)) and early stop — per round every node
+    takes min(own, neighbors' labels), then hops once through its
+    label's label, so chain depth halves per round: O(log diameter)
+    rounds (the large-star/small-star bound), and duplicate clusters
+    being near-cliques (LSH blocks + verified pairs) close in 2-3;
+    max_iters bounds adversarial chains (a path of 2^20 nodes still
+    converges in ~20 rounds). Each round is one join + one partial+final min
     aggregate (shuffle on node id); labels persist round-to-round and
     the previous round is unpersisted — bounded memory. At 10^12-edge
     scale swap in alternating large-star/small-star (Kiveris et al.,
@@ -263,6 +265,19 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                    .select(F.col("node"),
                            F.least(F.col("lab"),
                                    F.coalesce(F.col("nlab"), F.col("lab")))
+                           .alias("lab")))
+            # pointer jumping: lab <- lab(lab). Plain neighbor-min needs
+            # diameter rounds on a path graph; composing each round with
+            # one label-of-label hop halves chain depth, giving
+            # O(log diameter) rounds total (the same bound as
+            # large-star/small-star contraction, one extra self-join per
+            # round instead of a rewritten edge set)
+            hop = new.select(F.col("node").alias("_n2"),
+                             F.col("lab").alias("_l2"))
+            new = (new.join(hop, new["lab"] == hop["_n2"], "left")
+                   .select(F.col("node"),
+                           F.least(F.col("lab"),
+                                   F.coalesce(F.col("_l2"), F.col("lab")))
                            .alias("lab"))
                    .localCheckpoint(eager=True))
             changed = (new.join(labels.withColumnRenamed("lab", "old"),

@@ -103,3 +103,37 @@ def drift_report(cur: DataFrame, ref: DataFrame, cols: list[str],
                     (F.col("kl") > kl_threshold).alias("drifted"))
         out = kl if out is None else out.unionByName(kl)
     return out
+
+
+def js_from_counts(bins: DataFrame, pc: DataFrame, qc: DataFrame,
+                   n_bins: int, smooth: float = 0.5) -> DataFrame:
+    """Jensen-Shannon divergence from pre-counted bins: symmetric and
+    bounded by ln(2), so thresholds transfer across column scales
+    (KL(P||Q) is unbounded and direction-dependent). Same smoothing and
+    physical shape as kl_from_counts — one few-row join after the
+    aggregates."""
+    joined = (bins.join(pc, on="bin", how="left")
+                  .join(qc, on="bin", how="left")
+                  .select("bin",
+                          F.coalesce("pc", F.lit(0.0)).alias("pc"),
+                          F.coalesce("qc", F.lit(0.0)).alias("qc")))
+    tot = joined.agg(F.sum("pc").alias("pt"), F.sum("qc").alias("qt"))
+    j = joined.crossJoin(F.broadcast(tot))
+    p = (F.col("pc") + smooth) / (F.col("pt") + smooth * n_bins)
+    q = (F.col("qc") + smooth) / (F.col("qt") + smooth * n_bins)
+    m = (p + q) / 2
+    return j.agg(F.sum(0.5 * p * F.log(p / m)
+                       + 0.5 * q * F.log(q / m)).alias("js"))
+
+
+def js_divergence(p_bins: DataFrame, q_bins: DataFrame, bin_col: str,
+                  n_bins: int, smooth: float = 0.5) -> DataFrame:
+    """JS divergence over per-observation binned inputs (see
+    kl_divergence for the counting shape)."""
+    spark = p_bins.sparkSession
+    pc = p_bins.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).cast("double").alias("pc"))
+    qc = q_bins.groupBy(F.col(bin_col).alias("bin")).agg(
+        F.count(F.lit(1)).cast("double").alias("qc"))
+    bins = spark.range(n_bins).select(F.col("id").alias("bin"))
+    return js_from_counts(bins, pc, qc, n_bins, smooth)

@@ -195,3 +195,38 @@ def simhash48(col: Column) -> Column:
                   t, lambda x: bind1(F.md5(x),
                                      lambda m: _hex_digits(m, 12)))),
         fold)
+
+
+def simhash64_pair(col: Column) -> Column:
+    """64-bit SimHash as a (hi32, lo32) struct — for parity with
+    external 64-bit SimHash systems while keeping every intermediate in
+    positive-bigint range on ANY engine (a single signed 64-bit value
+    can't carry bit 63 portably; the two-column split can, and users
+    reassemble hi*2^32 + lo where their engine allows it).
+
+    Bit b of token t is bit (b % 4) of hex digit (b // 4) of md5(t) —
+    the same md5-digit scheme as simhash48, extended to 16 hex digits.
+    hi32 = bits 32..63, lo32 = bits 0..31, both as non-negative bigint.
+    """
+    def fold(dgs):
+        n = F.size(dgs)
+        lo = F.lit(0).cast("bigint")
+        hi = F.lit(0).cast("bigint")
+        for b in range(64):
+            c, mask = b // 4, 1 << (b % 4)
+            ones = F.size(F.filter(dgs, _band_bit_pred(c, mask)))
+            bit = F.when(ones * 2 > n,
+                         F.lit(1 << (b % 32)).cast("bigint")) \
+                   .otherwise(F.lit(0).cast("bigint"))
+            if b < 32:
+                lo = lo.bitwiseOR(bit)
+            else:
+                hi = hi.bitwiseOR(bit)
+        return F.struct(hi.alias("hi32"), lo.alias("lo32"))
+
+    return bind1(
+        bind1(tokens(col),
+              lambda t: F.transform(
+                  t, lambda x: bind1(F.md5(x),
+                                     lambda m: _hex_digits(m, 16)))),
+        fold)

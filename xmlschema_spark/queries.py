@@ -1522,3 +1522,94 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                          "lang")
     finally:
         shutil.rmtree(store, ignore_errors=True)
+
+
+@register("token_stats_documents", """
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         CAST(len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')),
+                               ' ')) AS BIGINT) AS ws_tokens,
+         CAST(len(regexp_extract_all(text,
+                  '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+           AS bpe_tokens
+    FROM documents
+   WHERE text IS NOT NULL
+""")
+def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting both ways the pipeline needs them (graft brief):
+    whitespace tokens and the BPE-ish sub-word count (letter runs +
+    digit runs + single punctuation marks) — pure JVM regexp, oracle
+    replicates the exact regex in DuckDB's RE2."""
+    from .operators.text import bpe_ish_token_count, token_count
+    d = _load(spark, sf_dir, "documents")
+    return (d.where(F.col("text").isNotNull())
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    token_count(F.col("text")).cast("bigint")
+                    .alias("ws_tokens"),
+                    bpe_ish_token_count(F.col("text")).cast("bigint")
+                    .alias("bpe_tokens")))
+
+
+@register("js_drift_events_halves", """
+  WITH lo AS (SELECT CAST(GREATEST(LEAST(FLOOR(value/5.0),19),0) AS BIGINT) AS bin,
+                     count(*)::DOUBLE AS c FROM events
+               WHERE value IS NOT NULL AND event_id % 2 = 0 GROUP BY 1),
+       hi AS (SELECT CAST(GREATEST(LEAST(FLOOR(value/5.0),19),0) AS BIGINT) AS bin,
+                     count(*)::DOUBLE AS c FROM events
+               WHERE value IS NOT NULL AND event_id % 2 = 1 GROUP BY 1),
+       bins AS (SELECT range AS bin FROM range(0, 20)),
+       p AS (SELECT b.bin, (COALESCE(lo.c,0)+0.5)/(SELECT sum(c)+10 FROM lo) AS p
+               FROM bins b LEFT JOIN lo ON b.bin = lo.bin),
+       q AS (SELECT b.bin, (COALESCE(hi.c,0)+0.5)/(SELECT sum(c)+10 FROM hi) AS q
+               FROM bins b LEFT JOIN hi ON b.bin = hi.bin)
+  SELECT 'value' AS col,
+         ROUND(SUM(0.5 * p.p * LN(p.p / ((p.p + q.q)/2))
+                 + 0.5 * q.q * LN(q.q / ((p.p + q.q)/2))), 6) AS js
+    FROM p JOIN q USING (bin)
+""")
+def js_drift_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon drift between two event cohorts: symmetric,
+    bounded by ln(2) — thresholds comparable across columns, unlike
+    raw KL."""
+    from .operators.drift import js_divergence
+    ev = _load(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    b = F.greatest(F.least(F.floor(F.col("value") / 5.0), F.lit(19)), F.lit(0)) \
+        .cast("bigint")
+    lo = ev.where(F.col("event_id") % 2 == 0).select(b.alias("bin"))
+    hi = ev.where(F.col("event_id") % 2 == 1).select(b.alias("bin"))
+    return js_divergence(lo, hi, "bin", n_bins=20).select(
+        F.lit("value").alias("col"), F.round("js", 6).alias("js"))
+
+
+_SIMHASH64_HI = " + ".join(
+    f"CASE WHEN 2*len([1 for v in dg if (v[{b // 4 + 1}] & {1 << (b % 4)}) <> 0]) > n"
+    f" THEN {1 << (b % 32)}::BIGINT ELSE 0::BIGINT END"
+    for b in range(32, 64))
+_SIMHASH64_LO = " + ".join(
+    f"CASE WHEN 2*len([1 for v in dg if (v[{b // 4 + 1}] & {1 << (b % 4)}) <> 0]) > n"
+    f" THEN {1 << b}::BIGINT ELSE 0::BIGINT END"
+    for b in range(32))
+
+
+@register("simhash64_documents", f"""
+  WITH t AS (
+    SELECT doc_id, string_split(trim(regexp_replace(text,'\\s+',' ','g')), ' ') AS w
+      FROM documents),
+  d AS (
+    SELECT doc_id,
+           [[strpos('0123456789abcdef', substr(md5(x), p, 1)) - 1
+             for p in generate_series(1, 16)] for x in w] AS dg,
+           len(w) AS n
+      FROM t)
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         ({_SIMHASH64_HI}) AS hi32, ({_SIMHASH64_LO}) AS lo32
+    FROM d
+""")
+def simhash64_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash as a (hi32, lo32) pair for parity with external
+    64-bit systems — each half stays in positive-bigint range on any
+    engine; full DuckDB value oracle over both halves."""
+    from .operators.text import simhash64_pair
+    d = _load(spark, sf_dir, "documents")
+    sh = simhash64_pair(F.col("text"))
+    return d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.inline(F.array(sh)))
