@@ -47,3 +47,31 @@ ALL = {
     "yearMonthDuration": YEARMONTH_DURATION,
     "dayTimeDuration": DAYTIME_DURATION,
 }
+
+
+# --- XSD built-in NAME/token lexical types (reference decode parsers:
+# xmlschema via elementpath builtins; lexical rules are the public XSD
+# datatypes spec). These use XSD regex escapes (\i \c, class
+# subtraction) which functions/xsd_regex.translate_xsd_pattern compiles
+# to Java regex — same pipeline as user patterns. No ordered facets
+# (compile_column rejects min/max on non-temporal xsd kinds).
+LANGUAGE = r"[a-zA-Z]{1,8}(-[a-zA-Z0-9]{1,8})*"
+NAME = r"\i\c*"
+NCNAME = r"[\i-[:]][\c-[:]]*"
+NMTOKEN = r"\c+"
+# token/normalizedString value constraints: no leading/trailing/double
+# spaces resp. no tab/newline (XSD 1.0 pt.2 3.3.1-3.3.2); on an already
+# whitespace-preserved column these validate the RAW form
+NORMALIZED_STRING = r"[^\t\r\n]*"
+# token = space-separated runs of non-whitespace: exactly one space
+# between runs bans leading/trailing/double spaces AND tab/CR/LF with
+# no lookahead (XSD regexes have none)
+TOKEN = r"([^\s]+( [^\s]+)*)?"
+
+NAME_TYPES = {
+    "language": LANGUAGE, "Name": NAME, "NCName": NCNAME,
+    "NMTOKEN": NMTOKEN, "ID": NCNAME, "IDREF": NCNAME, "ENTITY": NCNAME,
+    "normalizedString": NORMALIZED_STRING, "token": TOKEN,
+}
+
+ALL.update(NAME_TYPES)

@@ -24,8 +24,11 @@ from __future__ import annotations
 import re
 
 # XML NameStartChar / NameChar approximations (ASCII + common unicode
-# ranges) as RAW RANGE TEXT usable both bare-wrapped and inside classes
-_NAME_START = r"A-Za-z_À-ÖØ-öø-˿Ͱ-῿"
+# ranges) as RAW RANGE TEXT usable both bare-wrapped and inside classes.
+# ':' IS a NameStartChar per XML 1.0 — xs:Name admits colons and
+# xs:NCName is defined by the class subtraction [\i-[:]] (XSD pt.2 App
+# F); omitting it here silently made \i equal NCName semantics.
+_NAME_START = r":A-Za-z_À-ÖØ-öø-˿Ͱ-῿"
 _NAME_CHAR = _NAME_START + r"0-9\-\.·"
 
 _MULTI_ESCAPES = {

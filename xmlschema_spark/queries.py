@@ -1613,3 +1613,34 @@ def simhash64_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = simhash64_pair(F.col("text"))
     return d.select(F.col("doc_id").cast("string").alias("doc_id"),
                     F.inline(F.array(sh)))
+
+
+@register("ncname_lexical_documents", """
+  WITH src AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 5 = 0 THEN '9' || source
+                WHEN doc_id % 7 = 0 THEN source || ':' || lang
+                ELSE source END AS value
+      FROM documents)
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         'facet:pattern:nm' AS constraint, value
+    FROM src
+   WHERE NOT regexp_matches(value,
+         '^[A-Za-z_][A-Za-z_0-9.·\\-]*$')
+""")
+def ncname_lexical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xs:NCName lexical validation (Name minus colon, via the XSD
+    class-subtraction [\\i-[:]] translated to a Java character class):
+    digit-led and colon-qualified derivatives violate. The oracle uses
+    the equivalent ASCII regex (the fixture values are ASCII; the
+    engine-side class also admits the spec's unicode ranges)."""
+    d = _load(spark, sf_dir, "documents").withColumn(
+        "nm", F.when(F.col("doc_id") % 5 == 0,
+                     F.concat(F.lit("9"), F.col("source")))
+              .when(F.col("doc_id") % 7 == 0,
+                    F.concat(F.col("source"), F.lit(":"), F.col("lang")))
+              .otherwise(F.col("source")))
+    spec = TableSpec(name="documents", key_column="doc_id",
+                     columns=[ColumnSpec("nm", "xsd:NCName")])
+    return row_violations(d, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")
