@@ -35,7 +35,21 @@ INVALID = {
 }
 
 
-@pytest.mark.parametrize("kind", sorted(ALL))
+# name/token types are validated ENGINE-SIDE only (golden manifest
+# cases): their translated patterns use Java '&&' class intersection,
+# which Python re parses as literal characters with wrong semantics —
+# a green re-based test here would be vacuous-or-lying. Parametrize
+# over the kinds this harness actually has data for, and assert the
+# two sets stay in sync so a new temporal kind can't slip in untested.
+_RE_TESTABLE = sorted(VALID)
+
+
+def test_every_temporal_kind_has_valid_cases():
+    from xmlschema_spark.functions.temporal_lex import NAME_TYPES
+    assert set(ALL) - set(NAME_TYPES) == set(VALID)
+
+
+@pytest.mark.parametrize("kind", _RE_TESTABLE)
 def test_valid_lexicals(kind):
     pat = re.compile(translate_xsd_pattern(ALL[kind]))
     for v in VALID.get(kind, []):

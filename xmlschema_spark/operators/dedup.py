@@ -261,11 +261,16 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                                             F.col("lab").alias("nlab")),
                               on="b")
                    .groupBy("a").agg(F.min("nlab").alias("nlab")))
+            # materialize BEFORE the self-join below: otherwise the
+            # neighbor-min join+aggregate subtree appears twice in one
+            # plan and may execute twice if exchange reuse doesn't kick
+            # in (it is the dominant per-round cost)
             new = (labels.join(nbr, labels["node"] == nbr["a"], "left")
                    .select(F.col("node"),
                            F.least(F.col("lab"),
                                    F.coalesce(F.col("nlab"), F.col("lab")))
-                           .alias("lab")))
+                           .alias("lab"))
+                   .localCheckpoint(eager=True))
             # pointer jumping: lab <- lab(lab). Plain neighbor-min needs
             # diameter rounds on a path graph; composing each round with
             # one label-of-label hop halves chain depth, giving

@@ -44,8 +44,12 @@ def kl_divergence(p_bins: DataFrame, q_bins: DataFrame, bin_col: str,
     return kl_from_counts(bins, pc, qc, n_bins, smooth)
 
 
-def kl_from_counts(bins: DataFrame, pc: DataFrame, qc: DataFrame,
-                   n_bins: int, smooth: float = 0.5) -> DataFrame:
+def _smoothed_pmfs(bins: DataFrame, pc: DataFrame, qc: DataFrame,
+                   n_bins: int, smooth: float):
+    """Shared scaffolding for the divergence metrics: join counts onto
+    the bin grid, Laplace-smooth, return (joined_df, p_pmf, q_pmf).
+    Sum over bins of (c + smooth) = total + smooth*n_bins -> proper
+    pmf."""
     joined = (bins.join(pc, on="bin", how="left")
                   .join(qc, on="bin", how="left")
                   .select("bin",
@@ -53,9 +57,14 @@ def kl_from_counts(bins: DataFrame, pc: DataFrame, qc: DataFrame,
                           F.coalesce("qc", F.lit(0.0)).alias("qc")))
     tot = joined.agg(F.sum("pc").alias("pt"), F.sum("qc").alias("qt"))
     j = joined.crossJoin(F.broadcast(tot))
-    # sum over bins of (c + smooth) = total + smooth*n_bins -> proper pmf
     p = (F.col("pc") + smooth) / (F.col("pt") + smooth * n_bins)
     q = (F.col("qc") + smooth) / (F.col("qt") + smooth * n_bins)
+    return j, p, q
+
+
+def kl_from_counts(bins: DataFrame, pc: DataFrame, qc: DataFrame,
+                   n_bins: int, smooth: float = 0.5) -> DataFrame:
+    j, p, q = _smoothed_pmfs(bins, pc, qc, n_bins, smooth)
     return j.agg(F.sum(p * F.log(p / q)).alias("kl"))
 
 
@@ -112,15 +121,7 @@ def js_from_counts(bins: DataFrame, pc: DataFrame, qc: DataFrame,
     (KL(P||Q) is unbounded and direction-dependent). Same smoothing and
     physical shape as kl_from_counts — one few-row join after the
     aggregates."""
-    joined = (bins.join(pc, on="bin", how="left")
-                  .join(qc, on="bin", how="left")
-                  .select("bin",
-                          F.coalesce("pc", F.lit(0.0)).alias("pc"),
-                          F.coalesce("qc", F.lit(0.0)).alias("qc")))
-    tot = joined.agg(F.sum("pc").alias("pt"), F.sum("qc").alias("qt"))
-    j = joined.crossJoin(F.broadcast(tot))
-    p = (F.col("pc") + smooth) / (F.col("pt") + smooth * n_bins)
-    q = (F.col("qc") + smooth) / (F.col("qt") + smooth * n_bins)
+    j, p, q = _smoothed_pmfs(bins, pc, qc, n_bins, smooth)
     m = (p + q) / 2
     return j.agg(F.sum(0.5 * p * F.log(p / m)
                        + 0.5 * q * F.log(q / m)).alias("js"))

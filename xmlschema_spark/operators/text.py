@@ -168,55 +168,61 @@ def _band_bit_pred(c: int, mask: int):
     return pred
 
 
-def simhash48(col: Column) -> Column:
-    """48-bit SimHash over whitespace tokens: per-bit majority vote of
-    md5-derived token bits. JVM-side via explode-free HOF aggregation.
-
-    Portability: bit b of token t is bit (b % 4) of hex digit (b // 4)
-    of md5(t) — exactly reproducible in any SQL engine (the DuckDB
-    oracle replicates it with list comprehensions), unlike xxhash64.
-    48 bits (12 hex digits) keeps every intermediate in positive bigint
-    range on both sides (no signed-overflow edge at bit 63)."""
+def _simhash_fold(col: Column, n_bits: int, pack) -> Column:
+    """Shared SimHash pipeline: tokens -> per-token md5 hex-digit arrays
+    (bound ONCE - the per-bit folds share the evaluation) -> per-bit
+    majority vote. Bit b of token t is bit (b % 4) of hex digit (b // 4)
+    of md5(t) - exactly reproducible in any SQL engine (the DuckDB
+    oracles replicate it with list comprehensions), unlike xxhash64.
+    `pack(bit_cols)` shapes the n_bits majority-vote booleans into the
+    output column; both oracles' SQL generators mirror THIS bit
+    derivation, so any change here must update them together."""
     def fold(dgs):                       # array<array<int>>, one per token
         n = F.size(dgs)
-        out = F.lit(0).cast("bigint")
-        for b in range(48):
+        bits = []
+        for b in range(n_bits):
             c, mask = b // 4, 1 << (b % 4)
             ones = F.size(F.filter(dgs, _band_bit_pred(c, mask)))
-            out = out.bitwiseOR(
-                F.when(ones * 2 > n, F.lit(1 << b).cast("bigint"))
-                 .otherwise(F.lit(0).cast("bigint")))
-        return out
+            bits.append(ones * 2 > n)
+        return pack(bits)
 
-    # bind the per-token digit arrays once; 48 per-bit folds share them
     return bind1(
         bind1(tokens(col),
               lambda t: F.transform(
                   t, lambda x: bind1(F.md5(x),
-                                     lambda m: _hex_digits(m, 12)))),
+                                     lambda m: _hex_digits(m,
+                                                           n_bits // 4)))),
         fold)
 
 
+def simhash48(col: Column) -> Column:
+    """48-bit SimHash over whitespace tokens (portable md5 bit source -
+    see _simhash_fold). 48 bits (12 hex digits) keeps every
+    intermediate in positive bigint range on both sides (no
+    signed-overflow edge at bit 63)."""
+    def pack(bits):
+        out = F.lit(0).cast("bigint")
+        for b, is_one in enumerate(bits):
+            out = out.bitwiseOR(
+                F.when(is_one, F.lit(1 << b).cast("bigint"))
+                 .otherwise(F.lit(0).cast("bigint")))
+        return out
+
+    return _simhash_fold(col, 48, pack)
+
+
 def simhash64_pair(col: Column) -> Column:
-    """64-bit SimHash as a (hi32, lo32) struct — for parity with
+    """64-bit SimHash as a (hi32, lo32) struct - for parity with
     external 64-bit SimHash systems while keeping every intermediate in
     positive-bigint range on ANY engine (a single signed 64-bit value
     can't carry bit 63 portably; the two-column split can, and users
     reassemble hi*2^32 + lo where their engine allows it).
-
-    Bit b of token t is bit (b % 4) of hex digit (b // 4) of md5(t) —
-    the same md5-digit scheme as simhash48, extended to 16 hex digits.
-    hi32 = bits 32..63, lo32 = bits 0..31, both as non-negative bigint.
-    """
-    def fold(dgs):
-        n = F.size(dgs)
+    hi32 = bits 32..63, lo32 = bits 0..31, both non-negative bigint."""
+    def pack(bits):
         lo = F.lit(0).cast("bigint")
         hi = F.lit(0).cast("bigint")
-        for b in range(64):
-            c, mask = b // 4, 1 << (b % 4)
-            ones = F.size(F.filter(dgs, _band_bit_pred(c, mask)))
-            bit = F.when(ones * 2 > n,
-                         F.lit(1 << (b % 32)).cast("bigint")) \
+        for b, is_one in enumerate(bits):
+            bit = F.when(is_one, F.lit(1 << (b % 32)).cast("bigint")) \
                    .otherwise(F.lit(0).cast("bigint"))
             if b < 32:
                 lo = lo.bitwiseOR(bit)
@@ -224,9 +230,4 @@ def simhash64_pair(col: Column) -> Column:
                 hi = hi.bitwiseOR(bit)
         return F.struct(hi.alias("hi32"), lo.alias("lo32"))
 
-    return bind1(
-        bind1(tokens(col),
-              lambda t: F.transform(
-                  t, lambda x: bind1(F.md5(x),
-                                     lambda m: _hex_digits(m, 16)))),
-        fold)
+    return _simhash_fold(col, 64, pack)

@@ -117,9 +117,29 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
                     f"ordered facet {fname} unsupported for xsd:{kind}")
             xsd_ordered.append((fname, str(lit_v), kind))
         xsd_lex_pattern = _XSD_LEX[kind]
+        xsd_kind = kind
+        # the type's lexical check compiles as a SEPARATE facet:pattern
+        # check (appended below), NOT merged into the user pattern list:
+        # user patterns on one derivation step OR together
+        # (facets.py:808-814), but the base TYPE's lexical space is a
+        # different step and must AND with them — merging would let a
+        # user pattern silently re-admit values outside the type.
+        from ..functions.temporal_lex import NAME_TYPES as _XSD_NAMES
+        ws = cs.whitespace
+        if ws is None and kind in _XSD_NAMES \
+                and kind not in ("normalizedString", "token"):
+            # language/Name/NCName/NMTOKEN/ID/IDREF/ENTITY carry
+            # whiteSpace=collapse in the reference (their patterns
+            # validate the collapsed form — ' en ' IS a valid language).
+            # normalizedString/token deliberately validate the RAW form
+            # here: the reference normalizes-then-accepts (everything
+            # passes post-collapse); a validation engine instead flags
+            # raw forms that normalization WOULD change — documented
+            # divergence, there is nothing to validate otherwise.
+            ws = "collapse"
         cs = ColumnSpec(**{**cs.__dict__,
                            "dtype": "string",
-                           "pattern": (cs.pattern or []) + [xsd_lex_pattern],
+                           "whitespace": ws,
                            "min_inclusive": None, "min_exclusive": None,
                            "max_inclusive": None, "max_exclusive": None})
     checks: list[RowCheck] = []
@@ -191,6 +211,15 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
         for p in pats[1:]:
             ok = ok | val_s.rlike(p)   # any-of (facets.py:808-814)
         add("pattern", f"value does not match any pattern {cs.pattern}", ok)
+
+    if xsd_lex_pattern is not None:
+        # the base type's lexical space ANDs with any user patterns
+        # (separate derivation step). Named facet:pattern when it is the
+        # only pattern-like check (back-compat), facet:lexical when a
+        # user pattern coexists so constraint ids stay unique.
+        add("pattern" if not cs.pattern else "lexical",
+            f"value is not a valid xsd:{xsd_kind}",
+            val_s.rlike(translate_xsd_pattern(xsd_lex_pattern)))
 
     if cs.enum is not None:
         add("enumeration", f"value not in enumeration {cs.enum}",
@@ -345,6 +374,28 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
         value_col = F.to_json(col)
     present = col.isNotNull()
 
+    # outer length facets of a lexical list bound the ITEM COUNT (XSD
+    # list-type length semantics, facets.py:171-206) — compile_plan
+    # strips them from the base string column so they land here
+    size_checks: list[RowCheck] = []
+    if cs.lexical_list:
+        n_items = F.size(arr)
+
+        def _sz(kindname: str, reason: str, ok) -> None:
+            size_checks.append(RowCheck(
+                constraint=f"facet:{kindname}:{cs.name}",
+                reason=reason, valid=~present | ok, value_col=value_col))
+
+        if cs.length is not None:
+            _sz("length", f"list length must be {cs.length}",
+                n_items == cs.length)
+        if cs.min_length is not None:
+            _sz("minLength", f"list length >= {cs.min_length}",
+                n_items >= cs.min_length)
+        if cs.max_length is not None:
+            _sz("maxLength", f"list length <= {cs.max_length}",
+                n_items <= cs.max_length)
+
     if item.dtype and item.dtype.startswith("xsd:"):
         # list/array of XSD temporal items (e.g. xs:list of xs:gYear,
         # simple_types.py:991-1019 with a temporal item type): each item
@@ -359,7 +410,7 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
         if kind not in _XSD_LEX:
             raise ValueError(f"unknown xsd lexical item type {item.dtype!r}")
         lex = translate_xsd_pattern(_XSD_LEX[kind])
-        checks: list[RowCheck] = []
+        checks: list[RowCheck] = list(size_checks)
 
         def addx(kind_name: str, reason: str, elem_valid) -> None:
             bad = F.exists(arr, lambda x: x.isNotNull() & ~elem_valid(x))
@@ -427,7 +478,7 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
     def cast_item(x: Column) -> Column:
         return x.try_cast(item.dtype) if typed_items else x
 
-    checks: list[RowCheck] = []
+    checks: list[RowCheck] = list(size_checks)
 
     def add(kind: str, reason: str, elem_valid) -> None:
         bad = F.exists(arr, lambda x: x.isNotNull() & ~elem_valid(x))
@@ -495,7 +546,15 @@ def compile_plan(spec: TableSpec) -> ValidationPlan:
     plan = ValidationPlan(spec=spec)
     for cs in spec.columns:
         if cs.item is not None:
-            base = ColumnSpec(**{**cs.__dict__, "item": None})
+            base_fields = {**cs.__dict__, "item": None}
+            if cs.lexical_list:
+                # XSD length facets on a LIST type count ITEMS
+                # (facets.py:171-206 len() over the decoded list), not
+                # characters of the undecoded string — the item compiler
+                # below adds size() checks over the split array instead
+                base_fields.update(length=None, min_length=None,
+                                   max_length=None)
+            base = ColumnSpec(**base_fields)
             norm, checks = compile_column(base)
             checks.extend(compile_item_checks(cs))
         else:
