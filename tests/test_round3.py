@@ -441,3 +441,24 @@ def test_incremental_dedup_across_batches(spark, tmp_path):
                                  "doc_id string, text string")
     s3 = incremental_deduplicate(inc3, "text", "doc_id", store)
     assert s3.count() == 0
+
+
+def test_dup_clusters_parallelism_invariant(spark):
+    """Cluster labels must be identical at different shuffle
+    parallelism (north rule: bitwise-identical outputs across cluster
+    sizes)."""
+    from xmlschema_spark.operators.dedup import dup_clusters
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r"),
+         ("r", "s")],
+        "id_a string, id_b string")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = []
+        for n in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            outs.append(sorted((r.member, r.cluster)
+                               for r in dup_clusters(pairs).collect()))
+        assert outs[0] == outs[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

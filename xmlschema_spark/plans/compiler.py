@@ -34,6 +34,26 @@ from ..specs import ColumnSpec, TableSpec
 # types whose facet comparisons need a numeric/temporal cast of literals
 _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"}
 
+# XSD built-in integer types (reference value-space validators,
+# helpers.py:151-237): Spark physical type + implied value bounds.
+# Unsigned/unbounded kinds back onto decimal so the full value space
+# fits; the integer LEXICAL pattern below guards decode (a bare
+# try_cast to decimal would ROUND '3.5' to 4 instead of rejecting it).
+_XSD_INT_TYPES: dict[str, tuple[str, int | None, int | None]] = {
+    "integer": ("decimal(38,0)", None, None),
+    "nonNegativeInteger": ("decimal(38,0)", 0, None),
+    "positiveInteger": ("decimal(38,0)", 1, None),
+    "nonPositiveInteger": ("decimal(38,0)", None, 0),
+    "negativeInteger": ("decimal(38,0)", None, -1),
+    "byte": ("tinyint", None, None),
+    "short": ("smallint", None, None),
+    "unsignedByte": ("smallint", 0, 255),
+    "unsignedShort": ("int", 0, 65535),
+    "unsignedInt": ("bigint", 0, 4294967295),
+    "unsignedLong": ("decimal(20,0)", 0, 18446744073709551615),
+}
+_XSD_INT_LEX = r"[-+]?[0-9]+"
+
 
 @dataclass
 class RowCheck:
@@ -62,6 +82,10 @@ class ValidationPlan:
 def _lit(dtype: str, v) -> Column:
     base = dtype.split("(")[0]
     if base in _NUMERIC or base in ("date", "timestamp"):
+        if isinstance(v, int) and not -2**63 <= v < 2**63:
+            # beyond long range (e.g. unsignedLong's max): route the
+            # literal through a string — F.lit can't box it
+            return F.lit(str(v)).cast(dtype)
         return F.lit(v).cast(dtype)
     return F.lit(v)
 
@@ -95,53 +119,72 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
         from ..functions.temporal_lex import ALL as _XSD_LEX
         from ..functions import temporal_order as _TORD
         kind = cs.dtype[4:]
-        if kind not in _XSD_LEX:
+        if kind in _XSD_INT_TYPES:
+            # integer built-ins rewrite to a native numeric pipeline
+            # (decode + ordered facets flow through the standard path);
+            # the type bounds fill in where the user left min/max unset
+            # (a valid user restriction narrows within the type space),
+            # and the integer lexical pattern ANDs in below like any
+            # other base-type lexical space
+            dt, lo, hi = _XSD_INT_TYPES[kind]
+            xsd_lex_pattern = _XSD_INT_LEX
+            xsd_kind = kind
+            cs = ColumnSpec(**{
+                **cs.__dict__, "dtype": dt,
+                "min_inclusive": cs.min_inclusive
+                if cs.min_inclusive is not None else lo,
+                "max_inclusive": cs.max_inclusive
+                if cs.max_inclusive is not None else hi})
+        elif kind not in _XSD_LEX:
             raise ValueError(f"unknown xsd lexical type {cs.dtype!r}; "
-                             f"known: {sorted(_XSD_LEX)}")
-        ordered_vals = {"minInclusive": cs.min_inclusive,
-                        "minExclusive": cs.min_exclusive,
-                        "maxInclusive": cs.max_inclusive,
-                        "maxExclusive": cs.max_exclusive}
-        for fname, lit_v in ordered_vals.items():
-            if lit_v is None:
-                continue
-            # compile-time constant decode against the base type —
-            # invalid constants are rejected HERE (reference:
-            # parse_error during facet build, facets.py:300-314)
-            if kind in _TORD.DURATION_KINDS:
-                _TORD.parse_duration_literal(str(lit_v), kind)
-            elif kind in _TORD.TEMPORAL_KINDS:
-                _TORD.parse_temporal_literal(str(lit_v), kind)
-            else:
-                raise ValueError(
-                    f"ordered facet {fname} unsupported for xsd:{kind}")
-            xsd_ordered.append((fname, str(lit_v), kind))
-        xsd_lex_pattern = _XSD_LEX[kind]
-        xsd_kind = kind
-        # the type's lexical check compiles as a SEPARATE facet:pattern
-        # check (appended below), NOT merged into the user pattern list:
-        # user patterns on one derivation step OR together
-        # (facets.py:808-814), but the base TYPE's lexical space is a
-        # different step and must AND with them — merging would let a
-        # user pattern silently re-admit values outside the type.
-        from ..functions.temporal_lex import NAME_TYPES as _XSD_NAMES
-        ws = cs.whitespace
-        if ws is None and kind in _XSD_NAMES \
-                and kind not in ("normalizedString", "token"):
-            # language/Name/NCName/NMTOKEN/ID/IDREF/ENTITY carry
-            # whiteSpace=collapse in the reference (their patterns
-            # validate the collapsed form — ' en ' IS a valid language).
-            # normalizedString/token deliberately validate the RAW form
-            # here: the reference normalizes-then-accepts (everything
-            # passes post-collapse); a validation engine instead flags
-            # raw forms that normalization WOULD change — documented
-            # divergence, there is nothing to validate otherwise.
-            ws = "collapse"
-        cs = ColumnSpec(**{**cs.__dict__,
-                           "dtype": "string",
-                           "whitespace": ws,
-                           "min_inclusive": None, "min_exclusive": None,
-                           "max_inclusive": None, "max_exclusive": None})
+                             f"known: {sorted(_XSD_LEX) + sorted(_XSD_INT_TYPES)}")
+        else:
+            ordered_vals = {"minInclusive": cs.min_inclusive,
+                            "minExclusive": cs.min_exclusive,
+                            "maxInclusive": cs.max_inclusive,
+                            "maxExclusive": cs.max_exclusive}
+            for fname, lit_v in ordered_vals.items():
+                if lit_v is None:
+                    continue
+                # compile-time constant decode against the base type —
+                # invalid constants are rejected HERE (reference:
+                # parse_error during facet build, facets.py:300-314)
+                if kind in _TORD.DURATION_KINDS:
+                    _TORD.parse_duration_literal(str(lit_v), kind)
+                elif kind in _TORD.TEMPORAL_KINDS:
+                    _TORD.parse_temporal_literal(str(lit_v), kind)
+                else:
+                    raise ValueError(
+                        f"ordered facet {fname} unsupported for xsd:{kind}")
+                xsd_ordered.append((fname, str(lit_v), kind))
+            xsd_lex_pattern = _XSD_LEX[kind]
+            xsd_kind = kind
+            # the type's lexical check compiles as a SEPARATE
+            # facet:pattern check (appended below), NOT merged into the
+            # user pattern list: user patterns on one derivation step OR
+            # together (facets.py:808-814), but the base TYPE's lexical
+            # space is a different step and must AND with them — merging
+            # would let a user pattern silently re-admit values outside
+            # the type.
+            from ..functions.temporal_lex import NAME_TYPES as _XSD_NAMES
+            ws = cs.whitespace
+            if ws is None and kind in _XSD_NAMES \
+                    and kind not in ("normalizedString", "token"):
+                # language/Name/NCName/NMTOKEN/ID/IDREF/ENTITY carry
+                # whiteSpace=collapse in the reference (their patterns
+                # validate the collapsed form — ' en ' IS a valid
+                # language). normalizedString/token deliberately
+                # validate the RAW form here: the reference
+                # normalizes-then-accepts (everything passes
+                # post-collapse); a validation engine instead flags raw
+                # forms that normalization WOULD change — documented
+                # divergence, there is nothing to validate otherwise.
+                ws = "collapse"
+            cs = ColumnSpec(**{**cs.__dict__,
+                               "dtype": "string",
+                               "whitespace": ws,
+                               "min_inclusive": None, "min_exclusive": None,
+                               "max_inclusive": None, "max_exclusive": None})
     checks: list[RowCheck] = []
     raw = F.col(cs.name)
     norm = None
