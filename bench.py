@@ -105,7 +105,7 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     # single-core codec probe: this multi-tenant host's delivered CPU
-    # swings ~2x between identical runs (measured 130-190 MB/s on this
+    # swings ~3x between identical runs (measured 130-379 MB/s on this
     # loop) — recording it alongside the timings lets cross-round
     # comparisons separate host drift from engine changes
     import zlib

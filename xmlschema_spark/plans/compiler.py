@@ -36,15 +36,10 @@ _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
 
 # XSD built-in integer types (reference value-space validators,
 # helpers.py:151-237): Spark physical type + implied value bounds.
-# Unsigned/unbounded kinds back onto decimal so the full value space
-# fits; the integer LEXICAL pattern below guards decode (a bare
-# try_cast to decimal would ROUND '3.5' to 4 instead of rejecting it).
+# BOUNDED kinds fit a physical type exactly; the integer LEXICAL
+# pattern guards decode (a bare try_cast to decimal would ROUND '3.5'
+# to 4 instead of rejecting it).
 _XSD_INT_TYPES: dict[str, tuple[str, int | None, int | None]] = {
-    "integer": ("decimal(38,0)", None, None),
-    "nonNegativeInteger": ("decimal(38,0)", 0, None),
-    "positiveInteger": ("decimal(38,0)", 1, None),
-    "nonPositiveInteger": ("decimal(38,0)", None, 0),
-    "negativeInteger": ("decimal(38,0)", None, -1),
     "byte": ("tinyint", None, None),
     "short": ("smallint", None, None),
     "unsignedByte": ("smallint", 0, 255),
@@ -52,7 +47,32 @@ _XSD_INT_TYPES: dict[str, tuple[str, int | None, int | None]] = {
     "unsignedInt": ("bigint", 0, 4294967295),
     "unsignedLong": ("decimal(20,0)", 0, 18446744073709551615),
 }
+# UNBOUNDED kinds: the type's sign constraint is encoded in the LEXICAL
+# pattern (exact at ANY digit count — no numeric cast can be, Spark
+# decimal caps at 38 digits); -0/+0 count as zero per XSD. decimal(38,0)
+# backs USER-supplied ordered facets only, with overflow suppressed via
+# typed_guard (conservative pass beyond 38 digits, documented).
+_XSD_INT_UNBOUNDED: dict[str, str] = {
+    "integer": r"[-+]?[0-9]+",
+    "nonNegativeInteger": r"\+?[0-9]+|-0+",
+    "positiveInteger": r"\+?0*[1-9][0-9]*",
+    "nonPositiveInteger": r"-[0-9]+|\+?0+",
+    "negativeInteger": r"-0*[1-9][0-9]*",
+}
 _XSD_INT_LEX = r"[-+]?[0-9]+"
+
+
+def _check_int_literal(kind: str, fname: str, v) -> None:
+    """Compile-time facet-constant decode for integer built-ins
+    (reference: parse_error at facet build): must be an integral
+    literal — a fractional bound would silently shift through the
+    decimal cast ('3.4' -> 3)."""
+    try:
+        int(str(v))
+    except ValueError:
+        raise ValueError(
+            f"invalid integer facet constant {fname}={v!r} for "
+            f"xsd:{kind}") from None
 
 
 @dataclass
@@ -106,6 +126,7 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
     """Compile one ColumnSpec -> (normalization expr or None, checks)."""
     xsd_ordered: list[tuple[str, str, str]] = []   # (facet, literal, kind)
     xsd_lex_pattern: str | None = None
+    xsd_int_decode: str | None = None   # None | 'strict' | 'skip'
     if cs.dtype and cs.dtype.startswith("xsd:"):
         # XSD temporal types with no native Spark mapping (gYear, gMonth,
         # duration, ... — SURVEY §1.2): validated as anchored lexical
@@ -119,22 +140,43 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
         from ..functions.temporal_lex import ALL as _XSD_LEX
         from ..functions import temporal_order as _TORD
         kind = cs.dtype[4:]
-        if kind in _XSD_INT_TYPES:
+        if kind in _XSD_INT_TYPES or kind in _XSD_INT_UNBOUNDED:
             # integer built-ins rewrite to a native numeric pipeline
-            # (decode + ordered facets flow through the standard path);
-            # the type bounds fill in where the user left min/max unset
-            # (a valid user restriction narrows within the type space),
-            # and the integer lexical pattern ANDs in below like any
-            # other base-type lexical space
-            dt, lo, hi = _XSD_INT_TYPES[kind]
-            xsd_lex_pattern = _XSD_INT_LEX
+            # (ordered facets flow through the standard path); the
+            # integer lexical pattern ANDs in below like any other
+            # base-type lexical space, and — like the reference's fixed
+            # whiteSpace=collapse on all decimal-derived built-ins —
+            # padded values like ' 42 ' are collapsed before checking
+            for fname in ("min_inclusive", "min_exclusive",
+                          "max_inclusive", "max_exclusive"):
+                if getattr(cs, fname) is not None:
+                    _check_int_literal(kind, fname, getattr(cs, fname))
             xsd_kind = kind
-            cs = ColumnSpec(**{
-                **cs.__dict__, "dtype": dt,
-                "min_inclusive": cs.min_inclusive
-                if cs.min_inclusive is not None else lo,
-                "max_inclusive": cs.max_inclusive
-                if cs.max_inclusive is not None else hi})
+            ws = cs.whitespace if cs.whitespace is not None else "collapse"
+            if kind in _XSD_INT_TYPES:
+                # bounded: the physical type holds the whole value
+                # space; type bounds fill in where the user left
+                # min/max unset (valid restrictions only narrow)
+                dt, lo, hi = _XSD_INT_TYPES[kind]
+                xsd_lex_pattern = _XSD_INT_LEX
+                xsd_int_decode = "strict"     # decode = cast AND lexical
+                cs = ColumnSpec(**{
+                    **cs.__dict__, "dtype": dt, "whitespace": ws,
+                    "min_inclusive": cs.min_inclusive
+                    if cs.min_inclusive is not None else lo,
+                    "max_inclusive": cs.max_inclusive
+                    if cs.max_inclusive is not None else hi})
+            else:
+                # unbounded: the sign-aware lexical IS the value-space
+                # check (exact at any digit count); decimal(38,0) backs
+                # user ordered facets only, overflow suppressed by
+                # typed_guard — no decode check (it would wrongly flag
+                # spec-valid 39+-digit integers)
+                xsd_lex_pattern = _XSD_INT_UNBOUNDED[kind]
+                xsd_int_decode = "skip"
+                cs = ColumnSpec(**{
+                    **cs.__dict__, "dtype": "decimal(38,0)",
+                    "whitespace": ws})
         elif kind not in _XSD_LEX:
             raise ValueError(f"unknown xsd lexical type {cs.dtype!r}; "
                              f"known: {sorted(_XSD_LEX) + sorted(_XSD_INT_TYPES)}")
@@ -242,8 +284,22 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
         # try_cast is identity when the physical type already matches, so
         # this is safe for pre-typed parquet columns and a real lexical
         # parse for string-typed ones.
-        add("decode", f"value is not a valid {cs.dtype}",
-            col.try_cast(cs.dtype).isNotNull())
+        if xsd_int_decode == "skip":
+            # unbounded integer built-in: the sign-aware lexical pattern
+            # is the complete (and only exact) value-space check; a cast
+            # overflow beyond decimal(38,0) is NOT a decode failure
+            pass
+        elif xsd_int_decode == "strict":
+            # decimal-backed bounded integer: the cast alone would ROUND
+            # '3.5' instead of rejecting it — AND the lexical form so
+            # every integer kind classifies fractional input the same
+            # way (decode + pattern, like the tinyint-backed kinds)
+            add("decode", f"value is not a valid {cs.dtype}",
+                col.try_cast(cs.dtype).isNotNull()
+                & val_s.rlike(translate_xsd_pattern(_XSD_INT_LEX)))
+        else:
+            add("decode", f"value is not a valid {cs.dtype}",
+                col.try_cast(cs.dtype).isNotNull())
         typed = col.try_cast(cs.dtype)
     else:
         typed = col
@@ -265,8 +321,18 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
             val_s.rlike(translate_xsd_pattern(xsd_lex_pattern)))
 
     if cs.enum is not None:
+        if any(isinstance(v, int) and not -2**63 <= v < 2**63
+               for v in cs.enum):
+            # isin boxes literals directly and can't carry >long values
+            # (e.g. unsignedLong's max) — route through _lit casts
+            ok = None
+            for v in cs.enum:
+                eq = typed == _lit(cs.dtype, v)
+                ok = eq if ok is None else ok | eq
+        else:
+            ok = typed.isin(*cs.enum)
         add("enumeration", f"value not in enumeration {cs.enum}",
-            typed.isin(*cs.enum), typed_guard=typed)
+            ok, typed_guard=typed)
 
     if cs.length is not None:
         add("length", f"length must be {cs.length}",
@@ -362,6 +428,13 @@ def _member_predicate(col: Column, val_s: Column,
 
     Patterns apply to the LEXICAL form (the original string), ordered
     facets to the decoded member value — same split as the reference."""
+    if member.dtype and member.dtype.startswith("xsd:"):
+        # xsd: built-ins are not yet supported as union MEMBERS (the
+        # try_cast below would see a bogus type name); spell the member
+        # as its physical dtype + explicit facets instead
+        raise ValueError(
+            f"union member dtype {member.dtype!r} unsupported — use the "
+            "physical type plus explicit pattern/bounds facets")
     typed = col.try_cast(member.dtype) if member.dtype != "string" else col
     ok = typed.isNotNull() if member.dtype != "string" else col.isNotNull()
     if member.pattern:
@@ -450,9 +523,16 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
         from ..functions import temporal_order as _TORD
         from ..functions.temporal_lex import ALL as _XSD_LEX
         kind = item.dtype[4:]
-        if kind not in _XSD_LEX:
+        int_bounded = kind in _XSD_INT_TYPES
+        int_unbounded = kind in _XSD_INT_UNBOUNDED
+        if int_bounded:
+            lex = translate_xsd_pattern(_XSD_INT_LEX)
+        elif int_unbounded:
+            lex = translate_xsd_pattern(_XSD_INT_UNBOUNDED[kind])
+        elif kind in _XSD_LEX:
+            lex = translate_xsd_pattern(_XSD_LEX[kind])
+        else:
             raise ValueError(f"unknown xsd lexical item type {item.dtype!r}")
-        lex = translate_xsd_pattern(_XSD_LEX[kind])
         checks: list[RowCheck] = list(size_checks)
 
         def addx(kind_name: str, reason: str, elem_valid) -> None:
@@ -466,6 +546,65 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
 
         addx("decode", f"item is not a valid {item.dtype}",
              lambda x: x.cast("string").rlike(lex))
+        if int_bounded or int_unbounded:
+            # integer item kinds: type bounds (bounded kinds) and user
+            # ordered facets compare numerically per element; overflow/
+            # non-integral casts are suppressed (decode reports them)
+            phys = _XSD_INT_TYPES[kind][0] if int_bounded \
+                else "decimal(38,0)"
+            bounds = []
+            if int_bounded:
+                _, lo, hi = _XSD_INT_TYPES[kind]
+                if item.min_inclusive is None and lo is not None:
+                    bounds.append(("minInclusive", lo,
+                                   lambda a, b: a >= b))
+                if item.max_inclusive is None and hi is not None:
+                    bounds.append(("maxInclusive", hi,
+                                   lambda a, b: a <= b))
+            for fname, lit_v, op in bounds + [
+                    ("minInclusive", item.min_inclusive,
+                     lambda a, b: a >= b),
+                    ("minExclusive", item.min_exclusive,
+                     lambda a, b: a > b),
+                    ("maxInclusive", item.max_inclusive,
+                     lambda a, b: a <= b),
+                    ("maxExclusive", item.max_exclusive,
+                     lambda a, b: a < b)]:
+                if lit_v is None:
+                    continue
+                _check_int_literal(kind, fname, lit_v)
+
+                def int_pred(x, p=phys, v=lit_v, o=op):
+                    xv = x.cast("string").try_cast(p)
+                    return xv.isNull() | o(xv, _lit(p, v))
+                addx(fname, f"item must satisfy {fname} {lit_v} "
+                            f"(xsd:{kind})", int_pred)
+            if item.enum is not None:
+                for e in item.enum:
+                    _check_int_literal(kind, "enum", e)
+
+                def int_enum_pred(x, p=phys):
+                    # VALUE-space comparison ('007' == 7); decode
+                    # failures suppressed (reported by item:decode)
+                    xv = x.cast("string").try_cast(p)
+                    ok = None
+                    for e in item.enum:
+                        eq = xv == _lit(p, e)
+                        ok = eq if ok is None else ok | eq
+                    return xv.isNull() | ok
+                addx("enumeration", f"item must be in {item.enum}",
+                     int_enum_pred)
+            if item.pattern:
+                xpats = [translate_xsd_pattern(p) for p in item.pattern]
+
+                def xpat_pred(x):
+                    ok = x.cast("string").rlike(xpats[0])
+                    for pp in xpats[1:]:
+                        ok = ok | x.cast("string").rlike(pp)
+                    return ok
+                addx("pattern", f"item must match {item.pattern}",
+                     xpat_pred)
+            return checks
         for fname, lit_v in (("minInclusive", item.min_inclusive),
                              ("minExclusive", item.min_exclusive),
                              ("maxInclusive", item.max_inclusive),
