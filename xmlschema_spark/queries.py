@@ -1336,7 +1336,11 @@ def selector_unique_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def deduplicate_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized exact dedup: survivors only, min-id representative
-    (deterministic at any parallelism — never shuffle-order 'first')."""
+    (deterministic at any parallelism — never shuffle-order 'first').
+    Dedup runs on the NUMERIC id (string-cast only for output) so the
+    keeper is the numeric min, exactly like the oracle's min(doc_id) —
+    with string ids '10' < '9' would pick a different keeper the moment
+    the corpus gains a real duplicate group."""
     from .operators.dedup import deduplicate
     d = _load(spark, sf_dir, "documents")
     return deduplicate(d, "text", "doc_id", method="exact") \
