@@ -1,0 +1,152 @@
+"""Round-4 tests: idempotent run-scoped incremental dedup, bucketed
+fingerprint store (shuffle-free anti-join at 10^12 fps), reliable
+checkpointing for dup_clusters, and the ANSI-overflow duration guard."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from xmlschema_spark.operators.dedup import (dup_clusters,
+                                             incremental_deduplicate)
+
+
+def _inc(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+# --------------------------------------------- run-id scoped store
+
+def test_incremental_dedup_run_scoped(spark, tmp_path):
+    """With run_id, behavior across DISTINCT increments matches the
+    legacy path: later increments never resurrect earlier content."""
+    store = str(tmp_path / "fps")
+    s1 = incremental_deduplicate(
+        _inc(spark, [("a", "hello"), ("b", "hello"), ("n1", None)]),
+        "text", "doc_id", store, run_id="r1")
+    assert sorted(r.doc_id for r in s1.collect()) == ["a", "n1"]
+    s2 = incremental_deduplicate(
+        _inc(spark, [("c", "hello"), ("d", "new")]),
+        "text", "doc_id", store, run_id="r2")
+    assert sorted(r.doc_id for r in s2.collect()) == ["d"]
+
+
+def test_incremental_dedup_rerun_idempotent(spark, tmp_path):
+    """Re-running the SAME increment (same run_id) after its store
+    write must return the identical survivor set — the downstream-
+    failure retry case. The legacy (no run_id) path returns zero
+    survivors here; the run-scoped path excludes its own partition."""
+    store = str(tmp_path / "fps")
+    inc = _inc(spark, [("a", "hello"), ("b", "world")])
+    first = sorted(r.doc_id for r in incremental_deduplicate(
+        inc, "text", "doc_id", store, run_id="r1").collect())
+    assert first == ["a", "b"]
+    again = sorted(r.doc_id for r in incremental_deduplicate(
+        inc, "text", "doc_id", store, run_id="r1").collect())
+    assert again == first
+    # and a LATER increment still sees r1's fingerprints
+    s2 = incremental_deduplicate(
+        _inc(spark, [("c", "hello")]), "text", "doc_id", store,
+        run_id="r2")
+    assert s2.count() == 0
+
+
+def test_incremental_dedup_bad_run_id(spark, tmp_path):
+    with pytest.raises(ValueError, match="run_id"):
+        incremental_deduplicate(
+            _inc(spark, [("a", "x")]), "text", "doc_id",
+            str(tmp_path / "fps"), run_id="evil'; DROP TABLE t--")
+    with pytest.raises(ValueError, match="store_buckets requires"):
+        incremental_deduplicate(
+            _inc(spark, [("a", "x")]), "text", "doc_id",
+            str(tmp_path / "fps"), store_buckets=8)
+
+
+# ------------------------------------------------- bucketed store
+
+def test_incremental_dedup_bucketed_store(spark, tmp_path):
+    """Bucketed-table store: same semantics (cross-increment dedup +
+    same-run idempotence) through the CLUSTERED BY (fp) table."""
+    store = str(tmp_path / "bstore")
+    s1 = incremental_deduplicate(
+        _inc(spark, [("a", "hello"), ("b", "hello"), ("n1", None)]),
+        "text", "doc_id", store, run_id="r1", store_buckets=4)
+    assert sorted(r.doc_id for r in s1.collect()) == ["a", "n1"]
+    s2 = incremental_deduplicate(
+        _inc(spark, [("c", "hello"), ("d", "new")]),
+        "text", "doc_id", store, run_id="r2", store_buckets=4)
+    assert sorted(r.doc_id for r in s2.collect()) == ["d"]
+    # idempotent re-run of r2
+    again = incremental_deduplicate(
+        _inc(spark, [("c", "hello"), ("d", "new")]),
+        "text", "doc_id", store, run_id="r2", store_buckets=4)
+    assert sorted(r.doc_id for r in again.collect()) == ["d"]
+
+
+def test_bucketed_store_antijoin_has_no_store_side_exchange(spark,
+                                                           tmp_path):
+    """The 10^12-fp plan: the store side of the anti-join must scan
+    Bucketed: true with NO Exchange above it — only the (much smaller)
+    increment shuffles to match the bucketing."""
+    from xmlschema_spark.operators.dedup import _fp_store_table
+    store = str(tmp_path / "bstore")
+    incremental_deduplicate(
+        _inc(spark, [(str(i), f"doc {i}") for i in range(200)]),
+        "text", "doc_id", store, run_id="r1", store_buckets=4)
+    table = _fp_store_table(spark, store, 4)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        inc = spark.range(100).select(
+            F.md5(F.col("id").cast("string")).alias("fp"))
+        seen = (spark.table(table)
+                .where(F.col("run").cast("string") != "r2").select("fp"))
+        plan = (inc.join(seen, on="fp", how="left_anti")
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "Bucketed: true" in plan
+        # exactly ONE Exchange in the whole join — the increment side;
+        # zero exchanges above the bucketed store scan
+        assert plan.count("Exchange") == 1
+        assert "SelectedBucketsCount: 4 out of 4" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ------------------------------------------- dup_clusters checkpoint
+
+def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """Deep chain converges with RELIABLE checkpoint() (the real-
+    cluster executor-loss-safe mode) and labels match localCheckpoint
+    output exactly."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(n)],
+        "id_a string, id_b string")
+    local = sorted((r.member, r.cluster)
+                   for r in dup_clusters(pairs).collect())
+    reliable = sorted(
+        (r.member, r.cluster)
+        for r in dup_clusters(
+            pairs, checkpoint_dir=str(tmp_path / "ckpt")).collect())
+    assert reliable == local
+    assert all(c == "n000" for _, c in reliable)
+
+
+# ------------------------------------------------ duration overflow
+
+def test_duration_huge_literal_no_crash(spark):
+    """ANSI mode: a lexically valid huge duration must not throw
+    CAST_OVERFLOW; it is incomparable (suppressed), and in-range
+    values still order correctly."""
+    from xmlschema_spark.functions.temporal_order import (
+        duration_ordered_valid)
+    df = spark.createDataFrame(
+        [("P9999999999Y",), ("P200000Y",), ("P1D",), ("P2M",)],
+        "v string")
+    out = df.select(
+        F.col("v"),
+        duration_ordered_valid(F.col("v"), "minInclusive", "P1M")
+        .alias("ok")).collect()
+    by = {r.v: r.ok for r in out}
+    assert by["P9999999999Y"] is True      # suppressed, not crashed
+    assert by["P200000Y"] is True          # beyond documented range
+    assert by["P1D"] is False
+    assert by["P2M"] is True

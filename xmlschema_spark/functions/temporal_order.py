@@ -99,7 +99,15 @@ def duration_cols(col: Column) -> tuple[Column, Column]:
 
     sign = F.when(F.regexp_extract(col, _DUR_EXPR_RE, 1) == "-",
                   F.lit(-1.0)).otherwise(F.lit(1.0))
-    months = (sign * (g(2) * 12 + g(3))).cast("int")
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a lexically
+    # valid huge duration like 'P9999999999Y' would throw CAST_OVERFLOW
+    # and crash the job; NULL months instead suppresses the ordered
+    # facet (decode-failure semantics, same as try_to_timestamp for
+    # non-existent dates). Months are additionally clamped to the
+    # module's documented year range (1..9999 -> +-120000 months):
+    # add_months beyond that overflows Spark's int32-days DateType.
+    months_raw = (sign * (g(2) * 12 + g(3))).try_cast("int")
+    months = F.when(F.abs(months_raw) <= 120000, months_raw)
     seconds = sign * (g(4) * 86400 + g(5) * 3600 + g(6) * 60 + g(7))
     return months, seconds
 
@@ -136,7 +144,11 @@ def duration_ordered_valid(col: Column, facet: str, literal: str,
         for tv, tc in comparisons:
             c = op(tv, tc)
             out = c if out is None else out | c
-        return out
+        # NULL tv (months beyond the supported range -> NULL from
+        # duration_cols) suppresses the facet: the value is treated as
+        # incomparable and PASSES, mirroring the partial-order
+        # incomparable-passes rule above.
+        return F.coalesce(out, F.lit(True))
 
     # valid = NOT(certain violation); see module docstring
     if facet == "minInclusive":     # violation iff v <  c at all refs
@@ -294,38 +306,43 @@ def temporal_ordered_valid(col: Column, facet: str, literal: str,
 
     if ctz is not None:
         c_utc = cb - ctz
-        # value aware: direct; value naive: certain iff beyond +-14h
-        def lt(strict_pad: float) -> Column:    # certain v < c (+pad for <=)
-            return F.when(v_aware, v_utc < c_utc + strict_pad) \
-                    .otherwise(vb + _FOURTEEN_H < c_utc + strict_pad)
+        # value aware: direct; value naive: certain iff beyond +-14h.
+        # incl=True tests 'certainly v <= c' with an EXACT boundary
+        # (the <= operator itself) — no epsilon pad, so exclusive
+        # facets stay exact at arbitrary fractional-second precision
+        # (minExclusive '12:00:00' must NOT flag '12:00:00.0000005').
+        def lt(incl: bool) -> Column:           # certain v < c (or <=)
+            def o(a, b):
+                return a <= b if incl else a < b
+            return F.when(v_aware, o(v_utc, c_utc)) \
+                    .otherwise(o(vb + _FOURTEEN_H, c_utc))
 
-        def gt(strict_pad: float) -> Column:    # certain v > c
-            return F.when(v_aware, v_utc > c_utc - strict_pad) \
-                    .otherwise(vb - _FOURTEEN_H > c_utc - strict_pad)
+        def gt(incl: bool) -> Column:           # certain v > c (or >=)
+            def o(a, b):
+                return a >= b if incl else a > b
+            return F.when(v_aware, o(v_utc, c_utc)) \
+                    .otherwise(o(vb - _FOURTEEN_H, c_utc))
     else:
-        def lt(strict_pad: float) -> Column:
-            return F.when(~v_aware, vb < cb + strict_pad) \
-                    .otherwise(v_utc < cb - _FOURTEEN_H + strict_pad)
+        def lt(incl: bool) -> Column:
+            def o(a, b):
+                return a <= b if incl else a < b
+            return F.when(~v_aware, o(vb, cb)) \
+                    .otherwise(o(v_utc, cb - _FOURTEEN_H))
 
-        def gt(strict_pad: float) -> Column:
-            return F.when(~v_aware, vb > cb - strict_pad) \
-                    .otherwise(v_utc > cb + _FOURTEEN_H - strict_pad)
+        def gt(incl: bool) -> Column:
+            def o(a, b):
+                return a >= b if incl else a > b
+            return F.when(~v_aware, o(vb, cb)) \
+                    .otherwise(o(v_utc, cb + _FOURTEEN_H))
 
-    # strict_pad turns 'certain v < c' into 'certain v <= c' (adds the
-    # boundary point). Exactness: both sides come from the SAME decimal
-    # lexical forms parsed to double (try_cast on the column, float()
-    # on the constant), so boundary equality is bit-exact and the tiny
-    # pad only ever flips the == case, never a genuinely-distinct pair
-    # (adjacent distinct values differ by >= 1e-3 s for any practical
-    # fractional-second precision).
     if facet == "minInclusive":     # violation iff certainly v < c
-        bad = lt(0.0)
+        bad = lt(False)
     elif facet == "minExclusive":   # violation iff certainly v <= c
-        bad = lt(1e-6)
+        bad = lt(True)
     elif facet == "maxInclusive":   # violation iff certainly v > c
-        bad = gt(0.0)
+        bad = gt(False)
     elif facet == "maxExclusive":   # violation iff certainly v >= c
-        bad = gt(1e-6)
+        bad = gt(True)
     else:
         raise ValueError(f"unknown ordered facet {facet!r}")
     return vb.isNull() | ~F.coalesce(bad, F.lit(False))

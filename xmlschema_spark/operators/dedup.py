@@ -20,6 +20,10 @@ Scale notes (the whole point of these shapes):
 
 from __future__ import annotations
 
+import os
+import re
+import zlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -221,7 +225,8 @@ def deduplicate(df: DataFrame, text_col: str, id_col: str,
     raise ValueError(f"unknown dedup method {method!r}")
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iters: int = 20,
+                 checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over a duplicate-pair graph: (member,
     cluster) with cluster = the MIN member id of the component — the
     exact transitive closure the star approximation in deduplicate()
@@ -235,25 +240,39 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     being near-cliques (LSH blocks + verified pairs) close in 2-3;
     max_iters bounds adversarial chains (a path of 2^20 nodes still
     converges in ~20 rounds). Each round is one join + one partial+final min
-    aggregate (shuffle on node id); labels persist round-to-round and
-    the previous round is unpersisted — bounded memory. At 10^12-edge
-    scale swap in alternating large-star/small-star (Kiveris et al.,
-    "Connected Components in MapReduce") — same join shape, fewer
-    rounds; the propagation here IS its small-star step.
+    aggregate (shuffle on node id).
+
+    Checkpointing: each round's labels are checkpointed (DAG truncation
+    — iterative plans grow their lineage geometrically and a 10+-round
+    loop overflows plan compilation). With `checkpoint_dir=None` this
+    is localCheckpoint: executor-local blocks, fast, but (a) a lost
+    executor on a real cluster loses lineage-truncated blocks and fails
+    the job, and (b) superseded rounds' blocks are freed by the JVM
+    block-manager GC, not eagerly — up to max_iters label frames can be
+    live at once (bounded by max_iters * |nodes|, small next to the
+    edge set, but not single-frame). With `checkpoint_dir` set, rounds
+    use RELIABLE .checkpoint() into that directory: executor-loss-safe
+    (the 10^12-edge / real-cluster mode); superseded rounds' files are
+    reclaimed by the ContextCleaner when
+    spark.cleaner.referenceTracking.cleanCheckpoints=true, otherwise
+    they persist until the checkpoint dir is dropped with the run.
 
     Deterministic: min over ids at any parallelism; no shuffle-order
     dependence."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(frame: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return frame.checkpoint(eager=True)
+        return frame.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
     edges = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))).persist()
-    # localCheckpoint per round, not persist: iterative plans grow their
-    # lineage geometrically and a 10+-round loop overflows plan
-    # compilation; checkpointing truncates the DAG to the materialized
-    # result (on a real cluster use reliable checkpoint() for executor-
-    # loss tolerance — same call shape)
-    labels = (edges.select(F.col("a").alias("node")).distinct()
-              .withColumn("lab", F.col("node"))
-              .localCheckpoint(eager=True))
+    labels = _ckpt(edges.select(F.col("a").alias("node")).distinct()
+                   .withColumn("lab", F.col("node")))
     try:
         converged = False
         for _ in range(max_iters):
@@ -265,12 +284,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             # neighbor-min join+aggregate subtree appears twice in one
             # plan and may execute twice if exchange reuse doesn't kick
             # in (it is the dominant per-round cost)
-            new = (labels.join(nbr, labels["node"] == nbr["a"], "left")
-                   .select(F.col("node"),
-                           F.least(F.col("lab"),
-                                   F.coalesce(F.col("nlab"), F.col("lab")))
-                           .alias("lab"))
-                   .localCheckpoint(eager=True))
+            new = _ckpt(labels.join(nbr, labels["node"] == nbr["a"], "left")
+                        .select(F.col("node"),
+                                F.least(F.col("lab"),
+                                        F.coalesce(F.col("nlab"),
+                                                   F.col("lab")))
+                                .alias("lab")))
             # pointer jumping: lab <- lab(lab). Plain neighbor-min needs
             # diameter rounds on a path graph; composing each round with
             # one label-of-label hop halves chain depth, giving
@@ -279,12 +298,12 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             # round instead of a rewritten edge set)
             hop = new.select(F.col("node").alias("_n2"),
                              F.col("lab").alias("_l2"))
-            new = (new.join(hop, new["lab"] == hop["_n2"], "left")
-                   .select(F.col("node"),
-                           F.least(F.col("lab"),
-                                   F.coalesce(F.col("_l2"), F.col("lab")))
-                           .alias("lab"))
-                   .localCheckpoint(eager=True))
+            new = _ckpt(new.join(hop, new["lab"] == hop["_n2"], "left")
+                        .select(F.col("node"),
+                                F.least(F.col("lab"),
+                                        F.coalesce(F.col("_l2"),
+                                                   F.col("lab")))
+                                .alias("lab")))
             changed = (new.join(labels.withColumnRenamed("lab", "old"),
                                 on="node")
                        .where(F.col("lab") != F.col("old"))
@@ -307,8 +326,31 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         edges.unpersist()
 
 
+_RUN_ID_RE = re.compile(r"^[A-Za-z0-9_.-]{1,128}$")
+
+
+def _fp_store_table(spark, store_path: str, buckets: int) -> str:
+    """Register (idempotently) the external bucketed fingerprint table
+    over `store_path` and return its name. The in-memory catalog does
+    not survive sessions, but the bucket spec is re-assertable: Spark's
+    bucketed writer encodes the bucket id in each file name, so a
+    CREATE TABLE IF NOT EXISTS with the SAME spec over existing files
+    is exact, and MSCK REPAIR recovers partitions written by earlier
+    sessions/jobs."""
+    name = f"xmlschema_spark_fp_store_{zlib.crc32(store_path.encode()):08x}"
+    os.makedirs(store_path, exist_ok=True)
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {name} (fp STRING, run STRING) "
+        f"USING PARQUET PARTITIONED BY (run) "
+        f"CLUSTERED BY (fp) SORTED BY (fp) INTO {buckets} BUCKETS "
+        f"LOCATION '{store_path}'")
+    spark.sql(f"MSCK REPAIR TABLE {name}")
+    return name
+
+
 def incremental_deduplicate(df: DataFrame, text_col: str, id_col: str,
-                            store_path: str) -> DataFrame:
+                            store_path: str, run_id: str | None = None,
+                            store_buckets: int | None = None) -> DataFrame:
     """Exact dedup of an INCREMENT against all previously-seen content:
     the training-pipeline shape where data arrives in batches and a
     document seen in ANY earlier batch must not survive again.
@@ -317,15 +359,37 @@ def incremental_deduplicate(df: DataFrame, text_col: str, id_col: str,
       1. within-increment dedup (min-id keeper per fingerprint; NULL
          text kept, bypasses the window — same rules as deduplicate);
       2. left-anti join of the survivors against the fingerprint STORE
-         (parquet of distinct fps from all prior increments);
-      3. append the new survivors' fingerprints to the store.
+         (distinct fps from all prior increments);
+      3. write the new survivors' fingerprints to the store.
 
-    Returns the surviving rows. At 10^12-fp scale the store should be a
-    bucketed table on fp (shuffle-free anti-join) or the manifest side
-    of checkpoint.run_resumable; here it is plain parquet + AQE (the
-    anti-join broadcasts while the store is small and sort-merges once
-    it is not — no forced hint, same policy as keyref_violations)."""
+    Store layouts (reference analog: the persistent identity registry
+    semantics of xsd_globals.py:537-578 applied across runs):
+
+    - `run_id=None` (legacy): flat parquet, mode=append. NOT
+      idempotent — re-running a failed increment re-matches its own
+      appended fps and returns zero survivors. Kept for single-shot
+      callers only.
+    - `run_id='<id>'`: fps land in `store_path/run=<id>/` via
+      OVERWRITE, and `seen` EXCLUDES the current run's partition — so
+      re-running an increment after a downstream failure returns the
+      identical survivor set (same idempotence contract as
+      checkpoint.finalize_global_identities' per-run_id dirs).
+    - `run_id` + `store_buckets=N`: the store is an external table
+      CLUSTERED BY (fp) INTO N BUCKETS — the anti-join's store side
+      scans WITHOUT an Exchange (only the increment shuffles to match
+      the bucketing), which is the 10^12-fp plan: the accumulated
+      store, by far the bigger side, is never reshuffled per
+      increment. Writes go through INSERT OVERWRITE PARTITION (same
+      idempotence as above). N is fixed at store creation; pick it for
+      the TARGET store size (e.g. 2^13 buckets ~ 10^12 fps at ~10^8
+      fps/bucket-file group).
+    """
     spark = df.sparkSession
+    if run_id is not None and not _RUN_ID_RE.match(run_id):
+        raise ValueError(f"run_id must match {_RUN_ID_RE.pattern}: "
+                         f"{run_id!r}")
+    if store_buckets is not None and run_id is None:
+        raise ValueError("store_buckets requires run_id")
     fp = df.withColumn("_fp", fingerprint(F.col(text_col)))
     nulls = fp.where(F.col("_fp").isNull())
     w = Window.partitionBy("_fp").orderBy(id_col)
@@ -333,20 +397,44 @@ def incremental_deduplicate(df: DataFrame, text_col: str, id_col: str,
                .withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") == 1).drop("_rn"))
     from pyspark.errors import AnalysisException
-    try:
-        seen = spark.read.parquet(store_path).select("fp")
-    except AnalysisException as e:
-        # ONLY a first-run missing store is an empty store; any other
-        # read failure (permissions, corrupt files) must surface — a
-        # silently-empty store would re-admit every historical duplicate
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
-        seen = spark.createDataFrame([], "fp string")
+
+    if store_buckets is not None:
+        table = _fp_store_table(spark, store_path, store_buckets)
+        seen = (spark.table(table)
+                .where(F.col("run").cast("string") != run_id)
+                .select("fp"))
+    else:
+        try:
+            seen = spark.read.parquet(store_path)
+            if run_id is not None:
+                # partitioned layout: exclude the CURRENT run so a
+                # re-run never anti-joins against its own output
+                seen = seen.where(F.col("run").cast("string") != run_id)
+            seen = seen.select("fp")
+        except AnalysisException as e:
+            # ONLY a first-run missing/empty store is an empty store;
+            # any other read failure (permissions, corrupt files) must
+            # surface — a silently-empty store would re-admit every
+            # historical duplicate
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "UNABLE_TO_INFER_SCHEMA" not in str(e)):
+                raise
+            seen = spark.createDataFrame([], "fp string")
     fresh = keepers.join(seen.withColumnRenamed("fp", "_fp"),
                          on="_fp", how="left_anti")
-    # materialize BEFORE appending to the store: the store write must
+    # materialize BEFORE writing to the store: the store write must
     # not re-read its own output mid-plan
     fresh = fresh.localCheckpoint(eager=True)
-    (fresh.select(F.col("_fp").alias("fp")).distinct()
-     .write.mode("append").parquet(store_path))
+    new_fps = fresh.select(F.col("_fp").alias("fp")).distinct()
+    if store_buckets is not None:
+        view = f"_xmlschema_spark_inc_{zlib.crc32(run_id.encode()):08x}"
+        new_fps.createOrReplaceTempView(view)
+        spark.sql(f"INSERT OVERWRITE TABLE {table} "
+                  f"PARTITION(run='{run_id}') SELECT fp FROM {view}")
+        spark.catalog.dropTempView(view)
+    elif run_id is not None:
+        new_fps.write.mode("overwrite").parquet(
+            f"{store_path}/run={run_id}")
+    else:
+        new_fps.write.mode("append").parquet(store_path)
     return fresh.drop("_fp").unionByName(nulls.drop("_fp"))

@@ -544,8 +544,24 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
                 value_col=value_col,
             ))
 
-        addx("decode", f"item is not a valid {item.dtype}",
-             lambda x: x.cast("string").rlike(lex))
+        if int_bounded:
+            # bounded integer item kinds: 'strict' decode = lexical
+            # pattern AND physical-type cast (mirrors the scalar
+            # xsd_int_decode == 'strict' branch) — a regex-only decode
+            # would accept '300' as xsd:byte / '99999' as
+            # xsd:unsignedByte, and every downstream numeric check
+            # passes on the try_cast NULL (reference value-space check:
+            # helpers.py:151-237 rejects out-of-range after decode).
+            _phys_strict = _XSD_INT_TYPES[kind][0]
+
+            def _strict_decode(x, _p=_phys_strict):
+                s = x.cast("string")
+                return s.rlike(lex) & s.try_cast(_p).isNotNull()
+            addx("decode", f"item is not a valid {item.dtype}",
+                 _strict_decode)
+        else:
+            addx("decode", f"item is not a valid {item.dtype}",
+                 lambda x: x.cast("string").rlike(lex))
         if int_bounded or int_unbounded:
             # integer item kinds: type bounds (bounded kinds) and user
             # ordered facets compare numerically per element; overflow/

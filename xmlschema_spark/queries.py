@@ -1516,9 +1516,11 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         store_path = f"{store}/fps"
         incremental_deduplicate(d.where(F.col("doc_id") % 2 == 0),
-                                "text", "doc_id", store_path)
+                                "text", "doc_id", store_path,
+                                run_id="inc1")
         s2 = incremental_deduplicate(d.where(F.col("doc_id") % 2 == 1),
-                                     "text", "doc_id", store_path)
+                                     "text", "doc_id", store_path,
+                                     run_id="inc2")
         # survivors are localCheckpoint-materialized inside the
         # operator, so the frame stays valid after the store directory
         # is gone
