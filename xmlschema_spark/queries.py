@@ -1650,3 +1650,101 @@ def ncname_lexical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                      columns=[ColumnSpec("nm", "xsd:NCName")])
     return row_violations(d, compile_plan(spec)) \
         .select("row_key", "constraint", "value")
+
+
+# ---------------------------------------------------------------------------
+# Canonical q-digest (operators/sketch.py): the hash-checkable quantile
+# sketch. The oracle replays the EXACT construction — leaf histogram +
+# 12 unrolled compression levels as chained CTEs — so the digest itself
+# is rows+schema+hash verified, closing the one correctness row
+# percentile_approx could only rank-gate.
+# ---------------------------------------------------------------------------
+
+_QD_LEVELS, _QD_K = 12, 64
+_QD_LEAF_SQL = ("least(4095, greatest(0, "
+                "CAST(round(l_extendedprice * 100) AS BIGINT) // 4096))")
+
+
+def _qdigest_cte_sql() -> str:
+    """Unroll the canonical q-digest compression as chained CTEs
+    (DuckDB recursive CTEs disallow grouping in the recursive term;
+    the level count is a fixed sketch parameter, so unrolling is
+    exact)."""
+    parts = [f"""
+  leaves AS (
+    SELECT {_QD_LEAF_SQL} AS leaf
+      FROM lineitem WHERE l_extendedprice IS NOT NULL),
+  lev0 AS (
+    SELECT 4096 + leaf AS node, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM leaves GROUP BY leaf),
+  nt AS (
+    SELECT GREATEST(1, CAST(SUM(cnt) AS BIGINT) // {_QD_K}) AS thr,
+           CAST(SUM(cnt) AS BIGINT) AS n
+      FROM lev0)"""]
+    for lv in range(_QD_LEVELS):
+        parts.append(f"""
+  fam{lv} AS (
+    SELECT node // 2 AS p, CAST(SUM(cnt) AS BIGINT) AS fam
+      FROM lev{lv} GROUP BY node // 2),
+  emit{lv} AS (
+    SELECT {lv} AS level, v.node, v.cnt
+      FROM lev{lv} v JOIN fam{lv} f ON v.node // 2 = f.p
+     WHERE f.fam > (SELECT thr FROM nt)),
+  lev{lv + 1} AS (
+    SELECT p AS node, fam AS cnt FROM fam{lv}
+     WHERE fam <= (SELECT thr FROM nt))""")
+    emits = " UNION ALL ".join(
+        [f"SELECT level, node, cnt FROM emit{lv}"
+         for lv in range(_QD_LEVELS)]
+        + [f"SELECT {_QD_LEVELS} AS level, node, cnt FROM lev{_QD_LEVELS}"])
+    parts.append(f"\n  digest AS ({emits})")
+    return "WITH" + ",".join(parts)
+
+
+def _qdigest_lineitem_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.sketch import qdigest
+    df = _load(spark, sf_dir, "lineitem")
+    leaf = F.expr("least(4095, greatest(0, "
+                  "cast(round(l_extendedprice * 100) as bigint) div 4096))")
+    return qdigest(df.where(F.col("l_extendedprice").isNotNull()),
+                   leaf, _QD_LEVELS, _QD_K)
+
+
+@register("qdigest_lineitem",
+          _qdigest_cte_sql() + "\n  SELECT level, node, cnt FROM digest")
+def qdigest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The digest itself, hash-compared node for node: l_extendedprice
+    in integer cents, 4096 leaves of $40.96 (pure integer leaf mapping
+    — no float-rounding drift between engines), k=64."""
+    return _qdigest_lineitem_df(spark, sf_dir)
+
+
+@register("qdigest_quantiles_lineitem", _qdigest_cte_sql() + f"""
+  , ordered AS (
+    SELECT level, node, cnt,
+           (node + 1 - (CAST(1 AS BIGINT) << ({_QD_LEVELS} - level)))
+             * (CAST(1 AS BIGINT) << level) - 1 AS hi
+      FROM digest),
+  cum AS (
+    SELECT hi, level,
+           SUM(cnt) OVER (ORDER BY hi, level, node
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cum
+      FROM ordered),
+  qs AS (SELECT UNNEST([0.01, 0.25, 0.5, 0.75, 0.99]) AS quantile)
+  SELECT CAST(q.quantile AS DOUBLE) AS quantile,
+         CAST(MIN(c.hi) AS BIGINT) AS leaf_hi,
+         (SELECT n FROM nt) AS n
+    FROM qs q JOIN cum c
+      ON c.cum >= CAST(CEIL(q.quantile * (SELECT n FROM nt)) AS BIGINT)
+   GROUP BY q.quantile
+""")
+def qdigest_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles read off the digest (right-edge leaf of the first node
+    reaching ceil(q*n) cumulative mass) — integer outputs, exact hash
+    parity; the rank guarantee itself is asserted in
+    tests/test_sketch.py."""
+    from .operators.sketch import qdigest_quantiles
+    digest = _qdigest_lineitem_df(spark, sf_dir)
+    return qdigest_quantiles(digest, [0.01, 0.25, 0.5, 0.75, 0.99],
+                             _QD_LEVELS)
