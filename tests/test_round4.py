@@ -150,3 +150,61 @@ def test_duration_huge_literal_no_crash(spark):
     assert by["P200000Y"] is True          # beyond documented range
     assert by["P1D"] is False
     assert by["P2M"] is True
+
+
+# ------------------------------------------- assert vocabulary check
+
+def test_assert_typo_column_raises_at_compile(spark):
+    """Reference parity (assertions.py:119-133): unknown names in an
+    assertion are rejected at spec-compile time, not at first action."""
+    from xmlschema_spark.plans.compiler import compile_plan
+    from xmlschema_spark.specs import AssertSpec, ColumnSpec, TableSpec
+    spec = TableSpec(name="t", key_column="k",
+                     columns=[ColumnSpec("w", "int"), ColumnSpec("h", "int")],
+                     asserts=[AssertSpec("a", "w * hh <= 100")])
+    with pytest.raises(ValueError, match="unknown column 'hh'"):
+        compile_plan(spec)
+
+
+def test_assert_unknown_function_raises(spark):
+    from xmlschema_spark.plans.compiler import compile_plan
+    from xmlschema_spark.specs import AssertSpec, ColumnSpec, TableSpec
+    spec = TableSpec(name="t", key_column="k",
+                     columns=[ColumnSpec("w", "int")],
+                     asserts=[AssertSpec("a", "my_udf(w) > 0")])
+    with pytest.raises(ValueError, match="function 'my_udf'"):
+        compile_plan(spec)
+
+
+def test_assert_vocabulary_accepts_legit_exprs(spark):
+    from xmlschema_spark.plans.compiler import compile_plan
+    from xmlschema_spark.specs import AssertSpec, ColumnSpec, TableSpec
+    exprs = [
+        "w IS NULL OR h IS NULL OR CAST(w AS BIGINT) * h <= 16777216",
+        "CASE WHEN w > 0 THEN h >= 1 ELSE TRUE END",
+        "length(trim(cap)) BETWEEN 1 AND 512",
+        "`w` + coalesce(h, 0) < 10 AND cap NOT LIKE 'x%'",
+    ]
+    spec = TableSpec(name="t", key_column="k",
+                     columns=[ColumnSpec("w", "int"), ColumnSpec("h", "int"),
+                              ColumnSpec("cap", "string")],
+                     asserts=[AssertSpec(f"a{i}", e)
+                              for i, e in enumerate(exprs)])
+    compile_plan(spec)   # must not raise
+
+
+def test_assert_extra_columns_declaration(spark):
+    """AssertSpec.columns declares vocabulary beyond the spec's own
+    columns (and still validates at run time)."""
+    from xmlschema_spark.plans.compiler import compile_plan
+    from xmlschema_spark.operators.row_checks import row_violations
+    from xmlschema_spark.specs import AssertSpec, TableSpec
+    spec = TableSpec(name="t", key_column="k",
+                     asserts=[AssertSpec("ab", "a <= b",
+                                         columns=["a", "b"])])
+    plan = compile_plan(spec)
+    df = spark.createDataFrame([("r1", 1, 2), ("r2", 5, 2)],
+                               "k string, a int, b int")
+    got = {(r.row_key, r.constraint)
+           for r in row_violations(df, plan).collect()}
+    assert got == {("r2", "assert:ab")}

@@ -198,7 +198,7 @@ def cosine_near_dup_pairs_vectorized(df: DataFrame, vec_col: str,
 
     out_schema = "id_a string, id_b string, sim double"
 
-    def per_bucket(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def per_bucket(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id")
         ids = pdf["id"].to_numpy()
         m = np.vstack(pdf["u"].to_numpy())          # (n, dims) unit rows

@@ -62,6 +62,99 @@ _XSD_INT_UNBOUNDED: dict[str, str] = {
 _XSD_INT_LEX = r"[-+]?[0-9]+"
 
 
+# ------------------------------------------------- assertion vocabulary
+# Compile-time vocabulary check for AssertSpec expressions — the analog
+# of the reference's parse-time rejection of unknown XPath names/
+# functions in xs:assert (validators/assertions.py:119-133): a typo'd
+# column or function fails at compile_plan time, not at first action.
+
+_ASSERT_KEYWORDS = frozenset("""
+ and or not in is null true false like rlike ilike escape between case
+ when then else end cast as distinct interval exists all any some from
+ div current_date current_timestamp
+ int integer bigint long smallint short tinyint byte double float real
+ decimal numeric string varchar char boolean date timestamp
+ timestamp_ntz binary void
+ """.split())
+
+# whitelisted scalar functions (grow via ASSERT_FUNCTIONS.add(...) for
+# deployment-specific vocabularies — mirrors the reference's pluggable
+# XPath function registration). Higher-order functions are deliberately
+# absent: their lambda variables would defeat the column check.
+ASSERT_FUNCTIONS = set("""
+ abs greatest least coalesce nullif nvl nvl2 ifnull if isnull isnotnull
+ length char_length character_length lower upper trim ltrim rtrim
+ substring substr concat concat_ws split replace translate instr locate
+ lpad rpad left right startswith endswith contains
+ regexp_like regexp regexp_extract regexp_replace regexp_count
+ round bround floor ceil ceiling pow power sqrt exp ln log log2 log10
+ mod pmod sign abs negative positive
+ to_date to_timestamp try_to_timestamp to_unix_timestamp year month day
+ dayofmonth dayofweek dayofyear weekofyear quarter hour minute second
+ datediff date_add date_sub add_months months_between last_day trunc
+ date_trunc unix_timestamp make_date try_make_date extract date_part
+ size cardinality array_contains element_at try_element_at array_min
+ array_max array_distinct array_position sort_array slice
+ cast try_cast try_add try_subtract try_multiply try_divide
+ md5 sha1 sha2 crc32 hash bin hex unhex encode decode base64 unbase64
+ format_number printf char ascii chr initcap repeat reverse space
+ levenshtein soundex
+ """.split())
+
+_IDENT_RE = re.compile(r"\b([A-Za-z_][A-Za-z_0-9]*)\b\s*(\()?")
+
+
+def check_assert_vocabulary(expr: str, known_cols: set[str],
+                            ctx: str) -> None:
+    """Raise ValueError when `expr` references a column outside
+    `known_cols` or a function outside ASSERT_FUNCTIONS. String
+    literals and backquoted identifiers are handled; resolution
+    (types, arity) still happens at Catalyst analysis."""
+    s = re.sub(r"''", " ", expr)
+    s = re.sub(r"'[^']*'", " ", s)          # string literals
+    backquoted = re.findall(r"`([^`]+)`", s)
+    s = re.sub(r"`[^`]+`", " ", s)
+    for m in _IDENT_RE.finditer(s):
+        name, is_fn = m.group(1), m.group(2)
+        low = name.lower()
+        if low in _ASSERT_KEYWORDS:
+            continue
+        if is_fn:
+            if low not in ASSERT_FUNCTIONS:
+                raise ValueError(
+                    f"assert {ctx}: function '{name}' is not in the "
+                    f"assertion vocabulary (ASSERT_FUNCTIONS)")
+        elif name not in known_cols:
+            raise ValueError(
+                f"assert {ctx}: unknown column '{name}' — declare it "
+                f"in the spec or in AssertSpec.columns")
+    for name in backquoted:
+        if name not in known_cols:
+            raise ValueError(
+                f"assert {ctx}: unknown column '{name}' — declare it "
+                f"in the spec or in AssertSpec.columns")
+
+
+def _spec_known_columns(spec: TableSpec) -> set[str]:
+    """Every column name the spec declares anywhere — the assertion
+    vocabulary's base set."""
+    known = {spec.key_column}
+    if spec.part_key:
+        known.add(spec.part_key)
+    known.update(c.name for c in spec.columns)
+    for cond in spec.conditionals:
+        known.update(c.name for c in cond.columns)
+    for u in spec.uniques:
+        known.update(u.columns)
+    for kr in spec.keyrefs:
+        known.update(kr.columns)
+    for oc in spec.occurs:
+        known.update(oc.group_by)
+    if spec.drift:
+        known.update(spec.drift.columns)
+    return known
+
+
 def _check_int_literal(kind: str, fname: str, v) -> None:
     """Compile-time facet-constant decode for integer built-ins
     (reference: parse_error at facet build): must be an integral
@@ -773,8 +866,12 @@ def compile_plan(spec: TableSpec) -> ValidationPlan:
                     valid=~cond | chk.valid,
                     value_col=chk.value_col,
                 ))
+    known_cols = _spec_known_columns(spec)
     for a in spec.asserts:
-        # complex-type xs:assert (validators/assertions.py:119-147)
+        # complex-type xs:assert (validators/assertions.py:119-147);
+        # vocabulary checked HERE, at compile time
+        check_assert_vocabulary(
+            a.expr, known_cols | set(a.columns or ()), repr(a.name))
         plan.row_checks.append(RowCheck(
             constraint=f"assert:{a.name}",
             reason=f"assertion '{a.name}' failed: {a.expr}",

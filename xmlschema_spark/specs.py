@@ -122,10 +122,20 @@ class AssertSpec:
     """XSD 1.1 complex-type xs:assert: cross-column row predicate
     (validators/assertions.py:36-179). `expr` is a Spark SQL boolean
     expression over the table's columns; rows where it is false violate.
-    """
+
+    The expression's vocabulary is checked at compile_plan time —
+    mirroring the reference's parse-time rejection of unknown XPath
+    names (assertions.py:119-133): every bare identifier must be a
+    column declared somewhere in the spec (or listed in `columns`
+    here), and every function must be in the compiler's
+    ASSERT_FUNCTIONS whitelist. A typo'd column therefore fails at
+    spec-compile time, not at first action."""
 
     name: str
     expr: str
+    # extra columns the expression references beyond those the spec
+    # declares elsewhere (the assertion's declared vocabulary)
+    columns: list[str] | None = None
 
 
 @dataclass

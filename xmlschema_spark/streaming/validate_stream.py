@@ -16,8 +16,16 @@ The streaming analog:
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+# runtime import (not TYPE_CHECKING): pyspark resolves the hint strings
+# via get_type_hints when inferring the applyInPandasWithState eval
+# type — an unresolvable name degrades to a UserWarning per batch
+from pyspark.sql.streaming.state import GroupState  # noqa: F401
 
 from ..operators.row_checks import row_violations
 from ..plans.compiler import ValidationPlan, compile_plan
@@ -95,31 +103,42 @@ def streaming_global_unique_violations(stream_df: DataFrame,
     state_schema = "seen bigint, first_id string"
     reason_prefix = f"duplicated value for '{constraint}' fields {key_cols}: "
 
-    def track(key, pdfs, state):
-        import pandas as pd
+    def track(key: tuple, pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
         if state.exists:
             seen, first = state.get
         else:
             seen, first = 0, None
         value = "|".join(str(k) for k in key)
-        out_rows = []
-        for pdf in pdfs:
-            for rid in pdf[id_col].astype(str).sort_values():
-                seen += 1
-                if seen == 1:
-                    first = rid
-                else:
-                    if seen == 2 and first is not None:
-                        out_rows.append(first)   # retroactive first hit
-                    out_rows.append(rid)
-        state.update((seen, first))
+        # vectorized: groups are mostly size 1, so a per-row Python loop
+        # here would put EVERY streamed row on the interpreter's hot
+        # path; pandas concat+sort keeps the per-batch cost O(batch)
+        # C-side with only group-level Python control flow
+        ids = pd.concat([p[id_col] for p in pdfs]).astype(str) \
+            .sort_values(kind="mergesort")
+        b = len(ids)
+        new_seen = seen + b
+        out_rows: list[str] = []
+        if b:
+            if seen == 0:
+                first = ids.iloc[0]
+                if b >= 2:
+                    out_rows = list(ids)         # first emitted with rest
+            elif seen == 1:
+                # retroactive first hit: the stored first occurrence
+                # becomes a violation the moment a second arrives
+                out_rows = ([first] if first is not None else []) \
+                    + list(ids)
+            else:
+                out_rows = list(ids)
+        state.update((new_seen, first))
         if out_rows:
             yield pd.DataFrame({
                 "row_key": out_rows,
                 "constraint": constraint,
                 "reason": reason_prefix + value,
                 "value": value,
-                "occurs": seen,
+                "occurs": new_seen,
             })
 
     nn = None
@@ -196,8 +215,8 @@ def streaming_unique_violations(stream_df: DataFrame, key_cols: list[str],
     state_schema = "seen bigint, first_id string, max_ev bigint"
     reason_prefix = f"duplicated value for '{constraint}' fields {key_cols}: "
 
-    def track(key, pdfs, state):
-        import pandas as pd
+    def track(key: tuple, pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
         if state.hasTimedOut:
             state.remove()
             return
@@ -206,18 +225,29 @@ def streaming_unique_violations(stream_df: DataFrame, key_cols: list[str],
         else:
             seen, first, max_ev = 0, None, 0
         value = "|".join(str(k) for k in key)
-        out_rows = []
-        for pdf in pdfs:
-            ev_ms = (pdf[event_time_col].astype("int64") // 1_000_000)
-            max_ev = max(max_ev, int(ev_ms.max()))
-            for rid in pdf[id_col].astype(str).sort_values():
-                seen += 1
-                if seen == 1:
-                    first = rid
-                else:
-                    if seen == 2 and first is not None:
-                        out_rows.append(first)   # retroactive first hit
-                    out_rows.append(rid)
+        # same vectorization as streaming_global_unique_violations:
+        # C-side concat/sort/max, group-level-only Python control flow
+        chunks = list(pdfs)
+        ids = pd.concat([p[id_col] for p in chunks]).astype(str) \
+            .sort_values(kind="mergesort")
+        b = len(ids)
+        if b:
+            ev_max = max(int(p[event_time_col].astype("int64").max())
+                         for p in chunks if len(p))
+            max_ev = max(max_ev, ev_max // 1_000_000)
+        new_seen = seen + b
+        out_rows: list[str] = []
+        if b:
+            if seen == 0:
+                first = ids.iloc[0]
+                if b >= 2:
+                    out_rows = list(ids)         # first emitted with rest
+            elif seen == 1:
+                out_rows = ([first] if first is not None else []) \
+                    + list(ids)
+            else:
+                out_rows = list(ids)
+        seen = new_seen
         state.update((seen, first, max_ev))
         # timeout fires only once the watermark passes this timestamp —
         # by then no on-time row for the tuple can still arrive
