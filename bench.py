@@ -29,6 +29,7 @@ HEADLINE = [
     "profile_lineitem",
     "drift_events_halves",
     "lsh_candidate_pairs_documents",
+    "qdigest_lineitem",
     "text_quality_documents",
     "ann_topk_bruteforce",
     "embedding_near_dups_vectorized",

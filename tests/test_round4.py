@@ -208,3 +208,79 @@ def test_assert_extra_columns_declaration(spark):
     got = {(r.row_key, r.constraint)
            for r in row_violations(df, plan).collect()}
     assert got == {("r2", "assert:ab")}
+
+
+# ------------------------------------------------ converter layouts
+
+def test_gdata_converter_layout(spark):
+    from xmlschema_spark.functions.converters import (decode_table,
+                                                      gdata_converter)
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+    df = spark.createDataFrame([("1", "hello", 5)],
+                               "rid string, txt string, n int")
+    spec = TableSpec(name="t", key_column="rid",
+                     columns=[ColumnSpec("txt"), ColumnSpec("n", "int")])
+    out = decode_table(df, spec, gdata_converter(text_col="txt"))
+    row = out.collect()[0]
+    assert row.doc == '{"$t":"hello","n":5}'
+
+
+def test_parker_converter_drops_all_raises(spark):
+    from xmlschema_spark.functions.converters import (decode_table,
+                                                      parker_converter)
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+    df = spark.createDataFrame([("1", "x")], "rid string, a string")
+    spec = TableSpec(name="t", key_column="rid",
+                     columns=[ColumnSpec("a")])
+    with pytest.raises(ValueError, match="dropped every column"):
+        decode_table(df, spec, parker_converter(["a"]))
+
+
+# ------------------------------------------- large-star/small-star CC
+
+def test_dup_clusters_star_matches_propagate(spark):
+    """Star edge-rewriting and label propagation must produce identical
+    component labels on chains, cliques, and singleton self-pairs."""
+    from xmlschema_spark.operators.dedup import dup_clusters_star
+    pairs = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i + 1:02d}") for i in range(15)]     # chain
+        + [("z1", "z2"), ("z2", "z3"), ("z1", "z3")]            # clique
+        + [("solo", "solo")],                                    # self-pair
+        "id_a string, id_b string")
+    a = sorted((r.member, r.cluster)
+               for r in dup_clusters(pairs).collect())
+    b = sorted((r.member, r.cluster)
+               for r in dup_clusters_star(pairs).collect())
+    assert a == b
+    assert ("solo", "solo") in b
+
+
+def test_dup_clusters_star_descending_chain_checkpointed(spark, tmp_path):
+    """Worst-ish ordering (ids descending along the chain) with
+    reliable checkpointing enabled."""
+    from xmlschema_spark.operators.dedup import dup_clusters_star
+    n = 24
+    pairs = spark.createDataFrame(
+        [(f"n{n - i:02d}", f"n{n - i - 1:02d}") for i in range(n)],
+        "id_a string, id_b string")
+    out = dup_clusters_star(pairs,
+                            checkpoint_dir=str(tmp_path / "ck")).collect()
+    assert all(r.cluster == "n00" for r in out)
+    assert len(out) == n + 1
+
+
+def test_dup_clusters_star_parallelism_invariant(spark):
+    from xmlschema_spark.operators.dedup import dup_clusters_star
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "q"), ("q", "r")],
+        "id_a string, id_b string")
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        outs = []
+        for nshuf in ("2", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", nshuf)
+            outs.append(sorted((r.member, r.cluster)
+                               for r in dup_clusters_star(pairs).collect()))
+        assert outs[0] == outs[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)

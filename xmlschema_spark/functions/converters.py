@@ -72,3 +72,50 @@ def decode_table(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,
     doc = (converter or default_converter)(spec, names)
     return out.select(F.col(spec.key_column).cast("string").alias("row_key"),
                       F.to_json(doc).alias("doc"))
+
+
+def parker_converter(attr_cols: list[str]) -> Converter:
+    """Parker convention (converters/parker.py:22-41: attr_prefix=None,
+    text_key='', cdata_prefix=None): attributes are DROPPED from the
+    decoded document — only element content survives. Tabular analog:
+    the designated attribute columns are omitted from the struct."""
+    attrs = set(attr_cols)
+
+    def conv(spec: TableSpec, names: list[str]) -> Column:
+        kept = [n for n in names if n not in attrs]
+        if not kept:
+            raise ValueError("parker_converter dropped every column")
+        return F.struct(*[F.col(n) for n in kept])
+    return conv
+
+
+def badgerfish_converter(attr_cols: list[str],
+                         text_col: str | None = None) -> Converter:
+    """BadgerFish convention (converters/badgerfish.py:24-68:
+    attr_prefix='@', text_key='$'): attribute columns keyed '@name',
+    the designated text-content column keyed '$', other columns as
+    nested elements."""
+    attrs = set(attr_cols)
+
+    def conv(spec: TableSpec, names: list[str]) -> Column:
+        fields = []
+        for n in names:
+            if n == text_col:
+                fields.append(F.col(n).alias("$"))
+            elif n in attrs:
+                fields.append(F.col(n).alias(f"@{n}"))
+            else:
+                fields.append(F.col(n))
+        return F.struct(*fields)
+    return conv
+
+
+def gdata_converter(text_col: str | None = None) -> Converter:
+    """GData convention (converters/gdata.py:24-42: attr_prefix='',
+    text_key='$t'): attributes unprefixed (indistinguishable from
+    elements in the flat tabular world), text content keyed '$t'."""
+    def conv(spec: TableSpec, names: list[str]) -> Column:
+        return F.struct(*[
+            F.col(n).alias("$t") if n == text_col else F.col(n)
+            for n in names])
+    return conv

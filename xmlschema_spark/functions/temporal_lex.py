@@ -18,7 +18,14 @@ _TZ = r"(Z|[+-](0\d|1[0-4]):[0-5]\d)?"
 GYEAR = rf"-?([1-9]\d{{3,}}|0\d{{3}}){_TZ}"
 GYEARMONTH = rf"-?([1-9]\d{{3,}}|0\d{{3}})-(0[1-9]|1[0-2]){_TZ}"
 GMONTH = rf"--(0[1-9]|1[0-2]){_TZ}"
-GMONTHDAY = rf"--(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01]){_TZ}"
+# day bounded per month (XSD lexical mapping constraint: <= 30 for
+# 04/06/09/11, <= 29 for 02 — gMonthDay has no year, so Feb 29 is
+# always lexically valid and the regex can be EXACT, unlike xs:date
+# where leap-year day validity needs the year and is handled by the
+# decode suppression path instead)
+GMONTHDAY = (r"--((0[13578]|1[02])-(0[1-9]|[12]\d|3[01])"
+             r"|(0[469]|11)-(0[1-9]|[12]\d|30)"
+             rf"|02-(0[1-9]|[12]\d)){_TZ}")
 GDAY = rf"---(0[1-9]|[12]\d|3[01]){_TZ}"
 
 DATE = rf"-?([1-9]\d{{3,}}|0\d{{3}})-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01]){_TZ}"

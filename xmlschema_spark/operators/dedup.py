@@ -225,6 +225,93 @@ def deduplicate(df: DataFrame, text_col: str, id_col: str,
     raise ValueError(f"unknown dedup method {method!r}")
 
 
+def dup_clusters_star(pairs: DataFrame, max_iters: int = 30,
+                      checkpoint_dir: str | None = None) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    edge rewriting (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — the 10^12-edge variant of dup_clusters:
+    instead of propagating labels over a FIXED edge set, each round
+    REWRITES the edges toward a star forest, so the working set shrinks
+    as components contract and the round count is O(log^2 n) worst
+    case, 2-4 in practice for near-clique duplicate clusters.
+
+      large-star(u): every neighbor v > u re-attaches to
+                     m = min(N(u) + {u});
+      small-star(u): every neighbor v <= u (and u) attaches to m.
+
+    Both are one groupBy (min) + one join per round — the same physical
+    shape as dup_clusters' propagation, but on a shrinking frame.
+    Fixed point = the edge set is a star forest; labels read off as
+    least(node, min neighbor). Same output contract as dup_clusters:
+    (member, cluster=component min), deterministic at any parallelism.
+    Checkpointing semantics identical to dup_clusters (localCheckpoint
+    by default, reliable checkpoint() with `checkpoint_dir`)."""
+    spark = pairs.sparkSession
+    if checkpoint_dir is not None:
+        spark.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _ckpt(frame: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return frame.checkpoint(eager=True)
+        return frame.localCheckpoint(eager=True)
+
+    def _star(E: DataFrame, large: bool) -> DataFrame:
+        # m(u) = min over N(u) + {u}; E holds both orientations so
+        # N(u) = all b with (u, b)
+        m = (E.groupBy("a").agg(F.min("b").alias("_mb"))
+             .select(F.col("a").alias("_u"),
+                     F.least(F.col("_mb"), F.col("a")).alias("_m")))
+        j = E.join(m, E["a"] == m["_u"], "inner")
+        keep = (F.col("b") > F.col("a")) if large \
+            else (F.col("b") <= F.col("a"))
+        out = j.where(keep).select(F.col("b").alias("a"),
+                                   F.col("_m").alias("b"))
+        if not large:
+            # small-star also links u itself to m
+            out = out.unionByName(
+                m.select(F.col("_u").alias("a"), F.col("_m").alias("b")))
+        # drop self-loops, store both orientations, dedupe
+        out = out.where(F.col("a") != F.col("b"))
+        return (out.unionByName(out.select(F.col("b").alias("a"),
+                                           F.col("a").alias("b")))
+                .distinct())
+
+    base = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+    nodes = (base.select(F.col("a").alias("node"))
+             .unionByName(base.select(F.col("b").alias("node")))
+             .distinct().persist())
+    E = _ckpt(base.where(F.col("a") != F.col("b"))
+              .unionByName(base.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b")))
+              .where(F.col("a") != F.col("b")).distinct())
+    try:
+        converged = False
+        for _ in range(max_iters):
+            new = _ckpt(_star(_star(E, large=True), large=False))
+            # fixed point = identical edge SET (both frames distinct)
+            same = (new.exceptAll(E).limit(1).count() == 0
+                    and E.exceptAll(new).limit(1).count() == 0)
+            E = new
+            if same:
+                converged = True
+                break
+        if not converged:
+            raise RuntimeError(
+                f"dup_clusters_star did not converge in {max_iters} "
+                "rounds; raise max_iters")
+        labs = (E.groupBy("a").agg(F.min("b").alias("_mb"))
+                .select(F.col("a").alias("node"),
+                        F.least(F.col("_mb"), F.col("a")).alias("lab")))
+        # isolated-after-rewrite nodes (singletons whose only pair was a
+        # self-loop) label themselves
+        return (nodes.join(labs, on="node", how="left")
+                .select(F.col("node").alias("member"),
+                        F.coalesce(F.col("lab"), F.col("node"))
+                        .alias("cluster")))
+    finally:
+        nodes.unpersist()
+
+
 def dup_clusters(pairs: DataFrame, max_iters: int = 20,
                  checkpoint_dir: str | None = None) -> DataFrame:
     """Connected components over a duplicate-pair graph: (member,

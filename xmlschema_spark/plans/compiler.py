@@ -42,6 +42,8 @@ _NUMERIC = {"tinyint", "smallint", "int", "bigint", "float", "double", "decimal"
 _XSD_INT_TYPES: dict[str, tuple[str, int | None, int | None]] = {
     "byte": ("tinyint", None, None),
     "short": ("smallint", None, None),
+    "int": ("int", None, None),
+    "long": ("bigint", None, None),
     "unsignedByte": ("smallint", 0, 255),
     "unsignedShort": ("int", 0, 65535),
     "unsignedInt": ("bigint", 0, 4294967295),
@@ -215,8 +217,88 @@ def _length_col(col: Column, dtype: str) -> Column:
     return F.length(col)
 
 
+_INT_DTYPES = {"tinyint", "smallint", "int", "bigint", "long", "short",
+               "byte"}
+
+
+def _validate_column_spec(cs: ColumnSpec) -> None:
+    """Compile-time facet consistency — the analog of the reference's
+    schema-build XMLSchemaParseError sweep (facets.py constructors;
+    tests/validators/test_facets.py restriction cases). Conflicting or
+    malformed facet combinations are rejected when the spec compiles,
+    never at first action."""
+    def err(msg: str) -> None:
+        raise ValueError(f"column '{cs.name}': {msg}")
+
+    if cs.whitespace is not None and \
+            cs.whitespace not in ("preserve", "replace", "collapse"):
+        err(f"whitespace value must be one of ['preserve', 'replace', "
+            f"'collapse'], got {cs.whitespace!r}")
+    if cs.explicit_timezone is not None and \
+            cs.explicit_timezone not in ("required", "prohibited",
+                                         "optional"):
+        err(f"explicitTimezone must be required|prohibited|optional, "
+            f"got {cs.explicit_timezone!r}")
+    if cs.total_digits is not None:
+        if not isinstance(cs.total_digits, int) or cs.total_digits < 1:
+            err("totalDigits value must be positive "
+                f"(got {cs.total_digits!r})")
+    if cs.fraction_digits is not None:
+        if not isinstance(cs.fraction_digits, int) \
+                or cs.fraction_digits < 0:
+            err("fractionDigits value must be non negative "
+                f"(got {cs.fraction_digits!r})")
+        dt = (cs.dtype or "").lower()
+        integerish = (dt in _INT_DTYPES
+                      or dt.startswith("xsd:") and (
+                          dt[4:] in _XSD_INT_TYPES
+                          or dt[4:] in _XSD_INT_UNBOUNDED)
+                      or re.fullmatch(r"decimal\(\d+,\s*0\)", dt))
+        if integerish and cs.fraction_digits > 0:
+            err("fractionDigits value must be 0 for types derived from "
+                "xs:integer")
+        if dt in ("float", "double", "real"):
+            err("fractionDigits can be applied only to types derived "
+                "from xs:decimal")
+    if cs.length is not None and (cs.min_length is not None
+                                  or cs.max_length is not None):
+        err("length cannot be combined with minLength/maxLength")
+    if cs.min_length is not None and cs.max_length is not None \
+            and cs.min_length > cs.max_length:
+        err(f"minLength {cs.min_length} > maxLength {cs.max_length}")
+    if cs.min_inclusive is not None and cs.min_exclusive is not None:
+        err("minInclusive and minExclusive cannot both be specified")
+    if cs.max_inclusive is not None and cs.max_exclusive is not None:
+        err("maxInclusive and maxExclusive cannot both be specified")
+    if cs.enum is not None and len(cs.enum) == 0:
+        err("enumeration facet requires at least one value")
+    if cs.fixed is not None and cs.default is not None:
+        err("fixed and default cannot both be specified")
+
+    # bound-order conflicts: only where both bounds are numerically
+    # comparable at compile time (temporal/duration bounds live in a
+    # partial order and are validated by their own literal parsers)
+    def _num(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+    lo = cs.min_inclusive if cs.min_inclusive is not None \
+        else cs.min_exclusive
+    hi = cs.max_inclusive if cs.max_inclusive is not None \
+        else cs.max_exclusive
+    nlo, nhi = _num(lo), _num(hi)
+    if nlo is not None and nhi is not None:
+        strict = cs.min_exclusive is not None \
+            or cs.max_exclusive is not None
+        if nlo > nhi or (strict and nlo == nhi):
+            err(f"empty value space: lower bound {lo!r} vs upper "
+                f"bound {hi!r}")
+
+
 def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
     """Compile one ColumnSpec -> (normalization expr or None, checks)."""
+    _validate_column_spec(cs)
     xsd_ordered: list[tuple[str, str, str]] = []   # (facet, literal, kind)
     xsd_lex_pattern: str | None = None
     xsd_int_decode: str | None = None   # None | 'strict' | 'skip'
@@ -481,10 +563,8 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
             add("explicitTimezone", "timezone designator required", has_tz)
         elif cs.explicit_timezone == "prohibited":
             add("explicitTimezone", "timezone designator prohibited", ~has_tz)
-        else:
-            raise ValueError(
-                f"explicit_timezone must be required|prohibited, "
-                f"got {cs.explicit_timezone!r}")
+        # 'optional' (the XSD default) adds no check; unknown values
+        # were rejected by _validate_column_spec at compile entry
 
     if cs.assertion:
         # simple-type assert with `value` variable (facets.py:836-894).
@@ -567,6 +647,8 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
     items are then try_cast to the item dtype, with a dedicated
     facet:item:decode check for non-castable members."""
     item = cs.item
+    if item is not None:
+        _validate_column_spec(item)
     col = F.col(cs.name)
     if cs.lexical_list:
         trimmed = F.trim(F.regexp_replace(col, r"\s+", " "))

@@ -1748,3 +1748,67 @@ def qdigest_quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     digest = _qdigest_lineitem_df(spark, sf_dir)
     return qdigest_quantiles(digest, [0.01, 0.25, 0.5, 0.75, 0.99],
                              _QD_LEVELS)
+
+
+# ---------------------------------------------------------------------------
+# Converter layout sinks (functions/converters.py): Parker and BadgerFish
+# decode conventions over the documents table, exercised through the full
+# decode_table path (defaults + normalizations + converter + to_json).
+# ---------------------------------------------------------------------------
+
+@register("decode_parker_documents", """
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         '{"lang":"' || lang || '","n_chars":' || n_chars || '}' AS doc
+    FROM documents
+""")
+def decode_parker_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parker convention (reference converters/parker.py:22-41:
+    attr_prefix=None — attributes DROPPED): doc_id is declared an
+    attribute column and is omitted from the decoded document (it
+    remains the row key)."""
+    from .functions.converters import decode_table, parker_converter
+    d = _load(spark, sf_dir, "documents")
+    spec = TableSpec(name="documents", key_column="doc_id",
+                     columns=[ColumnSpec("doc_id", "bigint"),
+                              ColumnSpec("lang", "string"),
+                              ColumnSpec("n_chars", "bigint")])
+    return decode_table(d, spec, parker_converter(["doc_id"]))
+
+
+@register("decode_badgerfish_documents", """
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         '{"@lang":"' || lang || '","$":"' || source || '","n_chars":'
+           || n_chars || '}' AS doc
+    FROM documents
+""")
+def decode_badgerfish_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """BadgerFish convention (reference converters/badgerfish.py:24-68:
+    attr_prefix='@', text_key='$'): lang as '@lang' attribute, source
+    as the '$' text key, n_chars as a plain element."""
+    from .functions.converters import badgerfish_converter, decode_table
+    d = _load(spark, sf_dir, "documents")
+    spec = TableSpec(name="documents", key_column="doc_id",
+                     columns=[ColumnSpec("lang", "string"),
+                              ColumnSpec("source", "string"),
+                              ColumnSpec("n_chars", "bigint")])
+    return decode_table(d, spec, badgerfish_converter(["lang"],
+                                                      text_col="source"))
+
+
+@register("dup_clusters_star_documents", ORACLES["dup_clusters_documents"])
+def dup_clusters_star_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Same component labels as dup_clusters_documents, computed by the
+    alternating large-star/small-star edge-rewriting variant
+    (operators/dedup.dup_clusters_star — the 10^12-edge contraction
+    path). Identical oracle: both algorithms must produce the same
+    (member, cluster=component-min) map."""
+    from .operators.dedup import (dup_clusters_star, lsh_bucket_pairs,
+                                  ngram_jaccard)
+    d = _load(spark, sf_dir, "documents") \
+        .withColumn("doc_id", F.col("doc_id").cast("string"))
+    cand = lsh_bucket_pairs(d, "text", "doc_id", n_hashes=4, band_size=2)
+    verified = ngram_jaccard(d, "text", "doc_id", cand, threshold=0.5) \
+        .select("id_a", "id_b")
+    return dup_clusters_star(verified)

@@ -49,3 +49,33 @@ def read_table(spark: SparkSession, source: str,
     if snapshot_id is not None:
         raise ValueError("snapshot_id requires the iceberg reader")
     return spark.read.parquet(source)
+
+
+def table_snapshots(spark: SparkSession, table: str) -> list[tuple]:
+    """(snapshot_id, committed_at) history of an Iceberg table, oldest
+    first — the resume cursor source for incremental validation
+    (reference analog: the reloadable global maps of
+    xsd_globals.py:537-578 applied across table versions)."""
+    if not iceberg_available(spark):
+        raise RuntimeError("iceberg runtime not on the classpath")
+    rows = (spark.read.format("iceberg").load(f"{table}.snapshots")
+            .select("snapshot_id", "committed_at")
+            .orderBy("committed_at").collect())
+    return [(r.snapshot_id, r.committed_at) for r in rows]
+
+
+def read_increment(spark: SparkSession, table: str,
+                   start_snapshot_id: int,
+                   end_snapshot_id: int | None = None) -> DataFrame:
+    """Incremental Iceberg read: rows appended AFTER start_snapshot_id
+    (exclusive) up to end_snapshot_id (inclusive; default = current).
+    This is the resume path between manifest checkpoints
+    (checkpoint.run_resumable): validate only what arrived since the
+    last validated snapshot."""
+    if not iceberg_available(spark):
+        raise RuntimeError("iceberg runtime not on the classpath")
+    r = (spark.read.format("iceberg")
+         .option("start-snapshot-id", str(start_snapshot_id)))
+    if end_snapshot_id is not None:
+        r = r.option("end-snapshot-id", str(end_snapshot_id))
+    return r.load(table)
