@@ -284,3 +284,34 @@ def test_dup_clusters_star_parallelism_invariant(spark):
         assert outs[0] == outs[1]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_abdera_converter_layout(spark):
+    from xmlschema_spark.functions.converters import (abdera_converter,
+                                                      decode_table)
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+    df = spark.createDataFrame([("1", "en", "web", 5)],
+                               "rid string, lang string, src string, n int")
+    spec = TableSpec(name="t", key_column="rid",
+                     columns=[ColumnSpec("lang"), ColumnSpec("src"),
+                              ColumnSpec("n", "int")])
+    out = decode_table(df, spec, abdera_converter(["lang"])).collect()[0]
+    assert out.doc == ('{"attributes":{"lang":"en"},'
+                       '"children":{"src":"web","n":5}}')
+    # no attribute columns -> bare children dict
+    out2 = decode_table(df, spec, abdera_converter([])).collect()[0]
+    assert out2.doc == '{"lang":"en","src":"web","n":5}'
+
+
+def test_jsonml_converter_layout(spark):
+    from xmlschema_spark.functions.converters import (decode_table,
+                                                      jsonml_converter)
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+    df = spark.createDataFrame([("1", "en", "a\"b", 5)],
+                               "rid string, lang string, txt string, n int")
+    spec = TableSpec(name="t", key_column="rid",
+                     columns=[ColumnSpec("lang"), ColumnSpec("txt"),
+                              ColumnSpec("n", "int")])
+    out = decode_table(df, spec, jsonml_converter(["lang"])).collect()[0]
+    # escaping comes from to_json on both the attrs struct and scalars
+    assert out.doc == ('["t",{"lang":"en"},["txt","a\\"b"],["n",5]]')

@@ -69,9 +69,14 @@ def decode_table(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,
     for name, norm in plan.normalizations.items():
         out = out.withColumn(name, norm)
     names = [c.name for c in spec.columns]
-    doc = (converter or default_converter)(spec, names)
+    conv = converter or default_converter
+    doc = conv(spec, names)
+    # converters that build JSON text directly (JsonML's heterogeneous
+    # arrays) mark themselves raw; struct converters go through to_json
+    if not getattr(conv, "raw", False):
+        doc = F.to_json(doc)
     return out.select(F.col(spec.key_column).cast("string").alias("row_key"),
-                      F.to_json(doc).alias("doc"))
+                      doc.alias("doc"))
 
 
 def parker_converter(attr_cols: list[str]) -> Converter:
@@ -118,4 +123,57 @@ def gdata_converter(text_col: str | None = None) -> Converter:
         return F.struct(*[
             F.col(n).alias("$t") if n == text_col else F.col(n)
             for n in names])
+    return conv
+
+
+def abdera_converter(attr_cols: list[str]) -> Converter:
+    """Abdera convention (converters/abdera.py:24-80: attr_prefix='',
+    text_key=''): attributes collected under an 'attributes' dict,
+    element content under 'children'. With no attribute columns the
+    result collapses to the bare children dict (the reference's
+    `if data.attributes` branch)."""
+    attrs = set(attr_cols)
+
+    def conv(spec: TableSpec, names: list[str]) -> Column:
+        a = [F.col(n) for n in names if n in attrs]
+        c = [F.col(n) for n in names if n not in attrs]
+        if not a:
+            return F.struct(*c)
+        return F.struct(F.struct(*a).alias("attributes"),
+                        F.struct(*c).alias("children"))
+    return conv
+
+
+def _json_scalar(name: str) -> Column:
+    """JSON-encode one column value (string quoting/escaping, numbers
+    bare) with to_json over a 1-element array, brackets stripped —
+    engine-portable (DuckDB's to_json(x) produces the same scalar
+    encoding for the plain types used here)."""
+    return F.expr(f"substring(to_json(array({name})), 2, "
+                  f"length(to_json(array({name}))) - 2)")
+
+
+def jsonml_converter(attr_cols: list[str]) -> Converter:
+    """JsonML convention (converters/jsonml.py:24-90): the row decodes
+    to the array form ["table", {attributes}, ["col", value], ...] —
+    heterogeneous, so the converter builds the JSON text directly
+    (still pure Catalyst string expressions; decode_table detects the
+    raw marker and skips its own to_json)."""
+    attrs = set(attr_cols)
+
+    def conv(spec: TableSpec, names: list[str]) -> Column:
+        parts: list[Column] = [F.lit(f'["{spec.name}"')]
+        a = [n for n in names if n in attrs]
+        if a:
+            parts.append(F.lit(","))
+            parts.append(F.to_json(F.struct(*[F.col(n) for n in a])))
+        for n in names:
+            if n in attrs:
+                continue
+            parts.append(F.lit(f',["{n}",'))
+            parts.append(_json_scalar(n))
+            parts.append(F.lit("]"))
+        parts.append(F.lit("]"))
+        return F.concat(*parts)
+    conv.raw = True          # already JSON text
     return conv

@@ -1812,3 +1812,41 @@ def dup_clusters_star_documents(spark: SparkSession,
     verified = ngram_jaccard(d, "text", "doc_id", cand, threshold=0.5) \
         .select("id_a", "id_b")
     return dup_clusters_star(verified)
+
+
+@register("decode_abdera_documents", """
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         '{"attributes":{"lang":"' || lang || '"},"children":{"source":"'
+           || source || '","n_chars":' || n_chars || '}}' AS doc
+    FROM documents
+""")
+def decode_abdera_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Abdera convention (reference converters/abdera.py:24-80):
+    attributes under an 'attributes' dict, content under 'children'."""
+    from .functions.converters import abdera_converter, decode_table
+    d = _load(spark, sf_dir, "documents")
+    spec = TableSpec(name="documents", key_column="doc_id",
+                     columns=[ColumnSpec("lang", "string"),
+                              ColumnSpec("source", "string"),
+                              ColumnSpec("n_chars", "bigint")])
+    return decode_table(d, spec, abdera_converter(["lang"]))
+
+
+@register("decode_jsonml_documents", """
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         '["documents",' || '{"lang":"' || lang || '"}'
+           || ',["source",' || to_json(source) || ']'
+           || ',["n_chars",' || to_json(n_chars) || ']]' AS doc
+    FROM documents
+""")
+def decode_jsonml_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JsonML convention (reference converters/jsonml.py:24-90): the
+    array form ["documents", {attrs}, ["col", value], ...] built as raw
+    JSON text inside the projection."""
+    from .functions.converters import decode_table, jsonml_converter
+    d = _load(spark, sf_dir, "documents")
+    spec = TableSpec(name="documents", key_column="doc_id",
+                     columns=[ColumnSpec("lang", "string"),
+                              ColumnSpec("source", "string"),
+                              ColumnSpec("n_chars", "bigint")])
+    return decode_table(d, spec, jsonml_converter(["lang"]))
