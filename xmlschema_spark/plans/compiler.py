@@ -62,6 +62,11 @@ _XSD_INT_UNBOUNDED: dict[str, str] = {
     "negativeInteger": r"-0*[1-9][0-9]*",
 }
 _XSD_INT_LEX = r"[-+]?[0-9]+"
+# XSD float/double lexical space (reference: elementpath float parsers
+# via builtins.py; XSD datatypes 3.3.1-3.3.2): decimal/scientific forms
+# plus the special values INF, +INF, -INF, NaN
+_XSD_FLOAT_LEX = (r"(\+|-)?([0-9]+(\.[0-9]*)?|\.[0-9]+)"
+                  r"([eE](\+|-)?[0-9]+)?|(\+|-)?INF|NaN")
 
 
 # ------------------------------------------------- assertion vocabulary
@@ -257,7 +262,7 @@ def _validate_column_spec(cs: ColumnSpec) -> None:
         if integerish and cs.fraction_digits > 0:
             err("fractionDigits value must be 0 for types derived from "
                 "xs:integer")
-        if dt in ("float", "double", "real"):
+        if dt in ("float", "double", "real", "xsd:float", "xsd:double"):
             err("fractionDigits can be applied only to types derived "
                 "from xs:decimal")
     if cs.length is not None and (cs.min_length is not None
@@ -352,6 +357,38 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
                 cs = ColumnSpec(**{
                     **cs.__dict__, "dtype": "decimal(38,0)",
                     "whitespace": ws})
+        elif kind in ("float", "double"):
+            # XSD float/double: the lexical space includes INF/-INF/NaN
+            # (reference: test_facets.py:979-1005 float enumeration with
+            # special values). The special spellings map to Spark's
+            # before the cast; NaN is UNORDERED, so ordered facets pass
+            # on NaN — the same certain-violation-only rule as the
+            # temporal partial orders. INF is ordered (greater than
+            # every finite value) and compares normally.
+            xsd_kind = kind
+            xsd_lex_pattern = _XSD_FLOAT_LEX
+            xsd_int_decode = "float"
+            ws = cs.whitespace if cs.whitespace is not None else "collapse"
+            fbounds: dict[str, float | None] = {}
+            for fname in ("min_inclusive", "min_exclusive",
+                          "max_inclusive", "max_exclusive"):
+                v = getattr(cs, fname)
+                if v is None:
+                    fbounds[fname] = None
+                    continue
+                try:
+                    fv = float(str(v))   # accepts INF/-INF spellings
+                except ValueError:
+                    raise ValueError(
+                        f"invalid xsd:{kind} facet constant "
+                        f"{fname}={v!r}") from None
+                if fv != fv:
+                    raise ValueError(
+                        f"NaN is unordered and cannot be an ordered "
+                        f"facet bound ({fname})")
+                fbounds[fname] = fv
+            cs = ColumnSpec(**{**cs.__dict__, "dtype": kind,
+                               "whitespace": ws, **fbounds})
         elif kind not in _XSD_LEX:
             raise ValueError(f"unknown xsd lexical type {cs.dtype!r}; "
                              f"known: {sorted(_XSD_LEX) + sorted(_XSD_INT_TYPES)}")
@@ -459,6 +496,7 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
         # try_cast is identity when the physical type already matches, so
         # this is safe for pre-typed parquet columns and a real lexical
         # parse for string-typed ones.
+        cast_src = col
         if xsd_int_decode == "skip":
             # unbounded integer built-in: the sign-aware lexical pattern
             # is the complete (and only exact) value-space check; a cast
@@ -472,10 +510,20 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
             add("decode", f"value is not a valid {cs.dtype}",
                 col.try_cast(cs.dtype).isNotNull()
                 & val_s.rlike(translate_xsd_pattern(_XSD_INT_LEX)))
+        elif xsd_int_decode == "float":
+            # xsd:float/double: XSD's INF/NaN spellings map to Spark's
+            # before the cast; the cast then covers the whole lexical
+            # space (the float lexical pattern ANDs in separately)
+            cast_src = (F.when(val_s.isin("INF", "+INF"),
+                               F.lit("Infinity"))
+                        .when(val_s == "-INF", F.lit("-Infinity"))
+                        .otherwise(val_s))
+            add("decode", f"value is not a valid xsd:{cs.dtype}",
+                cast_src.try_cast(cs.dtype).isNotNull())
         else:
             add("decode", f"value is not a valid {cs.dtype}",
                 col.try_cast(cs.dtype).isNotNull())
-        typed = col.try_cast(cs.dtype)
+        typed = cast_src.try_cast(cs.dtype)
     else:
         typed = col
 
@@ -519,18 +567,31 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
         add("maxLength", f"length must be <= {cs.max_length}",
             _length_col(col, cs.dtype) <= cs.max_length)
 
+    def _ord(cmp: Column) -> Column:
+        # float/double: NaN is UNORDERED in the XSD value space — Spark
+        # instead sorts NaN greatest, which would wrongly flag NaN on
+        # max* facets. Certain-violation-only rule: NaN passes ordered
+        # facets (mirrors the temporal/duration partial orders).
+        if cs.dtype in ("float", "double"):
+            return F.isnan(typed) | cmp
+        return cmp
+
     if cs.min_inclusive is not None:
         add("minInclusive", f"value must be >= {cs.min_inclusive}",
-            typed >= _lit(cs.dtype, cs.min_inclusive), typed_guard=typed)
+            _ord(typed >= _lit(cs.dtype, cs.min_inclusive)),
+            typed_guard=typed)
     if cs.min_exclusive is not None:
         add("minExclusive", f"value must be > {cs.min_exclusive}",
-            typed > _lit(cs.dtype, cs.min_exclusive), typed_guard=typed)
+            _ord(typed > _lit(cs.dtype, cs.min_exclusive)),
+            typed_guard=typed)
     if cs.max_inclusive is not None:
         add("maxInclusive", f"value must be <= {cs.max_inclusive}",
-            typed <= _lit(cs.dtype, cs.max_inclusive), typed_guard=typed)
+            _ord(typed <= _lit(cs.dtype, cs.max_inclusive)),
+            typed_guard=typed)
     if cs.max_exclusive is not None:
         add("maxExclusive", f"value must be < {cs.max_exclusive}",
-            typed < _lit(cs.dtype, cs.max_exclusive), typed_guard=typed)
+            _ord(typed < _lit(cs.dtype, cs.max_exclusive)),
+            typed_guard=typed)
 
     if cs.total_digits is not None or cs.fraction_digits is not None:
         # canonical decimal repr: strip sign, trailing fractional zeros,

@@ -1850,3 +1850,46 @@ def decode_jsonml_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                               ColumnSpec("source", "string"),
                               ColumnSpec("n_chars", "bigint")])
     return decode_table(d, spec, jsonml_converter(["lang"]))
+
+
+@register("xsd_double_lexical_events", """
+  WITH src AS (
+    SELECT event_id,
+           CASE WHEN event_id % 11 = 0 THEN 'INF'
+                WHEN event_id % 13 = 0 THEN 'NaN'
+                WHEN event_id % 17 = 0 THEN '-INF'
+                WHEN event_id % 19 = 0 THEN 'not-a-number'
+                ELSE CAST(value AS VARCHAR) END AS v
+      FROM events),
+  viols AS (
+    SELECT event_id, 'facet:decode:v' AS c FROM src
+     WHERE v = 'not-a-number'
+    UNION ALL
+    SELECT event_id, 'facet:pattern:v' FROM src
+     WHERE v = 'not-a-number'
+    UNION ALL
+    SELECT event_id, 'facet:maxInclusive:v' FROM src
+     WHERE v = 'INF'
+        OR (v NOT IN ('INF','-INF','NaN','not-a-number')
+            AND TRY_CAST(v AS DOUBLE) > 500))
+  SELECT CAST(event_id AS VARCHAR) AS row_key, c AS constraint
+    FROM viols
+""")
+def xsd_double_lexical_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xsd:double decode over a string column containing the XSD
+    special spellings (INF/-INF/NaN) plus garbage: INF violates the
+    finite maxInclusive bound (it is ORDERED), NaN passes every ordered
+    facet (UNORDERED — certain-violation-only rule), garbage fails both
+    decode and the float lexical pattern. The oracle enumerates the
+    same rule set in SQL."""
+    d = _load(spark, sf_dir, "events").withColumn(
+        "v", F.when(F.col("event_id") % 11 == 0, F.lit("INF"))
+             .when(F.col("event_id") % 13 == 0, F.lit("NaN"))
+             .when(F.col("event_id") % 17 == 0, F.lit("-INF"))
+             .when(F.col("event_id") % 19 == 0, F.lit("not-a-number"))
+             .otherwise(F.col("value").cast("string")))
+    spec = TableSpec(name="events", key_column="event_id",
+                     columns=[ColumnSpec("v", "xsd:double",
+                                         max_inclusive=500)])
+    return row_violations(d, compile_plan(spec)) \
+        .select("row_key", "constraint")
