@@ -88,3 +88,112 @@ def test_merge_matches_direct_on_counts(spark):
 def test_empty_input(spark):
     df = spark.createDataFrame([], "v long")
     assert qdigest(df, F.col("v"), L, K).count() == 0
+
+
+# ----------------------------------------------------- property tests
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    _HYP = True
+except ImportError:                                     # pragma: no cover
+    _HYP = False
+
+if _HYP:
+    leaf_counts = st.lists(
+        st.tuples(st.integers(min_value=0, max_value=(1 << L) - 1),
+                  st.integers(min_value=1, max_value=1000)),
+        min_size=0, max_size=200)
+
+    @settings(max_examples=200, deadline=None)
+    @given(leaf_counts, st.randoms())
+    def test_compress_mass_conservation_and_order_free(pairs, rnd):
+        """Pure-python core invariants: total mass conserved, output
+        independent of input order, every node id in range."""
+        rows = [(0, (1 << L) + lf, c) for lf, c in pairs]
+        total = sum(c for _, _, c in rows)
+        out = compress_counts(rows, L, K)
+        assert sum(c for _, _, c in out) == total
+        shuffled = list(rows)
+        rnd.shuffle(shuffled)
+        assert sorted(out) == sorted(compress_counts(shuffled, L, K))
+        for level, node, cnt in out:
+            assert 0 <= level <= L
+            assert (1 << (L - level)) <= node < (1 << (L - level + 1))
+            assert cnt > 0
+
+    @settings(max_examples=100, deadline=None)
+    @given(leaf_counts)
+    def test_compress_size_bound(pairs):
+        """Digest stays sketch-sized: every merged family emitted to
+        the digest exceeded thr, so emitted INTERNAL mass > thr per
+        family — size is O(k) + heavy leaves, never O(domain)."""
+        rows = [(0, (1 << L) + lf, c) for lf, c in pairs]
+        out = compress_counts(rows, L, K)
+        n = sum(c for _, _, c in rows)
+        if n == 0:
+            assert out == []
+            return
+        thr = max(1, n // K)
+        # each level-0 emitted family has mass > thr; interior families
+        # likewise: digest family count <= n/thr <= ~K per level
+        fams = {(level, node >> 1) for level, node, _ in out}
+        assert len(fams) <= (n // thr + 1) * 2
+
+
+# ------------------------------------------------ streaming windowed
+
+def test_streaming_windowed_qdigest_matches_batch(spark, tmp_path):
+    """Two event-time windows streamed through
+    streaming_windowed_leaf_counts + qdigest_per_window must produce
+    BITWISE the batch digest of each window's rows (the leaf counts are
+    exact mergeable partials; compression is a pure function)."""
+    from xmlschema_spark.streaming.validate_stream import (
+        qdigest_per_window, streaming_windowed_leaf_counts)
+    import random
+    rng = random.Random(5)
+    rows = []
+    for i in range(2000):
+        hour = 10 if i % 2 == 0 else 11
+        rows.append((f"2024-01-01 {hour}:{i % 60:02d}:00",
+                     rng.randrange(1 << L)))
+    src = tmp_path / "src"
+    df = spark.createDataFrame(rows, "ts string, v long")
+    df.write.mode("overwrite").parquet(str(src / "b0"))
+    stream = (spark.readStream.schema("ts string, v long")
+              .option("recursiveFileLookup", "true")
+              .parquet(str(src)))
+    counts = streaming_windowed_leaf_counts(
+        stream, F.col("v"), "ts", window="1 hour",
+        watermark="1 minute")
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (counts.writeStream.format("parquet")
+         .option("path", out_dir).option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # late closing batch so the watermark passes both windows
+    spark.createDataFrame([("2024-01-01 13:00:00", 1)],
+                          "ts string, v long") \
+        .write.mode("overwrite").parquet(str(src / "b1"))
+    q2 = (streaming_windowed_leaf_counts(
+            spark.readStream.schema("ts string, v long")
+            .option("recursiveFileLookup", "true").parquet(str(src)),
+            F.col("v"), "ts", window="1 hour", watermark="1 minute")
+          .writeStream.format("parquet")
+          .option("path", out_dir).option("checkpointLocation", ck)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    got_counts = spark.read.parquet(out_dir)
+    digests = qdigest_per_window(got_counts, L, K)
+    per_win = {}
+    for r in digests.collect():
+        per_win.setdefault(str(r.win_start), []) \
+            .append((r.level, r.node, r.cnt))
+    batch_df = spark.createDataFrame(rows, "ts string, v long") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    for hour in (10, 11):
+        win_rows = batch_df.where(F.hour("ts") == hour)
+        expect = sorted((r.level, r.node, r.cnt) for r in
+                        qdigest(win_rows, F.col("v"), L, K).collect())
+        key = f"2024-01-01 {hour}:00:00"
+        assert sorted(per_win[key]) == expect, hour

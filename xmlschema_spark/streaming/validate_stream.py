@@ -342,3 +342,61 @@ def drift_from_windowed_counts(hist: DataFrame, ref_counts: DataFrame,
             .agg(F.round(F.sum(p * F.log(p / q)), 6).alias("kl"))
             .select("win_start", "win_end", "kl",
                     (F.col("kl") > kl_threshold).alias("drifted")))
+
+
+def streaming_windowed_leaf_counts(stream_df: DataFrame, leaf_expr,
+                                   event_time_col: str,
+                                   window: str = "1 hour",
+                                   watermark: str = "10 minutes"
+                                   ) -> DataFrame:
+    """Per-event-time-window q-digest LEAF COUNTS on a stream:
+    (win_start, win_end, leaf, cnt) in APPEND mode — final when the
+    watermark passes the window end, same emission contract as
+    streaming_windowed_histogram.
+
+    This is the streaming half of the canonical q-digest
+    (operators/sketch.py): leaf counts are the sketch's mergeable
+    pre-compression state (counts are additive), so the stream carries
+    EXACT partial sketches with state bounded by open windows x
+    distinct leaves (<= 2^levels per window, the sketch parameter).
+    Compression to the digest happens on read via qdigest_per_window —
+    pure function of these counts, so the streamed digest is bitwise
+    the batch digest of the same window's rows."""
+    return (stream_df
+            .withColumn(event_time_col,
+                        F.col(event_time_col).cast("timestamp"))
+            .withWatermark(event_time_col, watermark)
+            .withColumn("_leaf", leaf_expr.cast("bigint"))
+            .where(F.col("_leaf").isNotNull())
+            .groupBy(F.window(event_time_col, window).alias("win"),
+                     F.col("_leaf").alias("leaf"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("win.start").alias("win_start"),
+                    F.col("win.end").alias("win_end"), "leaf", "cnt"))
+
+
+def qdigest_per_window(counts: DataFrame, levels: int,
+                       k: int = 64) -> DataFrame:
+    """Compress finalized windowed leaf counts (the sink of
+    streaming_windowed_leaf_counts) into one canonical q-digest per
+    window: (win_start, win_end, level, node, cnt). Batch pass over
+    closed windows — one bounded task per window (<= 2^levels input
+    rows), windows compress in parallel."""
+    import pandas as pd
+
+    from ..operators.sketch import compress_counts
+
+    schema = ("win_start timestamp, win_end timestamp, "
+              "level int, node bigint, cnt bigint")
+
+    def compress(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = [(0, (1 << levels) + int(lf), int(c))
+                for lf, c in zip(pdf["leaf"], pdf["cnt"])]
+        out = compress_counts(rows, levels, k)
+        res = pd.DataFrame(out, columns=["level", "node", "cnt"])
+        res.insert(0, "win_end", pdf["win_end"].iloc[0])
+        res.insert(0, "win_start", pdf["win_start"].iloc[0])
+        return res
+
+    return (counts.groupBy("win_start", "win_end")
+            .applyInPandas(lambda pdf: compress(pdf), schema))
