@@ -108,3 +108,25 @@ def test_temporal_facet_queries_shuffle_free_and_pruned(spark, sf_dir):
         scans = re.findall(r"FileScan parquet \[([^\]]*)\]", p)
         cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
         assert cols == {id_col}, (q, cols)
+
+
+def test_qdigest_single_exchange_with_partial_agg(spark, sf_dir):
+    """The q-digest plan at 10^12 rows: map-side partial aggregation of
+    leaf counts (HashAggregate appears on BOTH sides of the single
+    Exchange), then the bounded compress stage — no second data
+    shuffle of raw rows."""
+    from pyspark.sql import functions as F
+
+    from xmlschema_spark.operators.sketch import qdigest
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    leaf = F.expr("least(4095, greatest(0, "
+                  "cast(round(l_extendedprice * 100) as bigint) div 4096))")
+    plan = qdigest(df.where(F.col("l_extendedprice").isNotNull()),
+                   leaf, 12, 64) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # partial+final combine around exactly one hash Exchange of counts;
+    # the _g constant-group exchange moves <= 2^levels count rows
+    assert plan.count("HashAggregate") >= 2
+    assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
+    exchanges = plan.count("Exchange")
+    assert exchanges <= 2, plan[:2000]

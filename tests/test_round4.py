@@ -315,3 +315,20 @@ def test_jsonml_converter_layout(spark):
     out = decode_table(df, spec, jsonml_converter(["lang"])).collect()[0]
     # escaping comes from to_json on both the attrs struct and scalars
     assert out.doc == ('["t",{"lang":"en"},["txt","a\\"b"],["n",5]]')
+
+
+def test_length_facet_binary_octets(spark):
+    """length facets on binary columns count OCTETS (reference:
+    hexBinary/base64Binary length in octets, facets.py:171-282)."""
+    from xmlschema_spark.operators.row_checks import row_violations
+    from xmlschema_spark.plans.compiler import compile_plan
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+    df = spark.createDataFrame(
+        [("r1", bytearray(b"abcd")), ("r2", bytearray(b"ab")),
+         ("r3", bytearray(b"abcdef"))],
+        "rid string, v binary")
+    spec = TableSpec(name="t", key_column="rid",
+                     columns=[ColumnSpec("v", "binary", length=4)])
+    got = sorted((r.row_key, r.constraint)
+                 for r in row_violations(df, compile_plan(spec)).collect())
+    assert got == [("r2", "facet:length:v"), ("r3", "facet:length:v")]
