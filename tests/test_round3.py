@@ -103,13 +103,17 @@ def test_gyear_both_naive_total_order(spark):
 
 
 def test_nonexistent_date_suppresses_ordered_facet(spark):
-    """2001-02-30 is lexically valid but not a real date: the timeline
-    point is NULL and the ordered facet must not fire (decode-failure
-    suppression, typed_guard semantics)."""
+    """2001-02-29 is lexically valid (the date regex allows Feb 29 —
+    leap-year validity needs the year) but not a real date in 2001:
+    the timeline point is NULL and the ordered facet must not fire
+    (decode-failure suppression, typed_guard semantics). Round 4
+    tightened the regex so year-INDEPENDENT impossibilities like
+    2001-02-30 now fail facet:pattern instead — only the leap-year
+    case remains on the suppression path."""
     spec = TableSpec(name="t", key_column="rid", columns=[
         ColumnSpec("d", "xsd:date", min_inclusive="2002-01-01")])
     got = _viol_keys(spark, spec, [
-        ("ghost", "2001-02-30"), ("real_low", "2001-02-28"),
+        ("ghost", "2001-02-29"), ("real_low", "2001-02-28"),
     ], "rid string, d string")
     assert got == [("real_low", "facet:minInclusive:d")]
 

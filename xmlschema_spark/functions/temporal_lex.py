@@ -15,22 +15,33 @@ Usage:
 
 _TZ = r"(Z|[+-](0\d|1[0-4]):[0-5]\d)?"
 
-GYEAR = rf"-?([1-9]\d{{3,}}|0\d{{3}}){_TZ}"
-GYEARMONTH = rf"-?([1-9]\d{{3,}}|0\d{{3}})-(0[1-9]|1[0-2]){_TZ}"
-GMONTH = rf"--(0[1-9]|1[0-2]){_TZ}"
+# year 0000 is excluded (XSD 1.0 rule, which the reference follows:
+# tests/validators/test_builtins.py:209 asserts '0000-01-01' invalid);
+# XSD regex has no lookahead, so 0001-0999 is spelled out
+_YEAR = r"([1-9]\d{3,}|0(00[1-9]|0[1-9]\d|[1-9]\d{2}))"
 # day bounded per month (XSD lexical mapping constraint: <= 30 for
-# 04/06/09/11, <= 29 for 02 — gMonthDay has no year, so Feb 29 is
-# always lexically valid and the regex can be EXACT, unlike xs:date
-# where leap-year day validity needs the year and is handled by the
-# decode suppression path instead)
-GMONTHDAY = (r"--((0[13578]|1[02])-(0[1-9]|[12]\d|3[01])"
+# 04/06/09/11, <= 29 for 02). Month-day validity is YEAR-INDEPENDENT
+# except Feb 29, so the regex is exact for every type here; the one
+# residual divergence is Feb 29 in non-leap years on date/dateTime,
+# which the decode-suppression path covers (try_to_timestamp NULL)
+_MONTHDAY = (r"((0[13578]|1[02])-(0[1-9]|[12]\d|3[01])"
              r"|(0[469]|11)-(0[1-9]|[12]\d|30)"
-             rf"|02-(0[1-9]|[12]\d)){_TZ}")
+             r"|02-(0[1-9]|[12]\d))")
+_TOD = r"(([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?|(24:00:00(\.0+)?))"
+
+GYEAR = rf"-?{_YEAR}{_TZ}"
+GYEARMONTH = rf"-?{_YEAR}-(0[1-9]|1[0-2]){_TZ}"
+GMONTH = rf"--(0[1-9]|1[0-2]){_TZ}"
+GMONTHDAY = rf"--{_MONTHDAY}{_TZ}"
 GDAY = rf"---(0[1-9]|[12]\d|3[01]){_TZ}"
 
-DATE = rf"-?([1-9]\d{{3,}}|0\d{{3}})-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01]){_TZ}"
-TIME = rf"(([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?|(24:00:00(\.0+)?)){_TZ}"
-DATETIME = rf"-?([1-9]\d{{3,}}|0\d{{3}})-(0[1-9]|1[0-2])-(0[1-9]|[12]\d|3[01])T(([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?|(24:00:00(\.0+)?)){_TZ}"
+DATE = rf"-?{_YEAR}-{_MONTHDAY}{_TZ}"
+TIME = rf"{_TOD}{_TZ}"
+DATETIME = rf"-?{_YEAR}-{_MONTHDAY}T{_TOD}{_TZ}"
+# XSD 1.1 dateTimeStamp: dateTime with the timezone REQUIRED
+# (reference tests/validators/test_builtins.py:311-318)
+_TZ_REQ = r"(Z|[+-](0\d|1[0-4]):[0-5]\d)"
+DATETIMESTAMP = rf"-?{_YEAR}-{_MONTHDAY}T{_TOD}{_TZ_REQ}"
 
 # xs:duration: sign, P, at least one component; a T must be followed by
 # at least one time component (bare 'PT' is invalid)
@@ -42,15 +53,16 @@ DURATION = (rf"-?P((\d+Y)?(\d+M)?(\d+D)?({_TIMEPART})"
             r"|(\d+Y)?(\d+M)(\d+D)?"
             r"|(\d+Y)?(\d+M)?(\d+D))")
 YEARMONTH_DURATION = r"-?P((\d+Y)(\d+M)?|(\d+M))"
-DAYTIME_DURATION = (r"-?P((\d+D)(T((\d+H)?(\d+M)?(\d+(\.\d+)?S)?))?"
-                    r"|T((\d+H)(\d+M)?(\d+(\.\d+)?S)?"
-                    r"|(\d+M)(\d+(\.\d+)?S)?"
-                    r"|(\d+(\.\d+)?S)))")
+# day-then-T branch reuses _TIMEPART so a trailing bare 'T' ('P7DT')
+# is invalid, matching the reference
+# (tests/validators/test_builtins.py:319-335)
+DAYTIME_DURATION = rf"-?P((\d+D)({_TIMEPART})?|{_TIMEPART})"
 
 ALL = {
     "gYear": GYEAR, "gYearMonth": GYEARMONTH, "gMonth": GMONTH,
     "gMonthDay": GMONTHDAY, "gDay": GDAY, "date": DATE, "time": TIME,
-    "dateTime": DATETIME, "duration": DURATION,
+    "dateTime": DATETIME, "dateTimeStamp": DATETIMESTAMP,
+    "duration": DURATION,
     "yearMonthDuration": YEARMONTH_DURATION,
     "dayTimeDuration": DAYTIME_DURATION,
 }

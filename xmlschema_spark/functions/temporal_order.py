@@ -55,7 +55,7 @@ _TZ_RE = r"(Z|[+-]\d{2}:\d{2})"
 
 DURATION_KINDS = {"duration", "yearMonthDuration", "dayTimeDuration"}
 TEMPORAL_KINDS = {"gYear", "gYearMonth", "gMonth", "gMonthDay", "gDay",
-                  "date", "time", "dateTime"}
+                  "date", "time", "dateTime", "dateTimeStamp"}
 
 
 # ---------------------------------------------------------------- duration
@@ -188,6 +188,8 @@ _KIND_RE: dict[str, tuple[str, dict[str, int]]] = {
                  {"y": 1, "mo": 2, "da": 3, "hh": 4, "mi": 5, "ss": 6,
                   "tz": 7}),
 }
+
+_KIND_RE["dateTimeStamp"] = _KIND_RE["dateTime"]
 
 _FILL = {"y": 1972, "mo": 12, "da": 1, "hh": 0, "mi": 0, "ss": 0}
 
