@@ -357,6 +357,18 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
                 cs = ColumnSpec(**{
                     **cs.__dict__, "dtype": "decimal(38,0)",
                     "whitespace": ws})
+        elif kind == "boolean":
+            # xsd:boolean: EXACTLY true|false|1|0 after whitespace
+            # collapse (reference test_builtins.py:61-70 — ' 1.0 ',
+            # '00', 'true true', 'alpha' are decode errors). Spark's
+            # own boolean cast is WIDER ('TRUE', 't', 'yes'), so the
+            # decode is lexically gated, never a bare try_cast.
+            xsd_kind = kind
+            xsd_lex_pattern = r"true|false|1|0"
+            xsd_int_decode = "strict_bool"
+            ws = cs.whitespace if cs.whitespace is not None else "collapse"
+            cs = ColumnSpec(**{**cs.__dict__, "dtype": "boolean",
+                               "whitespace": ws})
         elif kind in ("float", "double"):
             # XSD float/double: the lexical space includes INF/-INF/NaN
             # (reference: test_facets.py:979-1005 float enumeration with
@@ -510,6 +522,15 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
             add("decode", f"value is not a valid {cs.dtype}",
                 col.try_cast(cs.dtype).isNotNull()
                 & val_s.rlike(translate_xsd_pattern(_XSD_INT_LEX)))
+        elif xsd_int_decode == "strict_bool":
+            # lexically-gated cast: an out-of-lexicon spelling Spark
+            # would accept ('TRUE', 'yes') yields NULL typed, so
+            # value-space facets are suppressed like any decode failure
+            cast_src = F.when(
+                val_s.rlike(translate_xsd_pattern(r"true|false|1|0")),
+                val_s)
+            add("decode", "value is not a valid xsd:boolean",
+                cast_src.try_cast(cs.dtype).isNotNull())
         elif xsd_int_decode == "float":
             # xsd:float/double: XSD's INF/NaN spellings map to Spark's
             # before the cast; the cast then covers the whole lexical
