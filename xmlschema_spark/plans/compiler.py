@@ -307,6 +307,7 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
     xsd_ordered: list[tuple[str, str, str]] = []   # (facet, literal, kind)
     xsd_lex_pattern: str | None = None
     xsd_int_decode: str | None = None   # None | 'strict' | 'skip'
+    xsd_binary_kind: str | None = None  # hexBinary | base64Binary
     if cs.dtype and cs.dtype.startswith("xsd:"):
         # XSD temporal types with no native Spark mapping (gYear, gMonth,
         # duration, ... — SURVEY §1.2): validated as anchored lexical
@@ -357,6 +358,25 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
                 cs = ColumnSpec(**{
                     **cs.__dict__, "dtype": "decimal(38,0)",
                     "whitespace": ws})
+        elif kind in ("hexBinary", "base64Binary"):
+            # xs:hexBinary / xs:base64Binary: lexical checks via the
+            # dedicated helpers (functions/lexical.py — the base64 one
+            # tolerates embedded whitespace per XSD and validates the
+            # padding alphabet); LENGTH FACETS COUNT OCTETS of the
+            # decoded value space, not lexical chars (reference
+            # facets.py:171-206 len() over bytes: 2 hex chars or 4
+            # base64 chars minus padding per 3 octets).
+            for fname in ("min_inclusive", "min_exclusive",
+                          "max_inclusive", "max_exclusive"):
+                if getattr(cs, fname) is not None:
+                    raise ValueError(
+                        f"ordered facet {fname} unsupported for "
+                        f"xsd:{kind}")
+            xsd_kind = kind
+            xsd_binary_kind = kind
+            ws = cs.whitespace if cs.whitespace is not None else "collapse"
+            cs = ColumnSpec(**{**cs.__dict__, "dtype": "string",
+                               "whitespace": ws})
         elif kind == "boolean":
             # xsd:boolean: EXACTLY true|false|1|0 after whitespace
             # collapse (reference test_builtins.py:61-70 — ' 1.0 ',
@@ -548,6 +568,14 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
     else:
         typed = col
 
+    _bin_ok = None
+    if xsd_binary_kind is not None:
+        from ..functions.lexical import base64_binary_ok, hex_binary_ok
+        _bin_ok = hex_binary_ok(val_s) if xsd_binary_kind == "hexBinary" \
+            else base64_binary_ok(val_s)
+        add("decode", f"value is not a valid xsd:{xsd_binary_kind}",
+            _bin_ok)
+
     if cs.pattern:
         pats = [translate_xsd_pattern(p) for p in cs.pattern]
         ok = val_s.rlike(pats[0])
@@ -578,15 +606,30 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
         add("enumeration", f"value not in enumeration {cs.enum}",
             ok, typed_guard=typed)
 
+    if xsd_binary_kind == "hexBinary":
+        _len = (F.length(val_s) / 2).cast("int")
+    elif xsd_binary_kind == "base64Binary":
+        _b64 = F.regexp_replace(val_s, "\\s", "")
+        _pad = F.length(_b64) - F.length(
+            F.regexp_replace(_b64, "=+$", ""))
+        _len = ((F.length(_b64) / 4).cast("int") * 3 - _pad).cast("int")
+    else:
+        _len = _length_col(col, cs.dtype)
+    def _lenok(cond: Column) -> Column:
+        # binary kinds: a decode failure suppresses length facets (the
+        # reference raises the decode error and stops; an odd-length
+        # hex string has no octet count to measure)
+        return cond if _bin_ok is None else ~_bin_ok | cond
+
     if cs.length is not None:
         add("length", f"length must be {cs.length}",
-            _length_col(col, cs.dtype) == cs.length)
+            _lenok(_len == cs.length))
     if cs.min_length is not None:
         add("minLength", f"length must be >= {cs.min_length}",
-            _length_col(col, cs.dtype) >= cs.min_length)
+            _lenok(_len >= cs.min_length))
     if cs.max_length is not None:
         add("maxLength", f"length must be <= {cs.max_length}",
-            _length_col(col, cs.dtype) <= cs.max_length)
+            _lenok(_len <= cs.max_length))
 
     def _ord(cmp: Column) -> Column:
         # float/double: NaN is UNORDERED in the XSD value space — Spark
