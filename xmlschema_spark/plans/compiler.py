@@ -67,6 +67,10 @@ _XSD_INT_LEX = r"[-+]?[0-9]+"
 # plus the special values INF, +INF, -INF, NaN
 _XSD_FLOAT_LEX = (r"(\+|-)?([0-9]+(\.[0-9]*)?|\.[0-9]+)"
                   r"([eE](\+|-)?[0-9]+)?|(\+|-)?INF|NaN")
+# xs:decimal lexical space: NO exponent, NO special values (XSD
+# datatypes 3.3.3 — '1e2' is invalid xs:decimal though Spark's decimal
+# cast accepts it)
+_XSD_DECIMAL_LEX = r"(\+|-)?([0-9]+(\.[0-9]*)?|\.[0-9]+)"
 
 
 # ------------------------------------------------- assertion vocabulary
@@ -358,6 +362,19 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
                 cs = ColumnSpec(**{
                     **cs.__dict__, "dtype": "decimal(38,0)",
                     "whitespace": ws})
+        elif kind == "decimal":
+            # xs:decimal: lexically-gated (no exponent — Spark's
+            # decimal cast accepts '1e2', the XSD lexical space does
+            # not); value space backed by decimal(38,18) for ordered/
+            # digit facets, with overflow beyond (38,18) suppressed via
+            # typed_guard (conservative pass, same contract as the
+            # unbounded integer kinds).
+            xsd_kind = kind
+            xsd_lex_pattern = _XSD_DECIMAL_LEX
+            xsd_int_decode = "strict_decimal"
+            ws = cs.whitespace if cs.whitespace is not None else "collapse"
+            cs = ColumnSpec(**{**cs.__dict__, "dtype": "decimal(38,18)",
+                               "whitespace": ws})
         elif kind in ("hexBinary", "base64Binary"):
             # xs:hexBinary / xs:base64Binary: lexical checks via the
             # dedicated helpers (functions/lexical.py — the base64 one
@@ -542,6 +559,14 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
             add("decode", f"value is not a valid {cs.dtype}",
                 col.try_cast(cs.dtype).isNotNull()
                 & val_s.rlike(translate_xsd_pattern(_XSD_INT_LEX)))
+        elif xsd_int_decode == "strict_decimal":
+            # decode = the lexical space itself (reported by the
+            # appended facet:pattern check, exact at ANY precision);
+            # the cast only feeds value-space facets, NULL on
+            # out-of-lexicon or >38-digit values
+            cast_src = F.when(
+                val_s.rlike(translate_xsd_pattern(_XSD_DECIMAL_LEX)),
+                val_s)
         elif xsd_int_decode == "strict_bool":
             # lexically-gated cast: an out-of-lexicon spelling Spark
             # would accept ('TRUE', 'yes') yields NULL typed, so
