@@ -752,12 +752,7 @@ def _member_predicate(col: Column, val_s: Column,
     Patterns apply to the LEXICAL form (the original string), ordered
     facets to the decoded member value — same split as the reference."""
     if member.dtype and member.dtype.startswith("xsd:"):
-        # xsd: built-ins are not yet supported as union MEMBERS (the
-        # try_cast below would see a bogus type name); spell the member
-        # as its physical dtype + explicit facets instead
-        raise ValueError(
-            f"union member dtype {member.dtype!r} unsupported — use the "
-            "physical type plus explicit pattern/bounds facets")
+        return _xsd_member_predicate(col, val_s, member)
     typed = col.try_cast(member.dtype) if member.dtype != "string" else col
     ok = typed.isNotNull() if member.dtype != "string" else col.isNotNull()
     if member.pattern:
@@ -780,6 +775,83 @@ def _member_predicate(col: Column, val_s: Column,
         ok = ok & (_length_col(col, member.dtype) >= member.min_length)
     if member.max_length is not None:
         ok = ok & (_length_col(col, member.dtype) <= member.max_length)
+    return ok
+
+
+def _xsd_member_predicate(col: Column, val_s: Column,
+                          member: ColumnSpec) -> Column:
+    """Union-member predicate for XSD built-in member types — the
+    reference's memberTypes="xs:date xs:dateTime" shape
+    (simple_types.py:1178-1211; tests/validators/
+    test_simple_types.py:227-236): the member matches when the value is
+    in ITS lexical space and satisfies the member's own facets. Ordered
+    facets on temporal members go through the same partial-order
+    machinery as scalar columns."""
+    from ..functions import temporal_order as _TORD
+    from ..functions.temporal_lex import ALL as _XSD_LEX
+    kind = member.dtype[4:]
+    ordered = [("minInclusive", member.min_inclusive),
+               ("minExclusive", member.min_exclusive),
+               ("maxInclusive", member.max_inclusive),
+               ("maxExclusive", member.max_exclusive)]
+    if kind in _XSD_INT_TYPES:
+        phys, lo, hi = _XSD_INT_TYPES[kind]
+        t = val_s.try_cast(phys)
+        ok = val_s.rlike(translate_xsd_pattern(_XSD_INT_LEX)) \
+            & t.isNotNull()
+        if lo is not None:
+            ok = ok & (t >= _lit(phys, lo))
+        if hi is not None:
+            ok = ok & (t <= _lit(phys, hi))
+        for fname, v in ordered:
+            if v is None:
+                continue
+            _check_int_literal(kind, fname, v)
+            op = {"minInclusive": t >= _lit(phys, v),
+                  "minExclusive": t > _lit(phys, v),
+                  "maxInclusive": t <= _lit(phys, v),
+                  "maxExclusive": t < _lit(phys, v)}[fname]
+            ok = ok & op
+        if member.enum is not None:
+            eok = None
+            for e in member.enum:
+                eq = t == _lit(phys, e)
+                eok = eq if eok is None else eok | eq
+            ok = ok & eok
+    elif kind in _XSD_LEX:
+        ok = val_s.rlike(translate_xsd_pattern(_XSD_LEX[kind]))
+        for fname, v in ordered:
+            if v is None:
+                continue
+            if kind in _TORD.DURATION_KINDS:
+                _TORD.parse_duration_literal(str(v), kind)
+                ok = ok & _TORD.duration_ordered_valid(
+                    val_s, fname, str(v), kind)
+            elif kind in _TORD.TEMPORAL_KINDS:
+                _TORD.parse_temporal_literal(str(v), kind)
+                ok = ok & _TORD.temporal_ordered_valid(
+                    val_s, fname, str(v), kind)
+            else:
+                raise ValueError(
+                    f"ordered facet {fname} unsupported for union "
+                    f"member xsd:{kind}")
+        if member.enum is not None:
+            ok = ok & val_s.isin(*[str(e) for e in member.enum])
+    else:
+        raise ValueError(f"unknown xsd union member type "
+                         f"{member.dtype!r}")
+    if member.pattern:
+        pats = [translate_xsd_pattern(p) for p in member.pattern]
+        pok = val_s.rlike(pats[0])
+        for p in pats[1:]:
+            pok = pok | val_s.rlike(p)
+        ok = ok & pok
+    if member.length is not None:
+        ok = ok & (F.length(val_s) == member.length)
+    if member.min_length is not None:
+        ok = ok & (F.length(val_s) >= member.min_length)
+    if member.max_length is not None:
+        ok = ok & (F.length(val_s) <= member.max_length)
     return ok
 
 
