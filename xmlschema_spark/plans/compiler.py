@@ -146,6 +146,54 @@ def check_assert_vocabulary(expr: str, known_cols: set[str],
                 f"in the spec or in AssertSpec.columns")
 
 
+def _validate_identity_specs(spec: TableSpec) -> None:
+    """Compile-time identity/constraint declaration checks — the analog
+    of the reference's schema-build errors for identities
+    (tests/validators/test_identities.py:37-120: duplicated names,
+    missing name/selector/field declarations, invalid selector
+    paths)."""
+    from collections import Counter
+    from ..functions.selectors import compile_selector, is_selector
+
+    def err(msg: str) -> None:
+        raise ValueError(f"spec '{spec.name}': {msg}")
+
+    names = ([u.name for u in spec.uniques]
+             + [k.name for k in spec.keyrefs]
+             + [o.name for o in spec.occurs]
+             + [a.name for a in spec.asserts]
+             + [c.name for c in spec.conditionals])
+    dups = sorted(n for n, c in Counter(names).items() if c > 1)
+    if dups:
+        err(f"duplicated constraint name(s) {dups} — identity and "
+            "constraint names share one symbol space "
+            "(reference: \"duplicated value ('key1',)\")")
+    for u in spec.uniques:
+        if not u.columns:
+            err(f"unique '{u.name}': missing field declaration")
+    for k in spec.keyrefs:
+        if not k.columns:
+            err(f"keyref '{k.name}': missing field declaration")
+        if not k.ref_table:
+            err(f"keyref '{k.name}': missing referred table")
+        if len(k.columns) != len(k.ref_columns):
+            err(f"keyref '{k.name}': {len(k.columns)} fields vs "
+                f"{len(k.ref_columns)} referred fields")
+    for o in spec.occurs:
+        if not o.group_by:
+            err(f"occurs '{o.name}': missing group_by declaration")
+        if o.max_occurs is not None and o.max_occurs < o.min_occurs:
+            err(f"occurs '{o.name}': maxOccurs {o.max_occurs} < "
+                f"minOccurs {o.min_occurs}")
+    # selector-path syntax (reference: 'invalid XPath expression for an
+    # XsdSelector' at parse time)
+    for group in (spec.uniques, spec.keyrefs):
+        for ident in group:
+            for c in ident.columns:
+                if is_selector(c):
+                    compile_selector(c)      # raises on bad syntax
+
+
 def _spec_known_columns(spec: TableSpec) -> set[str]:
     """Every column name the spec declares anywhere — the assertion
     vocabulary's base set."""
@@ -1170,6 +1218,7 @@ def compile_plan(spec: TableSpec) -> ValidationPlan:
                     valid=~cond | chk.valid,
                     value_col=chk.value_col,
                 ))
+    _validate_identity_specs(spec)
     known_cols = _spec_known_columns(spec)
     for a in spec.asserts:
         # complex-type xs:assert (validators/assertions.py:119-147);
