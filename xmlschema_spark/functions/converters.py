@@ -11,6 +11,7 @@ projection (pure Catalyst), so custom layouts cost nothing extra at
 
 from __future__ import annotations
 
+import json
 from typing import Callable, Optional
 
 from pyspark.sql import Column, DataFrame
@@ -144,13 +145,21 @@ def abdera_converter(attr_cols: list[str]) -> Converter:
     return conv
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote an identifier for embedding in SQL text (inner
+    backticks doubled), so names with spaces/hyphens/reserved words
+    parse."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _json_scalar(name: str) -> Column:
     """JSON-encode one column value (string quoting/escaping, numbers
     bare) with to_json over a 1-element array, brackets stripped —
     engine-portable (DuckDB's to_json(x) produces the same scalar
     encoding for the plain types used here)."""
-    return F.expr(f"substring(to_json(array({name})), 2, "
-                  f"length(to_json(array({name}))) - 2)")
+    q = _bq(name)
+    return F.expr(f"substring(to_json(array({q})), 2, "
+                  f"length(to_json(array({q}))) - 2)")
 
 
 def jsonml_converter(attr_cols: list[str]) -> Converter:
@@ -162,7 +171,9 @@ def jsonml_converter(attr_cols: list[str]) -> Converter:
     attrs = set(attr_cols)
 
     def conv(spec: TableSpec, names: list[str]) -> Column:
-        parts: list[Column] = [F.lit(f'["{spec.name}"')]
+        # json.dumps on every literal name fragment: a spec/column name
+        # containing '"' or '\\' must arrive escaped in the JSON text
+        parts: list[Column] = [F.lit("[" + json.dumps(spec.name))]
         a = [n for n in names if n in attrs]
         if a:
             parts.append(F.lit(","))
@@ -170,7 +181,7 @@ def jsonml_converter(attr_cols: list[str]) -> Converter:
         for n in names:
             if n in attrs:
                 continue
-            parts.append(F.lit(f',["{n}",'))
+            parts.append(F.lit(f",[{json.dumps(n)},"))
             parts.append(_json_scalar(n))
             parts.append(F.lit("]"))
         parts.append(F.lit("]"))

@@ -284,17 +284,34 @@ def dup_clusters_star(pairs: DataFrame, max_iters: int = 30,
               .unionByName(base.select(F.col("b").alias("a"),
                                        F.col("a").alias("b")))
               .where(F.col("a") != F.col("b")).distinct())
+    def _edge_digest(frame: DataFrame) -> tuple:
+        # order-independent digest of the (distinct) edge set: count +
+        # sum + xor of per-edge xxhash64. One cheap two-stage aggregate
+        # per round, vs the two full exceptAll shuffles this replaces; a
+        # false fixed-point needs a simultaneous sum AND xor collision
+        # at equal counts (~2^-128) — negligible against per-round
+        # shuffle cost at 10^12 edges.
+        row = frame.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal(38,0) sum: exact and ANSI-overflow-free for any
+            # realistic edge count (long sum overflows under ANSI)
+            F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")).alias("s"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("x")).first()
+        return (row["n"], row["s"], row["x"])
+
     try:
         converged = False
+        prev = _edge_digest(E)
         for _ in range(max_iters):
             new = _ckpt(_star(_star(E, large=True), large=False))
-            # fixed point = identical edge SET (both frames distinct)
-            same = (new.exceptAll(E).limit(1).count() == 0
-                    and E.exceptAll(new).limit(1).count() == 0)
+            # fixed point = identical edge SET (both frames distinct),
+            # detected by digest equality
+            cur = _edge_digest(new)
             E = new
-            if same:
+            if cur == prev:
                 converged = True
                 break
+            prev = cur
         if not converged:
             raise RuntimeError(
                 f"dup_clusters_star did not converge in {max_iters} "
@@ -422,16 +439,41 @@ def _fp_store_table(spark, store_path: str, buckets: int) -> str:
     not survive sessions, but the bucket spec is re-assertable: Spark's
     bucketed writer encodes the bucket id in each file name, so a
     CREATE TABLE IF NOT EXISTS with the SAME spec over existing files
-    is exact, and MSCK REPAIR recovers partitions written by earlier
-    sessions/jobs."""
+    is exact. MSCK REPAIR (a full store partition listing) runs ONLY at
+    first registration in a session, to recover partitions written by
+    earlier sessions/jobs; per-increment writes register their own
+    partition through INSERT OVERWRITE ... PARTITION, so the metadata
+    cost per increment is O(1), not a store-wide scan."""
     name = f"xmlschema_spark_fp_store_{zlib.crc32(store_path.encode()):08x}"
     os.makedirs(store_path, exist_ok=True)
-    spark.sql(
-        f"CREATE TABLE IF NOT EXISTS {name} (fp STRING, run STRING) "
-        f"USING PARQUET PARTITIONED BY (run) "
-        f"CLUSTERED BY (fp) SORTED BY (fp) INTO {buckets} BUCKETS "
-        f"LOCATION '{store_path}'")
-    spark.sql(f"MSCK REPAIR TABLE {name}")
+    if not spark.catalog.tableExists(name):
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {name} (fp STRING, run STRING) "
+            f"USING PARQUET PARTITIONED BY (run) "
+            f"CLUSTERED BY (fp) SORTED BY (fp) INTO {buckets} BUCKETS "
+            f"LOCATION '{store_path}'")
+        spark.sql(f"MSCK REPAIR TABLE {name}")
+    # IF NOT EXISTS means an earlier registration (same session, or a
+    # crc32 collision between two store paths) wins over the arguments
+    # — verify the catalog's bucket spec and location actually match so
+    # a mismatch fails loudly instead of silently using the wrong store
+    detail = {r["col_name"].strip(): (r["data_type"] or "").strip()
+              for r in spark.sql(f"DESCRIBE FORMATTED {name}").collect()}
+    got_buckets = detail.get("Num Buckets", "")
+    if got_buckets != str(buckets):
+        raise ValueError(
+            f"fingerprint store table {name} exists with "
+            f"{got_buckets or '?'} buckets; store_buckets={buckets} "
+            f"does not match — the bucket count is fixed at store "
+            f"creation")
+    from urllib.parse import urlparse
+    got_loc = urlparse(detail.get("Location", "")).path.rstrip("/")
+    want_loc = os.path.abspath(store_path).rstrip("/")
+    if got_loc != want_loc:
+        raise ValueError(
+            f"fingerprint store table {name} points at "
+            f"{got_loc!r}, not {want_loc!r} — store-path hash "
+            f"collision; move one of the stores")
     return name
 
 
@@ -492,11 +534,17 @@ def incremental_deduplicate(df: DataFrame, text_col: str, id_col: str,
                 .select("fp"))
     else:
         try:
-            seen = spark.read.parquet(store_path)
             if run_id is not None:
-                # partitioned layout: exclude the CURRENT run so a
-                # re-run never anti-joins against its own output
-                seen = seen.where(F.col("run").cast("string") != run_id)
+                # explicit schema: partition-type INFERENCE would turn a
+                # numeric-looking run_id ('007', '1e3', '2.5') into
+                # int/double, so cast-to-string yields '7'/'1000.0' and
+                # the current-run exclusion never matches — a re-run
+                # would silently drop every survivor as "already seen"
+                seen = (spark.read.schema("fp string, run string")
+                        .parquet(store_path)
+                        .where(F.col("run") != run_id))
+            else:
+                seen = spark.read.parquet(store_path)
             seen = seen.select("fp")
         except AnalysisException as e:
             # ONLY a first-run missing/empty store is an empty store;
@@ -510,8 +558,22 @@ def incremental_deduplicate(df: DataFrame, text_col: str, id_col: str,
     fresh = keepers.join(seen.withColumnRenamed("fp", "_fp"),
                          on="_fp", how="left_anti")
     # materialize BEFORE writing to the store: the store write must
-    # not re-read its own output mid-plan
-    fresh = fresh.localCheckpoint(eager=True)
+    # not re-read its own output mid-plan. With run_id the barrier is a
+    # DURABLE run-scoped parquet write (underscore-prefixed, so store
+    # reads and MSCK ignore it): localCheckpoint blocks are lost with
+    # their executor, which would fail the increment mid-store-write on
+    # a real cluster; a reliable write survives executor loss and the
+    # overwrite keeps re-runs idempotent. Legacy single-shot mode keeps
+    # the in-memory barrier.
+    if run_id is not None:
+        surv_path = f"{store_path}/_survivors/run={run_id}"
+        schema = fresh.schema
+        fresh.write.mode("overwrite").parquet(surv_path)
+        # explicit schema: a zero-survivor increment writes no part
+        # files, and a schema-less read of the empty dir cannot infer
+        fresh = spark.read.schema(schema).parquet(surv_path)
+    else:
+        fresh = fresh.localCheckpoint(eager=True)
     new_fps = fresh.select(F.col("_fp").alias("fp")).distinct()
     if store_buckets is not None:
         view = f"_xmlschema_spark_inc_{zlib.crc32(run_id.encode()):08x}"

@@ -82,11 +82,21 @@ _XSD_DECIMAL_LEX = r"(\+|-)?([0-9]+(\.[0-9]*)?|\.[0-9]+)"
 _ASSERT_KEYWORDS = frozenset("""
  and or not in is null true false like rlike ilike escape between case
  when then else end cast as distinct interval exists all any some from
- div current_date current_timestamp
+ div current_date current_timestamp to
  int integer bigint long smallint short tinyint byte double float real
  decimal numeric string varchar char boolean date timestamp
  timestamp_ntz binary void
+ year years quarter month months week weeks day days hour hours
+ minute minutes mins second seconds secs millisecond milliseconds
+ microsecond microseconds nanosecond nanoseconds
+ yearofweek isoyear dayofweek dow isodow doy epoch
  """.split())
+# the second/third blocks are INTERVAL unit keywords ('INTERVAL '1'
+# DAY', 'year to month') and extract()/date_part field names
+# ('extract(year from ts)') — bare identifiers that are not columns;
+# without them the column check rejects valid expressions. Cost: a
+# column whose name collides with a unit ('day') skips the compile-time
+# typo check and is caught at Catalyst analysis instead.
 
 # whitelisted scalar functions (grow via ASSERT_FUNCTIONS.add(...) for
 # deployment-specific vocabularies — mirrors the reference's pluggable

@@ -1521,11 +1521,13 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         s2 = incremental_deduplicate(d.where(F.col("doc_id") % 2 == 1),
                                      "text", "doc_id", store_path,
                                      run_id="inc2")
-        # survivors are localCheckpoint-materialized inside the
-        # operator, so the frame stays valid after the store directory
-        # is gone
-        return s2.select(F.col("doc_id").cast("string").alias("doc_id"),
-                         "lang")
+        # the operator's survivor barrier is a DURABLE write under the
+        # store (executor-loss-safe on a real cluster); this demo query
+        # deletes its temp store below, so pin the small result in
+        # memory before the files go away
+        return (s2.select(F.col("doc_id").cast("string").alias("doc_id"),
+                          "lang")
+                .localCheckpoint(eager=True))
     finally:
         shutil.rmtree(store, ignore_errors=True)
 

@@ -93,9 +93,20 @@ def streaming_global_unique_violations(stream_df: DataFrame,
     retroactively when the second arrives; `occurs` carries the running
     group count at emission time.
 
+    100-TB GUIDANCE — prefer the watermarked variant first: this
+    operator's NoTimeout state grows with the number of DISTINCT key
+    tuples forever (exact global semantics require it). For unbounded
+    streams use `streaming_unique_violations` / `watermarked_dedup`
+    (state bounded by the watermark horizon) unless
+    exact all-time uniqueness is a hard requirement; if it is, run the
+    RocksDB state store so state spills to disk instead of executor
+    heap:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+                       "org.apache.spark.sql.execution.streaming."
+                       "state.RocksDBStateStoreProvider")
+
     At 10^12 rows the state store shards by the key tuple across
-    executors (RocksDB-backed in production configs); a skewed hot tuple
-    costs one state entry, not memory."""
+    executors; a skewed hot tuple costs one state entry, not memory."""
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = ("row_key string, constraint string, reason string, "
