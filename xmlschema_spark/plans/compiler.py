@@ -297,6 +297,9 @@ def _validate_column_spec(cs: ColumnSpec) -> None:
     def err(msg: str) -> None:
         raise ValueError(f"column '{cs.name}': {msg}")
 
+    if cs.base is not None:
+        err(f"unresolved base type {cs.base!r} — compile through "
+            f"compile_plan so restriction chains are flattened")
     if cs.whitespace is not None and \
             cs.whitespace not in ("preserve", "replace", "collapse"):
         err(f"whitespace value must be one of ['preserve', 'replace', "
@@ -361,6 +364,31 @@ def _validate_column_spec(cs: ColumnSpec) -> None:
         if nlo > nhi or (strict and nlo == nhi):
             err(f"empty value space: lower bound {lo!r} vs upper "
                 f"bound {hi!r}")
+
+
+def _collect_pattern_groups(cs: ColumnSpec) -> list[list[str]]:
+    """AND-of-OR pattern groups: cs.pattern is one any-of group;
+    pattern_groups carries further derivation steps' groups
+    (facets.py:723-833 — OR within a facet, AND across restriction
+    steps)."""
+    groups: list[list[str]] = []
+    if cs.pattern:
+        groups.append(list(cs.pattern))
+    if cs.pattern_groups:
+        groups.extend(list(g) for g in cs.pattern_groups if g)
+    return groups
+
+
+def _pattern_groups_ok(val_s: Column,
+                       groups: list[list[str]]) -> Column:
+    ok = None
+    for g in groups:
+        pats = [translate_xsd_pattern(p) for p in g]
+        gok = val_s.rlike(pats[0])
+        for p in pats[1:]:
+            gok = gok | val_s.rlike(p)   # any-of (facets.py:808-814)
+        ok = gok if ok is None else ok & gok
+    return ok
 
 
 def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
@@ -659,19 +687,20 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
         add("decode", f"value is not a valid xsd:{xsd_binary_kind}",
             _bin_ok)
 
-    if cs.pattern:
-        pats = [translate_xsd_pattern(p) for p in cs.pattern]
-        ok = val_s.rlike(pats[0])
-        for p in pats[1:]:
-            ok = ok | val_s.rlike(p)   # any-of (facets.py:808-814)
-        add("pattern", f"value does not match any pattern {cs.pattern}", ok)
+    _pgroups = _collect_pattern_groups(cs)
+    if _pgroups:
+        reason = (f"value does not match any pattern {cs.pattern}"
+                  if len(_pgroups) == 1 and cs.pattern
+                  else "value does not match every derivation step's "
+                       f"pattern facet {_pgroups}")
+        add("pattern", reason, _pattern_groups_ok(val_s, _pgroups))
 
     if xsd_lex_pattern is not None:
         # the base type's lexical space ANDs with any user patterns
         # (separate derivation step). Named facet:pattern when it is the
         # only pattern-like check (back-compat), facet:lexical when a
         # user pattern coexists so constraint ids stay unique.
-        add("pattern" if not cs.pattern else "lexical",
+        add("pattern" if not _pgroups else "lexical",
             f"value is not a valid xsd:{xsd_kind}",
             val_s.rlike(translate_xsd_pattern(xsd_lex_pattern)))
 
@@ -813,12 +842,9 @@ def _member_predicate(col: Column, val_s: Column,
         return _xsd_member_predicate(col, val_s, member)
     typed = col.try_cast(member.dtype) if member.dtype != "string" else col
     ok = typed.isNotNull() if member.dtype != "string" else col.isNotNull()
-    if member.pattern:
-        pats = [translate_xsd_pattern(p) for p in member.pattern]
-        pok = val_s.rlike(pats[0])
-        for p in pats[1:]:
-            pok = pok | val_s.rlike(p)
-        ok = ok & pok
+    mgroups = _collect_pattern_groups(member)
+    if mgroups:
+        ok = ok & _pattern_groups_ok(val_s, mgroups)
     if member.enum is not None:
         ok = ok & typed.isin(*member.enum)
     if member.min_inclusive is not None:
@@ -898,12 +924,9 @@ def _xsd_member_predicate(col: Column, val_s: Column,
     else:
         raise ValueError(f"unknown xsd union member type "
                          f"{member.dtype!r}")
-    if member.pattern:
-        pats = [translate_xsd_pattern(p) for p in member.pattern]
-        pok = val_s.rlike(pats[0])
-        for p in pats[1:]:
-            pok = pok | val_s.rlike(p)
-        ok = ok & pok
+    mgroups = _collect_pattern_groups(member)
+    if mgroups:
+        ok = ok & _pattern_groups_ok(val_s, mgroups)
     if member.length is not None:
         ok = ok & (F.length(val_s) == member.length)
     if member.min_length is not None:
@@ -1196,6 +1219,11 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
 
 def compile_plan(spec: TableSpec) -> ValidationPlan:
     """Compile the whole TableSpec once; reuse across any number of runs."""
+    from .restriction import flatten_restrictions
+    # resolve named-simple-type derivation chains first: step validity
+    # is checked and the chain flattened, so everything below sees one
+    # effective ColumnSpec per column (plans/restriction.py)
+    spec = flatten_restrictions(spec)
     plan = ValidationPlan(spec=spec)
     for cs in spec.columns:
         if cs.item is not None:

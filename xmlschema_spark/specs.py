@@ -81,6 +81,16 @@ class ColumnSpec:
     union_members: Optional[list["ColumnSpec"]] = None  # member facets
     item: Optional["ColumnSpec"] = None     # element spec for arrays
     lexical_list: bool = False              # split space-separated string
+    # restriction derivation (XsdAtomicRestriction,
+    # simple_types.py:447-463; step checks facets.py:84-190,285-448):
+    # name of a base simple type in TableSpec.simple_types — the chain
+    # is validated and flattened at compile time (plans/restriction.py)
+    base: Optional[str] = None
+    # AND-of-OR pattern groups: each inner list is one derivation
+    # step's any-of pattern facet; all groups must match
+    # (facets.py:723-833). Populated by restriction flattening; may
+    # also be set directly.
+    pattern_groups: Optional[list[list[str]]] = None
 
 
 @dataclass
@@ -220,6 +230,10 @@ class TableSpec:
     drift: Optional[DriftSpec] = None
     part_key: Optional[str] = None        # data-derived partition column
     allow_extra_columns: bool = True      # xs:any wildcard (wildcards.py:33-99)
+    # named reusable simple types (the schema's global simpleType
+    # declarations, xsd_globals.py types map): referenced by
+    # ColumnSpec.base; validated + flattened at compile time
+    simple_types: dict[str, "ColumnSpec"] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), default=str, indent=1, sort_keys=True)
@@ -240,6 +254,9 @@ class TableSpec:
             name=d["name"],
             key_column=d["key_column"],
             columns=[col(c) for c in d.get("columns", [])],
+            simple_types={
+                n: col({"name": n, **t})
+                for n, t in d.get("simple_types", {}).items()},
             uniques=[UniqueSpec(**u) for u in d.get("uniques", [])],
             keyrefs=[KeyrefSpec(**k) for k in d.get("keyrefs", [])],
             asserts=[AssertSpec(**a) for a in d.get("asserts", [])],
