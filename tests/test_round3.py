@@ -102,20 +102,24 @@ def test_gyear_both_naive_total_order(spark):
                    ("d", "facet:maxExclusive:y")]
 
 
-def test_nonexistent_date_suppresses_ordered_facet(spark):
-    """2001-02-29 is lexically valid (the date regex allows Feb 29 —
-    leap-year validity needs the year) but not a real date in 2001:
-    the timeline point is NULL and the ordered facet must not fire
-    (decode-failure suppression, typed_guard semantics). Round 4
-    tightened the regex so year-INDEPENDENT impossibilities like
-    2001-02-30 now fail facet:pattern instead — only the leap-year
-    case remains on the suppression path."""
+def test_nonexistent_date_fails_lexical_not_ordered(spark):
+    """2001-02-29 does not exist: round 5 made the date regex
+    leap-year-exact (temporal_lex._LEAPYEAR), so it now fails
+    facet:pattern like every other nonexistent date — and the ordered
+    facet stays suppressed for it (one violation row, not two). A real
+    leap day (2004-02-29) passes the lexical check and reaches the
+    ordered facet."""
     spec = TableSpec(name="t", key_column="rid", columns=[
         ColumnSpec("d", "xsd:date", min_inclusive="2002-01-01")])
     got = _viol_keys(spark, spec, [
-        ("ghost", "2001-02-29"), ("real_low", "2001-02-28"),
+        ("ghost", "2001-02-29"),       # nonexistent -> pattern
+        ("real_low", "2001-02-28"),    # real, below bound
+        ("leap_low", "2000-02-29"),    # real century leap day, below
+        ("leap_ok", "2004-02-29"),     # real leap day, above bound
     ], "rid string, d string")
-    assert got == [("real_low", "facet:minInclusive:d")]
+    assert got == [("ghost", "facet:pattern:d"),
+                   ("leap_low", "facet:minInclusive:d"),
+                   ("real_low", "facet:minInclusive:d")]
 
 
 # ------------------------------------------------------------- LSH capping

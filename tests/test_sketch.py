@@ -197,3 +197,66 @@ def test_streaming_windowed_qdigest_matches_batch(spark, tmp_path):
                         qdigest(win_rows, F.col("v"), L, K).collect())
         key = f"2024-01-01 {hour}:00:00"
         assert sorted(per_win[key]) == expect, hour
+
+
+# ------------------------------------------- float-domain leaf mapping
+
+def test_float_leaf_contract(spark):
+    """float_leaf rounding contract: NaN dropped, INF/out-of-range
+    clamped to edge leaves (or dropped), v == hi in the last leaf."""
+    from xmlschema_spark.operators.sketch import float_leaf
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame(
+        [("nan", float("nan")), ("pinf", float("inf")),
+         ("ninf", float("-inf")), ("lo", 0.0), ("hi", 512.0),
+         ("mid", 256.0), ("under", -3.0), ("over", 600.0),
+         ("null", None)],
+        "k string, v double")
+    got = {r.k: r.leaf for r in df.select(
+        "k", float_leaf(F.col("v"), 0.0, 512.0, 12).alias("leaf")
+    ).collect()}
+    assert got["nan"] is None and got["null"] is None
+    assert got["pinf"] == 4095 and got["ninf"] == 0
+    assert got["lo"] == 0 and got["hi"] == 4095   # hi -> last leaf
+    assert got["mid"] == 2048
+    assert got["under"] == 0 and got["over"] == 4095   # clamp
+    got_d = {r.k: r.leaf for r in df.select(
+        "k", float_leaf(F.col("v"), 0.0, 512.0, 12,
+                        out_of_range="drop").alias("leaf")
+    ).collect()}
+    assert got_d["under"] is None and got_d["over"] is None
+    assert got_d["pinf"] is None and got_d["ninf"] is None
+    assert got_d["mid"] == 2048
+
+
+def test_float_leaf_sql_twin_matches(spark):
+    """float_leaf_sql must produce the identical leaf for every value —
+    the bit-identical cross-engine contract."""
+    import duckdb
+    from pyspark.sql import functions as F
+    from xmlschema_spark.operators.sketch import float_leaf, float_leaf_sql
+    vals = [0.0, 0.1249999, 511.9999, 256.0000001, 490.02, 0.01,
+            123.456789, 333.3333333333, float("inf"), float("-inf"),
+            float("nan"), -1e-9, 512.0]
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               "i bigint, v double")
+    sp = {r.i: r.leaf for r in df.select(
+        "i", float_leaf(F.col("v"), 0.0, 512.0, 12).alias("leaf")
+    ).collect()}
+    con = duckdb.connect()
+    con.execute("create table t(i bigint, v double)")
+    con.executemany("insert into t values (?, ?)",
+                    [(i, v) for i, v in enumerate(vals)])
+    sql = float_leaf_sql("v", 0.0, 512.0, 12)
+    dk = dict(con.execute(f"select i, {sql} from t").fetchall())
+    assert sp == dk
+
+
+def test_float_leaf_rejects_bad_bounds():
+    import pytest
+    from pyspark.sql import functions as F
+    from xmlschema_spark.operators.sketch import float_leaf
+    with pytest.raises(ValueError, match="finite lo < hi"):
+        float_leaf(F.lit(1.0), 5.0, 5.0, 12)
+    with pytest.raises(ValueError, match="finite lo < hi"):
+        float_leaf(F.lit(1.0), 0.0, float("inf"), 12)

@@ -21,12 +21,30 @@ _TZ = r"(Z|[+-](0\d|1[0-4]):[0-5]\d)?"
 _YEAR = r"([1-9]\d{3,}|0(00[1-9]|0[1-9]\d|[1-9]\d{2}))"
 # day bounded per month (XSD lexical mapping constraint: <= 30 for
 # 04/06/09/11, <= 29 for 02). Month-day validity is YEAR-INDEPENDENT
-# except Feb 29, so the regex is exact for every type here; the one
-# residual divergence is Feb 29 in non-leap years on date/dateTime,
-# which the decode-suppression path covers (try_to_timestamp NULL)
+# except Feb 29, which the year-aware date/dateTime bodies below make
+# exact via _LEAPYEAR; gMonthDay keeps --02-29 valid (the type has no
+# year, and XSD defines its validity against SOME leap year)
 _MONTHDAY = (r"((0[13578]|1[02])-(0[1-9]|[12]\d|3[01])"
              r"|(0[469]|11)-(0[1-9]|[12]\d|30)"
              r"|02-(0[1-9]|[12]\d))")
+# same, with Feb capped at 28 — the non-leap branch of date/dateTime
+_MONTHDAY_NOLEAP = (r"((0[13578]|1[02])-(0[1-9]|[12]\d|3[01])"
+                    r"|(0[469]|11)-(0[1-9]|[12]\d|30)"
+                    r"|02-(0[1-9]|1\d|2[0-8]))")
+# Gregorian leap years within _YEAR's lexical forms, no lookahead:
+# divisible-by-4 depends only on the last two digits; century years
+# (..00) are leap iff the century's own last two digits divide by 4.
+# Branches: >=4-digit non-century | 4-digit century | >=5-digit
+# century | 0xxx non-century | 0400/0800. Negative years use the same
+# digit rule on the absolute value.
+_LEAPYEAR = (r"([1-9]\d+(0[48]|[2468][048]|[13579][26])"
+             r"|([2468][048]|[13579][26])00"
+             r"|[1-9]\d*([02468][048]|[13579][26])00"
+             r"|0\d(0[48]|[2468][048]|[13579][26])"
+             r"|0[48]00)")
+# exact year-month-day body: any valid year with a non-leap-safe
+# month-day, or a leap year with 02-29
+_YMD = (rf"({_YEAR}-{_MONTHDAY_NOLEAP}|{_LEAPYEAR}-02-29)")
 _TOD = r"(([01]\d|2[0-3]):[0-5]\d:[0-5]\d(\.\d+)?|(24:00:00(\.0+)?))"
 
 GYEAR = rf"-?{_YEAR}{_TZ}"
@@ -35,13 +53,13 @@ GMONTH = rf"--(0[1-9]|1[0-2]){_TZ}"
 GMONTHDAY = rf"--{_MONTHDAY}{_TZ}"
 GDAY = rf"---(0[1-9]|[12]\d|3[01]){_TZ}"
 
-DATE = rf"-?{_YEAR}-{_MONTHDAY}{_TZ}"
+DATE = rf"-?{_YMD}{_TZ}"
 TIME = rf"{_TOD}{_TZ}"
-DATETIME = rf"-?{_YEAR}-{_MONTHDAY}T{_TOD}{_TZ}"
+DATETIME = rf"-?{_YMD}T{_TOD}{_TZ}"
 # XSD 1.1 dateTimeStamp: dateTime with the timezone REQUIRED
 # (reference tests/validators/test_builtins.py:311-318)
 _TZ_REQ = r"(Z|[+-](0\d|1[0-4]):[0-5]\d)"
-DATETIMESTAMP = rf"-?{_YEAR}-{_MONTHDAY}T{_TOD}{_TZ_REQ}"
+DATETIMESTAMP = rf"-?{_YMD}T{_TOD}{_TZ_REQ}"
 
 # xs:duration: sign, P, at least one component; a T must be followed by
 # at least one time component (bare 'PT' is invalid)

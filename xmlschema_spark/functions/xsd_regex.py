@@ -140,6 +140,13 @@ def translate_xsd_pattern(pattern: str, anchor: bool = True) -> str:
             cls, i = _parse_class(pattern, i)
             out.append(cls.java())
             continue
+        if ch in "^$":
+            # NOT metacharacters in XSD regex (XSD pt.2 App F: the
+            # metacharacters are .\?*+{}()[]|) — 'a^b' and 'US$' match
+            # those literal characters; Java would read anchors
+            out.append("\\" + ch)
+            i += 1
+            continue
         out.append(ch)
         i += 1
     java = "".join(out)

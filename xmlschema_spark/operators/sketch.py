@@ -106,11 +106,89 @@ def compress_counts(rows, levels: int, k: int) -> list[tuple[int, int, int]]:
     return out
 
 
+def float_leaf(col: Column, lo, hi, levels: int,
+               out_of_range: str = "clamp") -> Column:
+    """Float-domain leaf mapping with a DOCUMENTED, engine-portable
+    rounding contract (round-4 VERDICT item 5; the reference's
+    value-space decimal handling is builtins.py:87-94 — floats enter
+    the ordered machinery as exact IEEE values, and so here):
+
+      1. value -> double (IEEE-754 binary64);
+      2. NaN -> NULL (dropped by qdigest like any NULL): NaN has no
+         rank in the value space — the same rule that keeps NaN out of
+         ordered facets (r4 NaN-unordered semantics);
+      3. s = (value - lo) * 2^levels / (hi - lo), every operation in
+         double, evaluated LEFT TO RIGHT exactly as parenthesized.
+         IEEE arithmetic is deterministic, so any engine computing
+         this expression over the same doubles yields bit-identical s
+         — this is what makes a float-domain digest hash-checkable
+         against DuckDB (float_leaf_sql emits the same expression);
+      4. out_of_range='clamp' (default): s clamps into
+         [0, 2^levels - 1] BEFORE floor, so -INF/+INF and values
+         outside [lo, hi) land in the first/last leaf (v == hi lands
+         in the last leaf); 'drop' maps them to NULL instead;
+      5. leaf = floor(s) cast to bigint (exact after the clamp/gate).
+
+    lo/hi are converted through float() once, driver-side; the SQL
+    twin embeds them via repr(), which round-trips doubles exactly.
+    """
+    import math
+    lo, hi = float(lo), float(hi)
+    if math.isnan(lo) or math.isnan(hi) or math.isinf(lo) \
+            or math.isinf(hi) or not hi > lo:
+        raise ValueError(f"float_leaf needs finite lo < hi, got "
+                         f"[{lo}, {hi})")
+    c = col.cast("double")
+    c = F.when(~F.isnan(c), c)
+    s = (c - F.lit(lo)) * F.lit(float(2 ** levels)) / F.lit(hi - lo)
+    max_leaf = float(2 ** levels - 1)
+    if out_of_range == "clamp":
+        leaf = F.floor(F.least(F.greatest(s, F.lit(0.0)),
+                               F.lit(max_leaf)))
+    elif out_of_range == "drop":
+        leaf = F.when((s >= F.lit(0.0)) & (s < F.lit(float(2 ** levels))),
+                      F.floor(s))
+    else:
+        raise ValueError(f"out_of_range must be clamp|drop, "
+                         f"got {out_of_range!r}")
+    # greatest/least SKIP nulls in Spark (and Postgres/DuckDB), so the
+    # NaN/NULL guard must re-apply after the clamp or NaN lands in
+    # leaf 0
+    return F.when(c.isNotNull(), leaf).cast("bigint")
+
+
+def float_leaf_sql(col_sql: str, lo, hi, levels: int,
+                   out_of_range: str = "clamp") -> str:
+    """The DuckDB twin of float_leaf — SAME expression tree over the
+    same doubles, so the leaf assignment (and therefore the digest) is
+    bit-identical across engines. Keep the two functions in lockstep;
+    they are the single source of the rounding contract."""
+    lo, hi = float(lo), float(hi)
+    span = hi - lo
+    s = (f"((CAST({col_sql} AS DOUBLE) - {lo!r}) "
+         f"* {float(2 ** levels)!r} / {span!r})")
+    max_leaf = float(2 ** levels - 1)
+    if out_of_range == "clamp":
+        leaf = f"FLOOR(LEAST(GREATEST({s}, 0.0), {max_leaf!r}))"
+    elif out_of_range == "drop":
+        leaf = (f"CASE WHEN {s} >= 0.0 AND {s} < "
+                f"{float(2 ** levels)!r} THEN FLOOR({s}) END")
+    else:
+        raise ValueError(f"out_of_range must be clamp|drop, "
+                         f"got {out_of_range!r}")
+    return (f"CASE WHEN CAST({col_sql} AS DOUBLE) IS NULL "
+            f"OR isnan(CAST({col_sql} AS DOUBLE)) THEN NULL "
+            f"ELSE CAST({leaf} AS BIGINT) END")
+
+
 def qdigest(df: DataFrame, leaf: Column, levels: int,
             k: int = 64) -> DataFrame:
     """Build the digest over an integer leaf column expression (caller
     guarantees values in [0, 2^levels); NULLs are dropped). Returns
     (level, node, cnt)."""
+    from ..distribute import ensure_distributed
+    ensure_distributed(df.sparkSession)   # _compress references this
+    # module by name; workers outside the repo need the pkg shipped
     counts = (df.select(leaf.cast("bigint").alias("leaf"))
               .where(F.col("leaf").isNotNull())
               .groupBy("leaf").agg(F.count(F.lit(1)).alias("cnt")))
@@ -136,6 +214,8 @@ def merge_digests(digests: list[DataFrame], levels: int,
     inputs were partitioned."""
     if not digests:
         raise ValueError("no digests to merge")
+    from ..distribute import ensure_distributed
+    ensure_distributed(digests[0].sparkSession)
     u = digests[0]
     for d in digests[1:]:
         u = u.unionByName(d)

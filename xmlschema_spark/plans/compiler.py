@@ -1003,12 +1003,21 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
         kind = item.dtype[4:]
         int_bounded = kind in _XSD_INT_TYPES
         int_unbounded = kind in _XSD_INT_UNBOUNDED
+        # non-integer built-ins with pure lexical spaces (scalar path
+        # handles these via strict_* branches; per-item the lexical
+        # check IS the decode)
+        _ITEM_EXTRA_LEX = {"boolean": r"true|false|1|0",
+                           "decimal": _XSD_DECIMAL_LEX,
+                           "float": _XSD_FLOAT_LEX,
+                           "double": _XSD_FLOAT_LEX}
         if int_bounded:
             lex = translate_xsd_pattern(_XSD_INT_LEX)
         elif int_unbounded:
             lex = translate_xsd_pattern(_XSD_INT_UNBOUNDED[kind])
         elif kind in _XSD_LEX:
             lex = translate_xsd_pattern(_XSD_LEX[kind])
+        elif kind in _ITEM_EXTRA_LEX:
+            lex = translate_xsd_pattern(_ITEM_EXTRA_LEX[kind])
         else:
             raise ValueError(f"unknown xsd lexical item type {item.dtype!r}")
         checks: list[RowCheck] = list(size_checks)
@@ -1088,15 +1097,20 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
                     return xv.isNull() | ok
                 addx("enumeration", f"item must be in {item.enum}",
                      int_enum_pred)
-            if item.pattern:
-                xpats = [translate_xsd_pattern(p) for p in item.pattern]
+            xigroups = _collect_pattern_groups(item)
+            if xigroups:
+                xjg = [[translate_xsd_pattern(p) for p in g]
+                       for g in xigroups]
 
                 def xpat_pred(x):
-                    ok = x.cast("string").rlike(xpats[0])
-                    for pp in xpats[1:]:
-                        ok = ok | x.cast("string").rlike(pp)
+                    ok = None
+                    for g in xjg:
+                        gok = x.cast("string").rlike(g[0])
+                        for pp in g[1:]:
+                            gok = gok | x.cast("string").rlike(pp)
+                        ok = gok if ok is None else ok & gok
                     return ok
-                addx("pattern", f"item must match {item.pattern}",
+                addx("pattern", f"item must match {xigroups}",
                      xpat_pred)
             return checks
         for fname, lit_v in (("minInclusive", item.min_inclusive),
@@ -1129,15 +1143,20 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
             addx("enumeration", f"item must be in {item.enum}",
                  lambda x: x.cast("string").isin(
                      *[str(e) for e in item.enum]))
-        if item.pattern:
-            ipats = [translate_xsd_pattern(p) for p in item.pattern]
+        ligroups = _collect_pattern_groups(item)
+        if ligroups:
+            ljg = [[translate_xsd_pattern(p) for p in g]
+                   for g in ligroups]
 
             def pat_pred(x):
-                ok = x.cast("string").rlike(ipats[0])
-                for pp in ipats[1:]:
-                    ok = ok | x.cast("string").rlike(pp)
+                ok = None
+                for g in ljg:
+                    gok = x.cast("string").rlike(g[0])
+                    for pp in g[1:]:
+                        gok = gok | x.cast("string").rlike(pp)
+                    ok = gok if ok is None else ok & gok
                 return ok
-            addx("pattern", f"item must match {item.pattern}", pat_pred)
+            addx("pattern", f"item must match {ligroups}", pat_pred)
         if item.length is not None:
             addx("length", f"item length must be {item.length}",
                  lambda x: F.length(x.cast("string")) == item.length)
@@ -1191,15 +1210,19 @@ def compile_item_checks(cs: ColumnSpec) -> list[RowCheck]:
     if item.max_exclusive is not None:
         add("maxExclusive", f"item must be < {item.max_exclusive}",
             ordered(lambda a, b: a < b, item.max_exclusive))
-    if item.pattern:
-        pats = [translate_xsd_pattern(p) for p in item.pattern]
+    aigroups = _collect_pattern_groups(item)
+    if aigroups:
+        ajg = [[translate_xsd_pattern(p) for p in g] for g in aigroups]
 
         def pat_pred(x):
-            ok = x.rlike(pats[0])
-            for p in pats[1:]:
-                ok = ok | x.rlike(p)
+            ok = None
+            for g in ajg:
+                gok = x.rlike(g[0])
+                for p in g[1:]:
+                    gok = gok | x.rlike(p)
+                ok = gok if ok is None else ok & gok
             return ok
-        add("pattern", f"item must match {item.pattern}", pat_pred)
+        add("pattern", f"item must match {aigroups}", pat_pred)
     if item.enum is not None:
         enum_vals = list(item.enum)
 

@@ -395,7 +395,10 @@ def qdigest_per_window(counts: DataFrame, levels: int,
     rows), windows compress in parallel."""
     import pandas as pd
 
+    from ..distribute import ensure_distributed
     from ..operators.sketch import compress_counts
+    ensure_distributed(counts.sparkSession)   # closure references the
+    # sketch module by name — ship the pkg for off-repo drivers
 
     schema = ("win_start timestamp, win_end timestamp, "
               "level int, node bigint, cnt bigint")
