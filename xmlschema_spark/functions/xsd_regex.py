@@ -116,8 +116,13 @@ def _parse_class(p: str, i: int) -> tuple[_Cls, int]:
     raise ValueError(f"unterminated character class in pattern: {p!r}")
 
 
-def translate_xsd_pattern(pattern: str, anchor: bool = True) -> str:
-    """Translate one XSD pattern to a Java-regex string for Column.rlike."""
+def translate_xsd_pattern(pattern: str, anchor: bool = True,
+                          xpath_anchors: bool = False) -> str:
+    """Translate one XSD pattern to a Java-regex string for Column.rlike.
+
+    xpath_anchors=True switches to XPath fn:matches() flavor: ^ and $
+    are REAL anchors there (XPath F&O 5.6.1 extends XSD regex with
+    anchors), so they pass through unescaped."""
     out: list[str] = []
     i, n = 0, len(pattern)
     while i < n:
@@ -140,7 +145,7 @@ def translate_xsd_pattern(pattern: str, anchor: bool = True) -> str:
             cls, i = _parse_class(pattern, i)
             out.append(cls.java())
             continue
-        if ch in "^$":
+        if ch in "^$" and not xpath_anchors:
             # NOT metacharacters in XSD regex (XSD pt.2 App F: the
             # metacharacters are .\?*+{}()[]|) — 'a^b' and 'US$' match
             # those literal characters; Java would read anchors
