@@ -30,6 +30,8 @@ HEADLINE = [
     "drift_events_halves",
     "lsh_candidate_pairs_documents",
     "qdigest_lineitem",
+    "qdigest_events_value",
+    "content_model_documents",
     "text_quality_documents",
     "ann_topk_bruteforce",
     "embedding_near_dups_vectorized",

@@ -538,6 +538,102 @@ _types_err("rstr_fixed_change",
            {"base": "b", "fixed": "KG"}, "fixed value")
 
 
+# =====================================================================
+# J. content models (plans/content_model.py — reference
+#    tests/validators/test_models.py / test_groups.py case shapes)
+# =====================================================================
+
+def cmcase(name, model, rows, bad, decl="array<string>", lexical=False,
+           tag_field=None):
+    cm = {"name": "m", "column": "v", "model": model}
+    if lexical:
+        cm["lexical"] = True
+    if tag_field:
+        cm["tag_field"] = tag_field
+    case(f"cm_{name}", f"rid string, v {decl}", rows,
+         {"name": "t", "key_column": "rid", "content_models": [cm]},
+         [[r, "content:m:v"] for r in bad])
+
+
+def _e(n, lo=1, hi=1):
+    return {"kind": "element", "name": n, "min_occurs": lo,
+            "max_occurs": hi}
+
+
+cmcase("sequence_order",
+       {"kind": "sequence", "children": [_e("h"), _e("b", 1, None)]},
+       [["r1", ["h", "b", "b"]], ["r2", ["b", "h"]], ["r3", ["h"]]],
+       ["r2", "r3"])
+cmcase("choice_band",
+       {"kind": "choice", "children": [_e("a"), _e("b")],
+        "min_occurs": 1, "max_occurs": 2},
+       [["r1", ["a", "b"]], ["r2", ["b"]], ["r3", ["a", "b", "a"]],
+        ["r4", ["c"]]],
+       ["r3", "r4"])
+cmcase("optional_then_any",
+       {"kind": "sequence", "children": [
+           _e("meta", 0, 1),
+           {"kind": "any", "min_occurs": 1, "max_occurs": 2}]},
+       [["r1", ["meta", "x"]], ["r2", ["x", "y"]],
+        ["r3", ["meta", "x", "y", "z"]]],
+       ["r3"])
+cmcase("all_group",
+       {"kind": "all", "children": [_e("t"), _e("y", 0, 1)]},
+       [["r1", ["y", "t"]], ["r2", ["t"]], ["r3", ["t", "y", "y"]],
+        ["r4", ["y"]]],
+       ["r3", "r4"])
+cmcase("struct_tags",
+       {"kind": "sequence", "children": [_e("h"), _e("p", 0, None)]},
+       [["r1", [["h", 1], ["p", 2]]], ["r2", [["p", 9]]]],
+       ["r2"], decl="array<struct<tag:string,n:int>>", tag_field="tag")
+cmcase("lexical_tags",
+       {"kind": "sequence", "children": [
+           {"kind": "choice", "children": [_e("key"), _e("row")]},
+           {"kind": "any", "min_occurs": 0, "max_occurs": None}]},
+       [["r1", "key a b"], ["r2", " row "], ["r3", "a key"]],
+       ["r3"], decl="string", lexical=True)
+cmcase("nested_choice_in_sequence",
+       {"kind": "sequence", "children": [
+           _e("open"),
+           {"kind": "choice", "min_occurs": 2, "max_occurs": None,
+            "children": [
+                _e("a"),
+                {"kind": "sequence", "children": [_e("b"), _e("c")]}]},
+           _e("close")]},
+       [["r1", ["open", "a", "b", "c", "close"]],
+        ["r2", ["open", "a", "close"]],
+        ["r3", ["open", "b", "c", "b", "c", "close"]],
+        ["r4", ["open", "b", "close"]]],
+       ["r2", "r4"])
+cmcase("null_skipped_empty_checked",
+       {"kind": "sequence", "children": [_e("a", 1, None)]},
+       [["r1", ["a"]], ["r2", None], ["r3", []]],
+       ["r3"])
+
+errcase("cm_occurs_inverted",
+        {"name": "t", "key_column": "rid", "content_models": [
+            {"name": "m", "column": "v",
+             "model": _e("a", 3, 2)}]},
+        "minOccurs must be lesser or equal than maxOccurs")
+errcase("cm_all_nested",
+        {"name": "t", "key_column": "rid", "content_models": [
+            {"name": "m", "column": "v",
+             "model": {"kind": "sequence", "children": [
+                 {"kind": "all", "children": [_e("a")]}]}}]},
+        "cannot be nested")
+errcase("cm_all_maxoccurs",
+        {"name": "t", "key_column": "rid", "content_models": [
+            {"name": "m", "column": "v",
+             "model": {"kind": "all", "max_occurs": 3,
+                       "children": [_e("a")]}}]},
+        "maxOccurs must be 1 for 'all'")
+errcase("cm_empty_group",
+        {"name": "t", "key_column": "rid", "content_models": [
+            {"name": "m", "column": "v",
+             "model": {"kind": "choice"}}]},
+        "empty 'choice' model group")
+
+
 def main():
     with open(MANIFEST) as f:
         m = json.load(f)

@@ -1279,6 +1279,12 @@ def compile_plan(spec: TableSpec) -> ValidationPlan:
                     valid=~cond | chk.valid,
                     value_col=chk.value_col,
                 ))
+    for cmspec in spec.content_models:
+        # nested-document content models (validators/models.py:177-330
+        # ModelVisitor analog): regex-over-tag-sequence / 'all' counting
+        # conditions, same shuffle-free pass as the facets above
+        from .content_model import content_model_checks
+        plan.row_checks.extend(content_model_checks(cmspec))
     _validate_identity_specs(spec)
     known_cols = _spec_known_columns(spec)
     for a in spec.asserts:

@@ -1725,6 +1725,59 @@ def qdigest_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _qdigest_lineitem_df(spark, sf_dir)
 
 
+# ---------------------------------------------------------------------------
+# Content-model validation (plans/content_model.py): the ModelVisitor
+# analog — the particle tree compiles to ONE anchored regex over the
+# row's tag sequence; the oracle rebuilds the identical framed string
+# and applies the identical regex in DuckDB.
+# ---------------------------------------------------------------------------
+
+def _doc_shape_model():
+    from .specs import ParticleSpec as P
+    # sequence( choice(key|table|row|join|hash), any{3,} ): documents
+    # must open with a "header" tag and carry at least 3 more children
+    return P(kind="sequence", children=[
+        P(kind="choice", children=[
+            P(kind="element", name=n)
+            for n in ("key", "table", "row", "join", "hash")]),
+        P(kind="any", min_occurs=3, max_occurs=None)])
+
+
+def _doc_shape_regex() -> str:
+    from .plans.content_model import model_regex
+    return model_regex(_doc_shape_model())
+
+
+@register("content_model_documents", f"""
+  WITH f AS (
+    SELECT doc_id,
+           array_to_string(list_transform(
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+             w -> w || ';'), '') AS framed
+      FROM documents WHERE text IS NOT NULL)
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         'content:doc_shape:text' AS constraint,
+         substr(framed, 1, 200) AS value
+    FROM f
+   WHERE NOT regexp_full_match(framed, '{_doc_shape_regex()}')
+""")
+def content_model_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-model check over the documents table: text as a LEXICAL
+    tag sequence validated against sequence(choice(header-tags),
+    any{{3,}}) — one shuffle-free codegen pass; the DuckDB oracle frames
+    the tags the same way and applies the same regex
+    (reference: ModelVisitor content validation, models.py:177-330)."""
+    from .specs import ContentModelSpec
+    d = _load(spark, sf_dir, "documents")
+    spec = TableSpec(
+        name="documents", key_column="doc_id",
+        content_models=[ContentModelSpec(
+            name="doc_shape", column="text", model=_doc_shape_model(),
+            lexical=True)])
+    return row_violations(d, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")
+
+
 # float-domain digest over events.value (double): fixed documented
 # bounds [0, 512) — the synthetic table's value range is ~[0, 490];
 # clamp policy folds any outlier into the edge leaves

@@ -215,6 +215,67 @@ class ConditionalSpec:
 
 
 @dataclass
+class ParticleSpec:
+    """One particle of a content model — the analog of XsdGroup /
+    XsdElement particles (validators/groups.py:503-560,
+    particles.py:140-172 occurs parsing). Kinds:
+
+      element   — a named child; `name` required
+      sequence  — children in order
+      choice    — exactly one of the children (per repetition)
+      all       — children in ANY order (XSD 1.0 rules: only at the
+                  top of a model, element children only, group
+                  maxOccurs 1 / minOccurs 0|1)
+      any       — wildcard child (xs:any)
+
+    min_occurs/max_occurs bound repetitions; max_occurs=None means
+    'unbounded'."""
+
+    kind: str = "element"
+    name: Optional[str] = None
+    children: list["ParticleSpec"] = field(default_factory=list)
+    min_occurs: int = 1
+    max_occurs: Optional[int] = 1
+
+    @staticmethod
+    def from_dict(d: dict) -> "ParticleSpec":
+        d = dict(d)
+        if d.get("children"):
+            d["children"] = [ParticleSpec.from_dict(c)
+                             for c in d["children"]]
+        return ParticleSpec(**d)
+
+
+@dataclass
+class ContentModelSpec:
+    """Content-model validation for a NESTED document column — the
+    tabular analog of complex-type content validation (the reference's
+    ModelVisitor over child elements, validators/models.py:177-330;
+    exercised by tests/validators/test_models.py / test_groups.py).
+
+    A row's child sequence is the ordered list of TAGS in `column`:
+      - array<struct>: `tag_field` names the struct field carrying the
+        child's element name;
+      - array<string>: the tags themselves (tag_field=None);
+      - lexical=True: `column` is a whitespace-separated tag string
+        (collapsed and split first, like lexical lists).
+
+    The model compiles to a single anchored regular expression over the
+    tag sequence (the classic content-model-as-regular-language view —
+    sequences concatenate, choices alternate, occurs become
+    quantifiers), evaluated JVM-side in the shuffle-free row-check
+    pass; an 'all' group compiles to order-free per-tag counting
+    conditions instead. Violation constraint: content:<name>:<column>.
+    """
+
+    name: str
+    column: str
+    model: "ParticleSpec" = None
+    tag_field: Optional[str] = None
+    lexical: bool = False
+
+
+@dataclass
 class TableSpec:
     """Top-level spec — the analog of a compiled XMLSchema instance."""
 
@@ -226,6 +287,7 @@ class TableSpec:
     asserts: list[AssertSpec] = field(default_factory=list)
     occurs: list[OccursSpec] = field(default_factory=list)
     conditionals: list[ConditionalSpec] = field(default_factory=list)
+    content_models: list[ContentModelSpec] = field(default_factory=list)
     payload: Optional[PayloadSpec] = None
     drift: Optional[DriftSpec] = None
     part_key: Optional[str] = None        # data-derived partition column
@@ -265,6 +327,13 @@ class TableSpec:
                 ConditionalSpec(name=c["name"], when=c["when"],
                                 columns=[col(x) for x in c.get("columns", [])])
                 for c in d.get("conditionals", [])],
+            content_models=[
+                ContentModelSpec(
+                    name=m["name"], column=m["column"],
+                    model=ParticleSpec.from_dict(m["model"]),
+                    tag_field=m.get("tag_field"),
+                    lexical=m.get("lexical", False))
+                for m in d.get("content_models", [])],
             payload=PayloadSpec(**d["payload"]) if d.get("payload") else None,
             drift=DriftSpec(**d["drift"]) if d.get("drift") else None,
             part_key=d.get("part_key"),
