@@ -33,13 +33,13 @@ def ANY(lo=1, hi=1):
 
 
 def _viol(spark, model, rows, column_decl="array<string>",
-          lexical=False, tag_field=None):
+          lexical=False, tag_field=None, check_upa=True):
     from xmlschema_spark.runner import validate
     spec = TableSpec(
         name="t", key_column="rid",
         content_models=[ContentModelSpec(
             name="m", column="v", model=model, lexical=lexical,
-            tag_field=tag_field)])
+            tag_field=tag_field, check_upa=check_upa)])
     df = spark.createDataFrame(rows, f"rid string, v {column_decl}")
     return sorted(r.row_key
                   for r in validate(df, spec).violations.collect())
@@ -78,7 +78,10 @@ def test_choice_per_repetition(spark):
 
 
 def test_nested_groups_and_any(spark):
-    # sequence( (meta)?, choice(img | txt)+, any{0,1} )
+    # sequence( (meta)?, choice(img | txt)+, any{0,1} ) — the trailing
+    # wildcard overlaps the repeated choice, an XSD-nondeterministic
+    # model: the regex engine accepts it with check_upa=False (the UPA
+    # default rejects it, tested below)
     model = SEQ(E("meta", 0, 1),
                 CH(E("img"), E("txt"), lo=1, hi=None),
                 ANY(0, 1))
@@ -86,7 +89,8 @@ def test_nested_groups_and_any(spark):
             ("ok2", ["txt", "img", "txt"]),
             ("bad_empty", []),
             ("bad_two_any", ["img", "x", "y"])]
-    assert _viol(spark, model, rows) == ["bad_empty", "bad_two_any"]
+    assert _viol(spark, model, rows, check_upa=False) == \
+        ["bad_empty", "bad_two_any"]
 
 
 def test_empty_sequence_allows_empty(spark):
@@ -183,6 +187,55 @@ def test_from_dict_round_trip(spark):
 def test_invalid_particles_rejected(particle, msg):
     with pytest.raises(ValueError, match=msg):
         validate_particle(particle)
+
+
+# -------------------------------- Unique Particle Attribution (UPA)
+# (reference models.py:104-171 distinguishable_paths wording)
+
+def _upa(model):
+    from xmlschema_spark.plans.content_model import check_upa
+    check_upa(model)
+
+
+@pytest.mark.parametrize("model", [
+    SEQ(E("a", 0, 1), E("a")),                    # (a?, a): ambiguous a
+    SEQ(E("a", 0, None), E("a")),                 # (a*, a)
+    CH(E("a"), SEQ(E("a"), E("b"))),              # choice branches share FIRST
+    SEQ(CH(E("x"), E("y"), lo=1, hi=None), ANY(0, 1)),  # wildcard after loop
+    SEQ(E("m", 0, 1), ANY(1, 1)),                 # wildcard overlaps optional
+    ParticleSpec(kind="all", children=[E("t"), E("t", 0, 1)]),  # dup in all
+])
+def test_upa_violations_rejected(model):
+    with pytest.raises(ValueError,
+                       match="Unique Particle Attribution violation"):
+        _upa(model)
+
+
+@pytest.mark.parametrize("model", [
+    SEQ(E("a"), E("a")),                          # (a, a): fine
+    SEQ(E("a", 0, 1), E("b")),                    # distinct names
+    SEQ(CH(E("k"), E("t")), ANY(3, None)),        # header then wildcard
+    SEQ(E("open"), CH(E("a"), SEQ(E("b"), E("c")), lo=2, hi=None),
+        E("close")),
+    ParticleSpec(kind="all", children=[E("t"), E("y", 0, 1)]),
+    SEQ(E("a", 2, 5), E("b", 0, None)),
+])
+def test_deterministic_models_pass_upa(model):
+    _upa(model)
+
+
+def test_upa_enforced_by_default_via_compile_plan(spark):
+    # (spark fixture: the opt-out branch builds Catalyst columns,
+    # which needs an active session)
+    spec = TableSpec(
+        name="t", key_column="rid",
+        content_models=[ContentModelSpec(
+            name="m", column="v", model=SEQ(E("a", 0, 1), E("a")))])
+    with pytest.raises(ValueError, match="Unique Particle Attribution"):
+        compile_plan(spec)
+    # explicit opt-out compiles
+    spec.content_models[0].check_upa = False
+    compile_plan(spec)
 
 
 def test_particle_errors_surface_via_compile_plan():

@@ -544,12 +544,14 @@ _types_err("rstr_fixed_change",
 # =====================================================================
 
 def cmcase(name, model, rows, bad, decl="array<string>", lexical=False,
-           tag_field=None):
+           tag_field=None, upa=True):
     cm = {"name": "m", "column": "v", "model": model}
     if lexical:
         cm["lexical"] = True
     if tag_field:
         cm["tag_field"] = tag_field
+    if not upa:
+        cm["check_upa"] = False
     case(f"cm_{name}", f"rid string, v {decl}", rows,
          {"name": "t", "key_column": "rid", "content_models": [cm]},
          [[r, "content:m:v"] for r in bad])
@@ -576,7 +578,8 @@ cmcase("optional_then_any",
            {"kind": "any", "min_occurs": 1, "max_occurs": 2}]},
        [["r1", ["meta", "x"]], ["r2", ["x", "y"]],
         ["r3", ["meta", "x", "y", "z"]]],
-       ["r3"])
+       ["r3"], upa=False)   # wildcard overlaps the optional element —
+#        XSD-nondeterministic by design; UPA opt-out exercises the flag
 cmcase("all_group",
        {"kind": "all", "children": [_e("t"), _e("y", 0, 1)]},
        [["r1", ["y", "t"]], ["r2", ["t"]], ["r3", ["t", "y", "y"]],
@@ -632,6 +635,21 @@ errcase("cm_empty_group",
             {"name": "m", "column": "v",
              "model": {"kind": "choice"}}]},
         "empty 'choice' model group")
+errcase("cm_upa_optional_then_same",
+        {"name": "t", "key_column": "rid", "content_models": [
+            {"name": "m", "column": "v",
+             "model": {"kind": "sequence", "children": [
+                 _e("a", 0, 1), _e("a")]}}]},
+        "Unique Particle Attribution violation")
+errcase("cm_upa_wildcard_overlap",
+        {"name": "t", "key_column": "rid", "content_models": [
+            {"name": "m", "column": "v",
+             "model": {"kind": "sequence", "children": [
+                 {"kind": "choice", "min_occurs": 1,
+                  "max_occurs": None,
+                  "children": [_e("x"), _e("y")]},
+                 {"kind": "any", "min_occurs": 0, "max_occurs": 1}]}}]},
+        "Unique Particle Attribution violation")
 
 
 def main():

@@ -80,6 +80,108 @@ def validate_particle(p: ParticleSpec, top: bool = True,
             validate_particle(c, top=False, in_all=p.kind == "all")
 
 
+class _Pos:
+    """One Glushkov position: a leaf particle instance."""
+
+    __slots__ = ("sym", "label")
+
+    def __init__(self, sym, label):
+        self.sym = sym          # element name, or None for 'any'
+        self.label = label      # human-readable path for errors
+
+
+def _overlap(a: _Pos, b: _Pos) -> bool:
+    # wildcard overlaps everything (reference ParticleMixin.is_overlap
+    # semantics: an xs:any competes with any element name)
+    return a.sym is None or b.sym is None or a.sym == b.sym
+
+
+def check_upa(model: ParticleSpec) -> None:
+    """Unique Particle Attribution — the reference rejects content
+    models where a child element could be attributed to more than one
+    particle (models.py:104-171 `distinguishable_paths`:
+    'Unique Particle Attribution violation between {0!r} and {1!r}').
+
+    Classic Glushkov-determinism check: compute nullable/FIRST/LAST/
+    FOLLOW over leaf positions; the model is deterministic iff no
+    decision set (FIRST of the model, FOLLOW of any position) holds two
+    distinct positions with overlapping symbols (same element name, or
+    either being a wildcard). Group occurrences with max > 1 loop
+    LAST->FIRST (numeric maxima are treated as unbounded for the
+    overlap test — conservative, like the spec's own treatment of
+    repeated groups)."""
+    follow: dict[int, set] = {}
+    positions: list[_Pos] = []
+
+    def add_follow(srcs, dsts) -> None:
+        for s in srcs:
+            follow.setdefault(id(s), set()).update(dsts)
+
+    def walk(p: ParticleSpec, path: str):
+        # returns (nullable, first, last) with follow edges emitted
+        if p.kind in ("element", "any"):
+            pos = _Pos(p.name if p.kind == "element" else None,
+                       f"{path}{p.name or 'xs:any'}")
+            positions.append(pos)
+            first, last = {pos}, {pos}
+            if p.max_occurs is None or p.max_occurs > 1:
+                add_follow(last, first)
+            return p.min_occurs == 0, first, last
+        subs = [walk(c, f"{path}{p.kind}/") for c in p.children]
+        if p.kind in ("choice", "all"):
+            # 'all' shares choice's decision structure for the overlap
+            # test: any member may come next at every step
+            nullable = any(n for n, _, _ in subs)
+            first = set().union(*(f for _, f, _ in subs))
+            last = set().union(*(l for _, _, l in subs))
+            if p.kind == "all" and len(subs) > 1:
+                # order-free: after any member, any other may start
+                for i, (_, _, li) in enumerate(subs):
+                    for j, (_, fj, _) in enumerate(subs):
+                        if i != j:
+                            add_follow(li, fj)
+        else:                    # sequence
+            nullable = all(n for n, _, _ in subs)
+            first, last = set(), set()
+            for n, f, _ in subs:
+                first |= f
+                if not n:
+                    break
+            for n, _, l in reversed(subs):
+                last |= l
+                if not n:
+                    break
+            for i in range(len(subs)):
+                _, _, li = subs[i]
+                for j in range(i + 1, len(subs)):
+                    nj, fj, _ = subs[j]
+                    add_follow(li, fj)
+                    if not nj:
+                        break
+        if p.max_occurs is None or p.max_occurs > 1:
+            add_follow(last, first)
+        if p.min_occurs == 0:
+            nullable = True
+        return nullable, first, last
+
+    _, first, _ = walk(model, "")
+
+    def check_set(s) -> None:
+        items = list(s)
+        for i in range(len(items)):
+            for j in range(i + 1, len(items)):
+                a, b = items[i], items[j]
+                if a is not b and _overlap(a, b):
+                    raise ValueError(
+                        f"content model particle: Unique Particle "
+                        f"Attribution violation between {a.label!r} "
+                        f"and {b.label!r}")
+
+    check_set(first)
+    for pos in positions:
+        check_set(follow.get(id(pos), ()))
+
+
 def _quant(p: ParticleSpec) -> str:
     lo, hi = p.min_occurs, p.max_occurs
     if (lo, hi) == (1, 1):
@@ -135,6 +237,8 @@ def content_model_checks(cm: ContentModelSpec):
     compile_plan; same shuffle-free pass as facets)."""
     from .compiler import RowCheck
     validate_particle(cm.model)
+    if cm.check_upa:
+        check_upa(cm.model)
     tags = tags_column(cm)
     present = F.col(cm.column).isNotNull()
     framed = _frame(tags)

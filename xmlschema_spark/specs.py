@@ -273,6 +273,11 @@ class ContentModelSpec:
     model: "ParticleSpec" = None
     tag_field: Optional[str] = None
     lexical: bool = False
+    # Unique Particle Attribution check (reference models.py:104-171):
+    # ON by default like the reference's schema build. The regex
+    # evaluator itself does not need determinism, so this may be
+    # disabled to accept XSD-nondeterministic models deliberately.
+    check_upa: bool = True
 
 
 @dataclass
@@ -332,7 +337,8 @@ class TableSpec:
                     name=m["name"], column=m["column"],
                     model=ParticleSpec.from_dict(m["model"]),
                     tag_field=m.get("tag_field"),
-                    lexical=m.get("lexical", False))
+                    lexical=m.get("lexical", False),
+                    check_upa=m.get("check_upa", True))
                 for m in d.get("content_models", [])],
             payload=PayloadSpec(**d["payload"]) if d.get("payload") else None,
             drift=DriftSpec(**d["drift"]) if d.get("drift") else None,
