@@ -245,3 +245,30 @@ def test_particle_errors_surface_via_compile_plan():
             name="m", column="v", model=E("a", 3, 2))])
     with pytest.raises(ValueError, match="lesser or equal"):
         compile_plan(spec)
+
+
+# ------------------------------------------------------- streaming
+
+def test_content_model_streams_per_microbatch(spark, tmp_path):
+    """Content-model checks are part of the shuffle-free row-check
+    pass, so they flow through validate_stream's per-micro-batch full
+    suite unchanged — violations land in the stream sink with
+    batch ids."""
+    from xmlschema_spark.streaming.validate_stream import validate_stream
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("r1", "head body"), ("r2", "body head"), ("r3", "head")],
+        "rid string, v string").write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    spec = TableSpec(
+        name="t", key_column="rid",
+        content_models=[ContentModelSpec(
+            name="doc", column="v", lexical=True,
+            model=SEQ(E("head"), E("body", 1, None)))])
+    q = validate_stream(stream, spec, str(tmp_path / "chk"),
+                        str(tmp_path / "out"))
+    q.awaitTermination(120)
+    viols = spark.read.parquet(str(tmp_path / "out" / "violations"))
+    got = sorted((r.row_key, r.constraint) for r in viols.collect())
+    assert got == [("r2", "content:doc:v"), ("r3", "content:doc:v")]

@@ -635,6 +635,24 @@ errcase("cm_empty_group",
             {"name": "m", "column": "v",
              "model": {"kind": "choice"}}]},
         "empty 'choice' model group")
+# reference test_facets.py:1147-1183 (issue 396): a LIST type with item
+# length facets, restricted with LIST-level size facets via derivation
+rcase("restriction_on_list_issue396",
+      {"words56": {"lexical_list": True,
+                   "item": {"name": "words56", "min_length": 5,
+                            "max_length": 6}}},
+      {"base": "words56", "min_length": 1, "max_length": 6},
+      [["r1", "abcde"], ["r2", "abcdef"], ["r3", "abcd"],
+       ["r4", "abcdefg"], ["r5", "     "],
+       ["r6", "abcde abcde abcde abcde abcde abcde"],
+       ["r7", "abcde abcde abcde abcde abcd abcde"],
+       ["r8", "abcde abcde abcde abcde abcde abcde abcde"]],
+      [["r3", "facet:item:minLength:v"],
+       ["r4", "facet:item:maxLength:v"],
+       ["r5", "facet:minLength:v"],
+       ["r7", "facet:item:minLength:v"],
+       ["r8", "facet:maxLength:v"]])
+
 errcase("cm_upa_optional_then_same",
         {"name": "t", "key_column": "rid", "content_models": [
             {"name": "m", "column": "v",
