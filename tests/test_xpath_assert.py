@@ -148,3 +148,59 @@ def test_roundtrip_matches(spark):
     got = _run(spark, spec, [("r1", "AB12"), ("r2", "ab12")],
                "rid string, v string")
     assert got == [("r2", "facet:assertion:v")]
+
+
+# ----------------------------- XPath 2.0 castable / conditional exprs
+
+@pytest.mark.parametrize("xpath,sql", [
+    ("$value castable as xs:integer",
+     "(TRY_CAST(value AS BIGINT) IS NOT NULL)"),
+    ("@price castable as xs:decimal",
+     "(TRY_CAST(price AS DECIMAL(38,18)) IS NOT NULL)"),
+    ("not($value castable as xs:date)",
+     "(NOT ((TRY_CAST(value AS DATE) IS NOT NULL)))"),
+    ("if (@unit = 'kg') then @w < 100 else @w < 1000",
+     "(CASE WHEN unit = 'kg' THEN w < 100 ELSE w < 1000 END)"),
+])
+def test_castable_and_conditional(xpath, sql):
+    assert translate_xpath_assert(xpath) == sql
+
+
+def test_castable_unknown_type_rejected():
+    with pytest.raises(ValueError, match="castable"):
+        translate_xpath_assert("$value castable as xs:hexBinary")
+
+
+def test_if_without_else_rejected():
+    with pytest.raises(ValueError, match="without 'else'"):
+        translate_xpath_assert("if (@a) then @b")
+
+
+def test_roundtrip_castable(spark):
+    """Idiom: test="$value castable as xs:date" as a simple-type
+    assertion."""
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+    spec = TableSpec(
+        name="t", key_column="rid",
+        columns=[ColumnSpec("v", assertion=xpath_assertion(
+            "$value castable as xs:date"))])
+    got = _run(spark, spec, [("r1", "2024-06-01"), ("r2", "not-a-date")],
+               "rid string, v string")
+    assert got == [("r2", "facet:assertion:v")]
+
+
+def test_roundtrip_conditional(spark):
+    """Idiom: test="if (@unit = 'kg') then @w le 100 else @w le 1000"
+    (unit-dependent bound, the reference's type-alternative shape as a
+    single assert)."""
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+    spec = TableSpec(
+        name="t", key_column="rid",
+        columns=[ColumnSpec("unit"), ColumnSpec("w", "int")],
+        asserts=[xpath_assert_spec(
+            "wmax", "if (@unit = 'kg') then @w le 100 else @w le 1000")])
+    got = _run(spark, spec,
+               [("r1", "kg", 50), ("r2", "kg", 500),
+                ("r3", "g", 500), ("r4", "g", 5000)],
+               "rid string, unit string, w int")
+    assert got == [("r2", "assert:wmax"), ("r4", "assert:wmax")]

@@ -58,6 +58,16 @@ _UNSUPPORTED = {"position", "last", "text", "let", "for", "return",
                 "some", "every", "node", "name", "local-name",
                 "current", "id", "idref", "root", "base-uri"}
 
+# `X castable as xs:T` -> try_cast succeeds (XPath 2.0 castable
+# expression; the common assert idiom for "is this value a valid T")
+_CASTABLE_TYPES = {
+    "integer": "BIGINT", "int": "INT", "long": "BIGINT",
+    "short": "SMALLINT", "byte": "TINYINT",
+    "decimal": "DECIMAL(38,18)", "double": "DOUBLE", "float": "FLOAT",
+    "boolean": "BOOLEAN", "date": "DATE", "dateTime": "TIMESTAMP",
+    "string": "STRING",
+}
+
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+)
   | (?P<str>'(?:[^']|'')*'|"(?:[^"]|"")*")
@@ -65,7 +75,7 @@ _TOKEN_RE = re.compile(r"""
   | (?P<var>\$[A-Za-z_][\w.-]*)
   | (?P<attr>@[A-Za-z_][\w.-]*)
   | (?P<name>[A-Za-z_][\w-]*)
-  | (?P<op>!=|<=|>=|//|::|[<>=+\-*,()\[\]/.|])
+  | (?P<op>!=|<=|>=|//|::|[<>=+\-*,()\[\]/.|:])
 """, re.X)
 
 # output-token kinds for the effective-boolean-value pass
@@ -181,8 +191,74 @@ def translate_xpath_assert(expr: str, value_var: str = "value",
             i += 1
         raise ValueError(f"XPath assert: unbalanced parens in {expr!r}")
 
+    def take_until_else() -> tuple[list, list]:
+        # after 'then': collect the then-branch to the matching 'else'
+        # at depth 0, and the else-branch to the end of this level
+        # (XPath else binds as far right as possible)
+        nonlocal i
+        depth, thn = 0, []
+        while i < len(toks):
+            k, t = toks[i]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+            if depth == 0 and k == "name" and t.lower() == "else":
+                i += 1
+                els = toks[i:]
+                i = len(toks)
+                return thn, els
+            thn.append((k, t))
+            i += 1
+        raise ValueError(f"XPath assert: 'then' without 'else' in "
+                         f"{expr!r}")
+
     while i < len(toks):
         kind, t = toks[i]
+        # X castable as xs:T — rewrite the PRECEDING operand
+        if kind == "name" and t.lower() == "castable" \
+                and i + 2 < len(toks) and toks[i + 1][1].lower() == "as":
+            tname = toks[i + 2][1]
+            # tokenizer splits 'xs:integer' into name ':' name? no —
+            # ':' only via '::'; 'xs' then ':'? ':' alone is not a
+            # token... accept both 'xs' ':' 'integer' shapes and bare
+            if tname.lower() == "xs" and i + 4 < len(toks) \
+                    and toks[i + 3][1] == ":":
+                tname = toks[i + 4][1]
+                i += 5
+            else:
+                i += 3
+            base = tname.split(":")[-1]
+            if base not in _CASTABLE_TYPES:
+                err(f"castable as {tname}")
+            if not out:
+                err("castable with no operand")
+            operand = out.pop()
+            sql_t = _CASTABLE_TYPES[base]
+            out.append(_Tok(
+                f"(TRY_CAST({operand.sql} AS {sql_t}) IS NOT NULL)"))
+            continue
+        # if (cond) then A else B — XPath conditional expression
+        if kind == "name" and t.lower() == "if" \
+                and i + 1 < len(toks) and toks[i + 1][1] == "(":
+            i += 1
+            cond_args = take_call_args()
+            if len(cond_args) != 1:
+                err("if(...) with a comma in the condition")
+            if i >= len(toks) or toks[i][0] != "name" \
+                    or toks[i][1].lower() != "then":
+                err("if(...) without 'then'")
+            i += 1
+            thn, els = take_until_else()
+            cond_sql = translate_xpath_assert(
+                " ".join(x for _, x in cond_args[0]), value_var)
+            thn_sql = translate_xpath_assert(
+                " ".join(x for _, x in thn), value_var, _arg=True)
+            els_sql = translate_xpath_assert(
+                " ".join(x for _, x in els), value_var, _arg=True)
+            out.append(_Tok(f"(CASE WHEN {cond_sql} THEN {thn_sql} "
+                            f"ELSE {els_sql} END)"))
+            continue
         if kind == "str":
             out.append(_Tok(_sql_str(t)))
             i += 1
