@@ -204,3 +204,64 @@ def test_roundtrip_conditional(spark):
                 ("r3", "g", 500), ("r4", "g", 5000)],
                "rid string, unit string, w int")
     assert got == [("r2", "assert:wmax"), ("r4", "assert:wmax")]
+
+
+# ---------------------------------------------------------------------------
+# round 6: instance-of, quantified expressions, string-join
+
+@pytest.mark.parametrize("xpath,sql", [
+    ("$value instance of xs:integer",
+     "(TRY_CAST(value AS BIGINT) IS NOT NULL)"),
+    ("@w instance of xs:double and @w gt 0",
+     "(TRY_CAST(w AS DOUBLE) IS NOT NULL) AND w > 0"),
+    ("some $x in $value satisfies $x gt 5",
+     "exists(value, x -> x > 5)"),
+    ("every $x in @parts satisfies string-length($x) le 8",
+     "forall(parts, x -> length(x) <= 8)"),
+    ("every $t in @tags satisfies matches($t, '[a-z]+')",
+     "forall(tags, t -> (t RLIKE '[a-z]+'))"),
+    ("string-join($value, ',') ne ''",
+     "array_join(value, ',') <> ''"),
+])
+def test_round6_translations(xpath, sql):
+    assert translate_xpath_assert(xpath) == sql
+
+
+@pytest.mark.parametrize("bad,msg", [
+    ("some $x in $a, $y in $b satisfies $x", "multiple quantified"),
+    ("some $x in $v satisfies", "empty sequence or predicate"),
+    ("every $x in satisfies $x gt 1", "empty sequence or predicate"),
+    ("$v instance of xs:QName", "instance of"),
+])
+def test_round6_rejections(bad, msg):
+    with pytest.raises(ValueError, match=msg):
+        translate_xpath_assert(bad)
+
+
+def test_roundtrip_quantified(spark):
+    """Idiom: test="every $p in $value satisfies $p ge 0" over an
+    xs:list simple type (facets.py:836-894 assertion facet with a
+    sequence-valued $value)."""
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+    spec = TableSpec(
+        name="t", key_column="rid",
+        columns=[ColumnSpec("v", "array<int>",
+                            assertion=xpath_assertion(
+                                "every $p in $value satisfies $p ge 0"))])
+    got = _run(spark, spec,
+               [("r1", [1, 2, 3]), ("r2", [1, -2])],
+               "rid string, v array<int>")
+    assert got == [("r2", "facet:assertion:v")]
+
+
+def test_roundtrip_instance_of(spark):
+    """Idiom: test="$value instance of xs:integer" as a type guard on
+    an untyped (string) column."""
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+    spec = TableSpec(
+        name="t", key_column="rid",
+        columns=[ColumnSpec("v", assertion=xpath_assertion(
+            "$value instance of xs:integer"))])
+    got = _run(spark, spec, [("r1", "42"), ("r2", "4.5")],
+               "rid string, v string")
+    assert got == [("r2", "facet:assertion:v")]

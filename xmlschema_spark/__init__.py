@@ -8,9 +8,10 @@ needed: salted aggregates, anti-join referential checks, drift sketches,
 per-partition lineage manifests, and training-data pipeline operators.
 """
 
-from .specs import (AssertSpec, ColumnSpec, ConditionalSpec, DriftSpec,
-                    KeyrefSpec, OccursSpec, PayloadSpec, TableSpec,
-                    UniqueSpec)
+from .specs import (AssertSpec, ColumnSpec, ConditionalSpec,
+                    ContentModelSpec, DriftSpec, KeyrefSpec, OccursSpec,
+                    OpenContentSpec, ParticleSpec, PayloadSpec,
+                    TableSpec, UniqueSpec)
 from .plans.compiler import ValidationPlan, compile_plan
 from .runner import (ValidationResult, XmlSchemaSparkValidationError,
                      apply_defaults, is_valid, schema_violations, validate,
@@ -18,7 +19,8 @@ from .runner import (ValidationResult, XmlSchemaSparkValidationError,
 
 __version__ = "0.1.0"
 __all__ = [
-    "AssertSpec", "ColumnSpec", "ConditionalSpec", "DriftSpec",
+    "AssertSpec", "ColumnSpec", "ConditionalSpec", "ContentModelSpec",
+    "DriftSpec", "OpenContentSpec", "ParticleSpec",
     "KeyrefSpec", "OccursSpec", "apply_defaults", "schema_violations",
     "PayloadSpec", "TableSpec", "UniqueSpec", "ValidationPlan",
     "compile_plan", "ValidationResult", "XmlSchemaSparkValidationError",

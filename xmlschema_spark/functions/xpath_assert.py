@@ -28,6 +28,10 @@ Mapping (XPath -> Spark SQL):
   matches(x, 'p')     -> x RLIKE <translated XPath regex>
   empty(x)/exists(x)  -> x IS NULL / x IS NOT NULL
   true()/false()      -> true/false          not(x) -> (NOT (x))
+  X castable as xs:T / X instance of xs:T -> TRY_CAST succeeds
+  if (c) then a else b                    -> CASE WHEN
+  some/every $x in SEQ satisfies PRED     -> exists/forall(SEQ, x -> PRED)
+  string-join(x, s)                       -> array_join(x, s)
 
 Out of scope (raises ValueError with the offending construct): location
 paths (`/`, `//`, `[...]` predicates, `text()`, axes), `let`/`for`
@@ -55,7 +59,7 @@ _PLAIN_FUNCS = {"string-length": "length", "starts-with": "startswith",
                 "max": "greatest"}
 
 _UNSUPPORTED = {"position", "last", "text", "let", "for", "return",
-                "some", "every", "node", "name", "local-name",
+                "node", "name", "local-name",
                 "current", "id", "idref", "root", "base-uri"}
 
 # `X castable as xs:T` -> try_cast succeeds (XPath 2.0 castable
@@ -213,8 +217,75 @@ def translate_xpath_assert(expr: str, value_var: str = "value",
         raise ValueError(f"XPath assert: 'then' without 'else' in "
                          f"{expr!r}")
 
+    def take_type_name(j: int) -> tuple[str, int]:
+        # parse 'xs' ':' 'T' (tokenizer splits the QName) or a bare 'T'
+        tname = toks[j][1]
+        if tname.lower() == "xs" and j + 2 < len(toks) \
+                and toks[j + 1][1] == ":":
+            return toks[j + 2][1], j + 3
+        return tname, j + 1
+
     while i < len(toks):
         kind, t = toks[i]
+        # X instance of xs:T — XPath 2.0 dynamic-type test; on a typed
+        # column the tabular analog is cast-success, like castable-as
+        # (the common assert type-guard idiom)
+        if kind == "name" and t.lower() == "instance" \
+                and i + 1 < len(toks) and toks[i + 1][1].lower() == "of":
+            if i + 2 >= len(toks):
+                err("'instance of' with no type")
+            tname, i = take_type_name(i + 2)
+            base = tname.split(":")[-1]
+            if base not in _CASTABLE_TYPES:
+                err(f"instance of {tname}")
+            if not out:
+                err("'instance of' with no operand")
+            operand = out.pop()
+            sql_t = _CASTABLE_TYPES[base]
+            out.append(_Tok(
+                f"(TRY_CAST({operand.sql} AS {sql_t}) IS NOT NULL)"))
+            continue
+        # some/every $x in SEQ satisfies PRED — XPath 2.0 quantified
+        # expression over an array-valued operand -> exists()/forall()
+        # higher-order functions (the lambda var is the bound variable)
+        if kind == "name" and t.lower() in ("some", "every") \
+                and i + 1 < len(toks) and toks[i + 1][0] == "var":
+            quant = t.lower()
+            bound = toks[i + 1][1][1:]
+            if i + 2 >= len(toks) or toks[i + 2][1].lower() != "in":
+                err(f"'{quant}' without 'in'")
+            i += 3
+            depth, seq = 0, []
+            found = False
+            while i < len(toks):
+                k2, t2 = toks[i]
+                if t2 == "(":
+                    depth += 1
+                elif t2 == ")":
+                    depth -= 1
+                if depth == 0 and k2 == "name" \
+                        and t2.lower() == "satisfies":
+                    i += 1
+                    found = True
+                    break
+                if depth == 0 and t2 == ",":
+                    err("multiple quantified variables")
+                seq.append((k2, t2))
+                i += 1
+            if not found:
+                err(f"'{quant}' without 'satisfies'")
+            pred = toks[i:]
+            i = len(toks)
+            if not seq or not pred:
+                err(f"'{quant}' with an empty sequence or predicate")
+            seq_sql = translate_xpath_assert(
+                " ".join(x for _, x in seq), value_var, _arg=True)
+            pred_sql = translate_xpath_assert(
+                " ".join(x for _, x in pred), value_var)
+            fn = "exists" if quant == "some" else "forall"
+            out.append(_Tok(
+                f"{fn}({seq_sql}, {_ident(bound)} -> {pred_sql})"))
+            continue
         # X castable as xs:T — rewrite the PRECEDING operand
         if kind == "name" and t.lower() == "castable" \
                 and i + 2 < len(toks) and toks[i + 1][1].lower() == "as":

@@ -100,9 +100,12 @@ _ASSERT_KEYWORDS = frozenset("""
 
 # whitelisted scalar functions (grow via ASSERT_FUNCTIONS.add(...) for
 # deployment-specific vocabularies — mirrors the reference's pluggable
-# XPath function registration). Higher-order functions are deliberately
-# absent: their lambda variables would defeat the column check.
+# XPath function registration). Higher-order functions are allowed:
+# their lambda parameters are extracted (`x ->` / `(x, y) ->`) and
+# whitelisted within the expression before the column check.
 ASSERT_FUNCTIONS = set("""
+ exists forall filter transform aggregate reduce zip_with array_join
+ array_sort
  abs greatest least coalesce nullif nvl nvl2 ifnull if isnull isnotnull
  length char_length character_length lower upper trim ltrim rtrim
  substring substr concat concat_ws split replace translate instr locate
@@ -135,6 +138,15 @@ def check_assert_vocabulary(expr: str, known_cols: set[str],
     s = re.sub(r"'[^']*'", " ", s)          # string literals
     backquoted = re.findall(r"`([^`]+)`", s)
     s = re.sub(r"`[^`]+`", " ", s)
+    # lambda parameters of higher-order functions ('x ->', '(x, y) ->')
+    # are locals, not columns
+    lambda_params: set[str] = set()
+    for m in re.finditer(r"\(([A-Za-z_0-9\s,]+)\)\s*->|"
+                         r"([A-Za-z_][A-Za-z_0-9]*)\s*->", s):
+        names = m.group(1) or m.group(2)
+        lambda_params.update(n.strip() for n in names.split(",")
+                             if n.strip())
+    known_cols = known_cols | lambda_params
     for m in _IDENT_RE.finditer(s):
         name, is_fn = m.group(1), m.group(2)
         low = name.lower()

@@ -15,88 +15,275 @@ expression.
 
 Tag-sequence encoding: each tag is emitted as `tag;` and the frames
 concatenate, so the regex alphabet is unambiguous ([^;]+; per child);
-tag names may not contain ';' (checked at compile).
+tag names may not contain ';' (checked at compile). Namespaces: the
+token before a tag's FIRST ':' is its namespace; a tag with no ':' has
+none — the tabular analog of the reference's '{uri}local' extended
+names (utils/qnames.py get_namespace).
 
 Compile-time particle checks mirror the reference's parse errors
-(particles.py:140-172, groups.py:521-535): negative/ inverted occurs,
-'all' nesting and occurs restrictions, empty groups, unknown kinds.
+(particles.py:140-172, groups.py:521-535, wildcards.py:73-126
+namespace-vocabulary errors, wildcards.py:869-886 openContent parse).
+
+Spark-scale additions beyond the round-5 core:
+
+- xs:any NAMESPACE CONSTRAINTS (wildcards.py:73-126 parse,
+  164-185 matching): '##any', '##other', token lists with '##local' /
+  '##targetNamespace', and XSD 1.1 notNamespace complements — each
+  compiles to a plain regex over the tag token, so wildcard particles
+  stay inside the same single model regex.
+- SUBSTITUTION GROUPS inside particles (elements.py:609-623 dispatch,
+  xsd_globals.py:566-570 maps): an element particle lists `substitutes`
+  that may appear in place of the head; `abstract` heads admit only
+  members. Compiles to a name alternation.
+- XSD 1.1 openContent (wildcards.py:848-897, models.py:739-815
+  visitors): mode='suffix' appends a wildcard-token star to the model
+  regex; mode='interleave' splits the tag sequence by COUNT-BASED
+  ATTRIBUTION — the first (total max occurs) occurrences of each
+  declared name go to the model, everything else to the wildcard —
+  the counting analog of InterleavedModelVisitor's rule that the
+  wildcard may not consume a tag while a group element matching it is
+  not over its occurs (models.py:757-773). Divergences (documented,
+  compile-time rejected where ambiguous): interleave over a model
+  containing inner 'any' particles is rejected (the reference gives
+  the whole model — wildcards included — priority over open content,
+  which count-based attribution cannot see); suffix over an 'all'
+  group is rejected (order-free counting has no suffix position).
+- XSD 1.1 'all' relaxations (ContentModelSpec.xsd11): wildcard
+  members and member maxOccurs > 1; element-vs-wildcard UPA overlap
+  inside 'all' is permitted (attribution resolves to the element,
+  Xsd11AnyElement precedence), and the counting attribution implements
+  exactly that: wildcard members count only non-declared tags.
 """
 
 from __future__ import annotations
 
 import re
+from typing import Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-from ..specs import ContentModelSpec, ParticleSpec
+from ..specs import ContentModelSpec, OpenContentSpec, ParticleSpec
 
 _KINDS = ("element", "sequence", "choice", "all", "any")
 
+# a Java regex that can never match (empty character class complement)
+_NEVER = r"[^\s\S]"
+
+
+def _err(msg: str) -> None:
+    raise ValueError(f"content model particle: {msg}")
+
+
+# ---------------------------------------------------------------------------
+# wildcard namespace constraints (wildcards.py:73-126 parse, 164-185 match)
+
+def _wc_norm(p: ParticleSpec, target_ns: Optional[str]):
+    """Normalize an any-particle's namespace constraint to one of
+    ('any', None) | ('other', tns) | ('in', frozenset) | ('not',
+    frozenset), where '' in a set means "no namespace" (##local).
+    Raises the reference's parse errors for bad vocabulary."""
+    tns = target_ns or ""
+    if p.not_namespace is not None:
+        if p.namespace is not None:
+            _err("'namespace' and 'notNamespace' attributes are "
+                 "mutually exclusive")
+        s = set()
+        for ns in p.not_namespace:
+            if ns == "##local":
+                s.add("")
+            elif ns == "##targetNamespace":
+                s.add(tns)
+            elif isinstance(ns, str) and ns.startswith("##"):
+                _err(f"wrong value {ns!r} in 'notNamespace' attribute")
+            else:
+                s.add(ns)
+        return ("not", frozenset(s))
+    ns = p.namespace
+    if ns is None or ns == "##any":
+        return ("any", None)
+    if ns == "##other":
+        return ("other", tns)
+    if isinstance(ns, str):
+        items = ns.split()
+    else:
+        items = list(ns)
+    s = set()
+    for x in items:
+        if x == "##local":
+            s.add("")
+        elif x == "##targetNamespace":
+            s.add(tns)
+        elif isinstance(x, str) and x.startswith("##"):
+            # '##any'/'##other' are only valid as the WHOLE value
+            # (wildcards.py:85-91)
+            _err(f"wrong value {x!r} in 'namespace' attribute")
+        else:
+            s.add(x)
+    # an empty value means no namespace allowed (wildcards.py:76-77)
+    return ("in", frozenset(s))
+
+
+def _tag_ns(name: str) -> str:
+    return name.split(":", 1)[0] if ":" in name else ""
+
+
+def _wc_admits_name(norm, name: str) -> bool:
+    """Compile-time: does this wildcard admit a literal tag?
+    (wildcards.py:177-185 is_namespace_allowed)"""
+    ns = _tag_ns(name)
+    kind, arg = norm
+    if kind == "any":
+        return True
+    if kind == "other":
+        return ns != "" and ns != arg
+    if kind == "in":
+        return ns in arg
+    return ns not in arg           # 'not'
+
+
+def _wc_intersects(a, b) -> bool:
+    """Conservative compile-time overlap of two wildcard constraints
+    over the (infinite) namespace universe — for UPA."""
+    for x, y in ((a, b), (b, a)):
+        if x[0] == "in" and not x[1]:
+            return False           # empty value space intersects nothing
+    ka, kb = a[0], b[0]
+    if ka == "in" and kb == "in":
+        return bool(a[1] & b[1])
+    if ka == "in" or kb == "in":
+        s = a[1] if ka == "in" else b[1]
+        o = b if ka == "in" else a
+        if o[0] == "any":
+            return True
+        if o[0] == "other":
+            return any(ns not in ("", o[1]) for ns in s)
+        return any(ns not in o[1] for ns in s)   # 'not'
+    # any/other/not against any/other/not: the universe of namespaces
+    # is unbounded, so two co-finite (or universal) sets always meet
+    return True
+
+
+def _wc_tag_regex(norm) -> str:
+    """Anchor-free regex matching ONE tag (no trailing ';') admitted by
+    the wildcard. Namespace = the token before the first ':'."""
+    kind, arg = norm
+    if kind == "any":
+        return r"[^;]+"
+    if kind == "other":
+        if arg:
+            return rf"(?!{re.escape(arg)}:)[^:;]+:[^;]+"
+        return r"[^:;]+:[^;]+"     # any qualified tag
+    if kind == "in":
+        branches = []
+        if "" in arg:
+            branches.append(r"[^:;]+")
+        toks = sorted(t for t in arg if t)
+        if toks:
+            alt = "|".join(re.escape(t) for t in toks)
+            branches.append(rf"(?:{alt}):[^;]+")
+        return "|".join(branches) if branches else _NEVER
+    # 'not'
+    toks = sorted(t for t in arg if t)
+    guard = rf"(?!(?:{'|'.join(re.escape(t) for t in toks)}):)" \
+        if toks else ""
+    if "" in arg:                  # unqualified disallowed
+        return rf"{guard}[^:;]+:[^;]+"
+    return rf"{guard}[^;]+"
+
+
+# ---------------------------------------------------------------------------
+# compile-time particle validity
 
 def validate_particle(p: ParticleSpec, top: bool = True,
-                      in_all: bool = False) -> None:
+                      in_all: bool = False, xsd11: bool = False) -> None:
     """Compile-time model checks with the reference's error wording
-    (particles.py:148-172, groups.py:527-533)."""
-    def err(msg: str) -> None:
-        raise ValueError(f"content model particle: {msg}")
-
+    (particles.py:148-172, groups.py:527-533, wildcards.py:73-126)."""
     if p.kind not in _KINDS:
-        err(f"unknown particle kind {p.kind!r}")
+        _err(f"unknown particle kind {p.kind!r}")
     if not isinstance(p.min_occurs, int) or p.min_occurs < 0:
-        err("minOccurs value must be a non negative integer")
+        _err("minOccurs value must be a non negative integer")
     if p.max_occurs is not None:
         if not isinstance(p.max_occurs, int) or p.max_occurs < 0:
-            err("maxOccurs value must be a non negative integer or "
-                "'unbounded'")
+            _err("maxOccurs value must be a non negative integer or "
+                 "'unbounded'")
         if p.min_occurs > p.max_occurs:
-            err("minOccurs must be lesser or equal than maxOccurs")
+            _err("minOccurs must be lesser or equal than maxOccurs")
+    if p.kind != "any" and (p.namespace is not None or
+                            p.not_namespace is not None):
+        _err("namespace constraints apply only to 'any' particles")
+    if p.kind != "element" and (p.substitutes or p.abstract):
+        _err("substitution groups apply only to 'element' particles")
     if p.kind == "element":
         if not p.name:
-            err("element particle requires a name")
-        if ";" in p.name:
-            err(f"element name {p.name!r} may not contain ';' "
-                "(tag-frame separator)")
+            _err("element particle requires a name")
+        for n in [p.name] + list(p.substitutes):
+            if ";" in n:
+                _err(f"element name {n!r} may not contain ';' "
+                     "(tag-frame separator)")
+        if p.abstract and not p.substitutes:
+            # an abstract head with no members can never match
+            # (elements.py:707-710 "use of an abstract element" error)
+            _err(f"abstract element {p.name!r} has no substitution "
+                 "members and can never match")
         if p.children:
-            err("element particle takes no children")
+            _err("element particle takes no children")
     elif p.kind == "any":
         if p.children:
-            err("'any' particle takes no children")
+            _err("'any' particle takes no children")
+        if p.process_contents not in ("strict", "lax", "skip"):
+            _err(f"wrong value {p.process_contents!r} for "
+                 "'processContents' attribute")
+        _wc_norm(p, None)          # vocabulary errors only
     else:
         if not p.children:
-            err(f"empty '{p.kind}' model group")
+            _err(f"empty '{p.kind}' model group")
         if p.kind == "all":
             if not top:
-                err("in XSD 1.0 an 'all' model group cannot be nested")
+                _err("in XSD 1.0 an 'all' model group cannot be nested")
             if p.max_occurs is None or p.max_occurs != 1:
-                err("maxOccurs must be 1 for 'all' model groups")
+                _err("maxOccurs must be 1 for 'all' model groups")
             if p.min_occurs not in (0, 1):
-                err("minOccurs must be (0 | 1) for 'all' model groups")
+                _err("minOccurs must be (0 | 1) for 'all' model groups")
             for c in p.children:
-                if c.kind != "element":
-                    err("in XSD 1.0 an 'all' model group can contain "
-                        "only elements")
+                if c.kind not in (("element", "any") if xsd11
+                                  else ("element",)):
+                    _err("in XSD 1.0 an 'all' model group can contain "
+                         "only elements")
+                if not xsd11 and c.max_occurs not in (0, 1):
+                    # groups.py:527-533 Xsd10 'all' restrictions
+                    _err("maxOccurs must be (0 | 1) for the elements "
+                         "of an XSD 1.0 'all' model group")
         for c in p.children:
-            validate_particle(c, top=False, in_all=p.kind == "all")
+            validate_particle(c, top=False, in_all=p.kind == "all",
+                              xsd11=xsd11)
 
+
+# ---------------------------------------------------------------------------
+# Unique Particle Attribution (models.py:104-171 distinguishable_paths)
 
 class _Pos:
     """One Glushkov position: a leaf particle instance."""
 
-    __slots__ = ("sym", "label")
+    __slots__ = ("names", "wc", "label")
 
-    def __init__(self, sym, label):
-        self.sym = sym          # element name, or None for 'any'
+    def __init__(self, names, wc, label):
+        self.names = names      # frozenset of admissible element names
+        self.wc = wc            # wildcard norm, or None for elements
         self.label = label      # human-readable path for errors
 
 
 def _overlap(a: _Pos, b: _Pos) -> bool:
-    # wildcard overlaps everything (reference ParticleMixin.is_overlap
-    # semantics: an xs:any competes with any element name)
-    return a.sym is None or b.sym is None or a.sym == b.sym
+    if a.wc is None and b.wc is None:
+        return bool(a.names & b.names)
+    if a.wc is not None and b.wc is not None:
+        return _wc_intersects(a.wc, b.wc)
+    wc, el = (a, b) if a.wc is not None else (b, a)
+    return any(_wc_admits_name(wc.wc, n) for n in el.names)
 
 
-def check_upa(model: ParticleSpec) -> None:
+def check_upa(model: ParticleSpec, target_ns: Optional[str] = None,
+              allow_element_wildcard: bool = False) -> None:
     """Unique Particle Attribution — the reference rejects content
     models where a child element could be attributed to more than one
     particle (models.py:104-171 `distinguishable_paths`:
@@ -105,11 +292,15 @@ def check_upa(model: ParticleSpec) -> None:
     Classic Glushkov-determinism check: compute nullable/FIRST/LAST/
     FOLLOW over leaf positions; the model is deterministic iff no
     decision set (FIRST of the model, FOLLOW of any position) holds two
-    distinct positions with overlapping symbols (same element name, or
-    either being a wildcard). Group occurrences with max > 1 loop
+    distinct positions with overlapping symbols. Symbols are NAME SETS
+    (substitution heads admit head+members) or wildcard namespace
+    constraints; overlap is set intersection / wildcard admission /
+    constraint intersection. Group occurrences with max > 1 loop
     LAST->FIRST (numeric maxima are treated as unbounded for the
     overlap test — conservative, like the spec's own treatment of
-    repeated groups)."""
+    repeated groups). With `allow_element_wildcard` (XSD 1.1 'all'
+    groups) element-vs-wildcard overlaps are tolerated: attribution
+    resolves to the element (Xsd11AnyElement precedence)."""
     follow: dict[int, set] = {}
     positions: list[_Pos] = []
 
@@ -120,8 +311,13 @@ def check_upa(model: ParticleSpec) -> None:
     def walk(p: ParticleSpec, path: str):
         # returns (nullable, first, last) with follow edges emitted
         if p.kind in ("element", "any"):
-            pos = _Pos(p.name if p.kind == "element" else None,
-                       f"{path}{p.name or 'xs:any'}")
+            if p.kind == "element":
+                names = frozenset(
+                    ([] if p.abstract else [p.name]) + list(p.substitutes))
+                pos = _Pos(names, None, f"{path}{p.name}")
+            else:
+                pos = _Pos(frozenset(), _wc_norm(p, target_ns),
+                           f"{path}xs:any")
             positions.append(pos)
             first, last = {pos}, {pos}
             if p.max_occurs is None or p.max_occurs > 1:
@@ -171,16 +367,23 @@ def check_upa(model: ParticleSpec) -> None:
         for i in range(len(items)):
             for j in range(i + 1, len(items)):
                 a, b = items[i], items[j]
-                if a is not b and _overlap(a, b):
-                    raise ValueError(
-                        f"content model particle: Unique Particle "
-                        f"Attribution violation between {a.label!r} "
-                        f"and {b.label!r}")
+                if a is b or not _overlap(a, b):
+                    continue
+                if allow_element_wildcard and \
+                        (a.wc is None) != (b.wc is None):
+                    continue
+                raise ValueError(
+                    f"content model particle: Unique Particle "
+                    f"Attribution violation between {a.label!r} "
+                    f"and {b.label!r}")
 
     check_set(first)
     for pos in positions:
         check_set(follow.get(id(pos), ()))
 
+
+# ---------------------------------------------------------------------------
+# regex compilation
 
 def _quant(p: ParticleSpec) -> str:
     lo, hi = p.min_occurs, p.max_occurs
@@ -193,25 +396,37 @@ def _quant(p: ParticleSpec) -> str:
     return f"{{{lo},{hi}}}"
 
 
-def particle_regex(p: ParticleSpec) -> str:
+def particle_regex(p: ParticleSpec,
+                   target_ns: Optional[str] = None) -> str:
     """Anchor-free regex over the `tag;`-framed sequence."""
     if p.kind == "element":
-        return f"(?:{re.escape(p.name)};){_quant(p)}"
+        names = ([] if p.abstract else [p.name]) + list(p.substitutes)
+        if len(names) == 1:
+            return f"(?:{re.escape(names[0])};){_quant(p)}"
+        alt = "|".join(re.escape(n) for n in names)
+        return f"(?:(?:{alt});){_quant(p)}"
     if p.kind == "any":
-        return f"(?:[^;]+;){_quant(p)}"
+        return f"(?:(?:{_wc_tag_regex(_wc_norm(p, target_ns))});)" \
+               f"{_quant(p)}"
     if p.kind == "sequence":
-        body = "".join(particle_regex(c) for c in p.children)
+        body = "".join(particle_regex(c, target_ns) for c in p.children)
         return f"(?:{body}){_quant(p)}"
     if p.kind == "choice":
-        body = "|".join(particle_regex(c) for c in p.children)
+        body = "|".join(particle_regex(c, target_ns) for c in p.children)
         return f"(?:{body}){_quant(p)}"
     raise ValueError(f"particle kind {p.kind!r} has no regex form "
                      "('all' compiles to counting conditions)")
 
 
-def model_regex(p: ParticleSpec) -> str:
-    """The full anchored regex for a non-'all' model."""
-    return f"^(?:{particle_regex(p)})$"
+def model_regex(p: ParticleSpec, target_ns: Optional[str] = None,
+                suffix_wildcard=None) -> str:
+    """The full anchored regex for a non-'all' model; `suffix_wildcard`
+    (a normalized constraint) appends the openContent mode='suffix'
+    star (SuffixedModelVisitor, models.py:790-815)."""
+    body = particle_regex(p, target_ns)
+    if suffix_wildcard is not None:
+        body += f"(?:(?:{_wc_tag_regex(suffix_wildcard)});)*"
+    return f"^(?:{body})$"
 
 
 def tags_column(cm: ContentModelSpec) -> Column:
@@ -232,45 +447,198 @@ def _frame(tags: Column) -> Column:
                                        lambda x: F.concat(x, F.lit(";"))))
 
 
+def _has_any(p: ParticleSpec) -> bool:
+    return p.kind == "any" or any(_has_any(c) for c in p.children)
+
+
+def _name_groups(model: ParticleSpec) -> list[tuple[frozenset,
+                                                    Optional[int]]]:
+    """[(name-set, total admissible occurrences)] across the model
+    (None = unbounded): the count-based analog of the visitor's
+    per-particle 'is over' state. A substitution head and its members
+    SHARE one occurs budget (one leaf position), so counting is over
+    the position's whole name-set; positions whose name-sets overlap
+    are merged (a name can only be attributed to one budget).
+    Multiplicities compound down the tree."""
+    leaves: list[tuple[set, Optional[int]]] = []
+
+    def walk(p: ParticleSpec, mult: Optional[int]) -> None:
+        m = None if (mult is None or p.max_occurs is None) \
+            else mult * p.max_occurs
+        if p.kind == "element":
+            names = set(([] if p.abstract else [p.name])
+                        + list(p.substitutes))
+            leaves.append((names, m))
+            return
+        for c in p.children:
+            walk(c, m)
+
+    walk(model, 1)
+    # merge overlapping name-sets, summing caps (None-propagating)
+    groups: list[tuple[set, Optional[int]]] = []
+    for names, cap in leaves:
+        merged_names, merged_cap = set(names), cap
+        keep = []
+        for gn, gc in groups:
+            if gn & merged_names:
+                merged_names |= gn
+                merged_cap = None if (merged_cap is None or gc is None) \
+                    else merged_cap + gc
+            else:
+                keep.append((gn, gc))
+        keep.append((merged_names, merged_cap))
+        groups = keep
+    return [(frozenset(n), c) for n, c in groups]
+
+
+def _norm_open_content(cm: ContentModelSpec) -> Optional[OpenContentSpec]:
+    """Parse-time openContent checks (wildcards.py:869-886)."""
+    oc = cm.open_content
+    if oc is None:
+        return None
+    if oc.mode not in ("none", "interleave", "suffix"):
+        _err(f"wrong value {oc.mode!r} for 'mode' attribute")
+    if oc.mode == "none":
+        if oc.wildcard is not None:
+            _err("an openContent with mode='none' cannot have an "
+                 "<xs:any> child declaration")
+        return None
+    if oc.wildcard is None:
+        _err("an <xs:any> child declaration is required")
+    if oc.wildcard.kind != "any":
+        _err("the openContent child declaration must be an 'any' "
+             "particle")
+    if (oc.wildcard.min_occurs, oc.wildcard.max_occurs) != (1, 1):
+        # the reference rejects explicit occurs on the openContent
+        # wildcard (tests/validators/test_wildcards.py:505-538) —
+        # open content is implicitly repeatable
+        _err("the openContent wildcard takes no minOccurs/maxOccurs")
+    validate_particle(oc.wildcard, top=False, xsd11=cm.xsd11)
+    return oc
+
+
 def content_model_checks(cm: ContentModelSpec):
     """Compile one ContentModelSpec to RowChecks (consumed by
     compile_plan; same shuffle-free pass as facets)."""
     from .compiler import RowCheck
-    validate_particle(cm.model)
+    validate_particle(cm.model, xsd11=cm.xsd11)
+    oc = _norm_open_content(cm)
     if cm.check_upa:
-        check_upa(cm.model)
+        check_upa(cm.model, target_ns=cm.target_ns,
+                  allow_element_wildcard=(
+                      cm.xsd11 and cm.model.kind == "all"))
     tags = tags_column(cm)
     present = F.col(cm.column).isNotNull()
     framed = _frame(tags)
     checks = []
+    oc_norm = _wc_norm(oc.wildcard, cm.target_ns) if oc else None
+    oc_tag_re = f"^(?:{_wc_tag_regex(oc_norm)})$" if oc else None
     if cm.model.kind == "all":
+        if oc and oc.mode == "suffix":
+            _err("suffix openContent over an 'all' group is not "
+                 "supported (order-free counting has no suffix "
+                 "position); use mode='interleave'")
         conds = []
-        names = []
+        el_members = [c for c in cm.model.children if c.kind == "element"]
+        wc_members = [c for c in cm.model.children if c.kind == "any"]
+        all_names: list[str] = []
+        for c in el_members:
+            all_names.extend(
+                ([] if c.abstract else [c.name]) + list(c.substitutes))
 
-        def _eq(n):
-            # closure factory, NOT a default-arg lambda: pyspark counts
-            # lambda params to pick the (x) vs (x, i) HOF form, so a
-            # defaulted second arg silently becomes the element INDEX
-            return lambda x: x == n
+        def _in_names(names):
+            if len(names) == 1:
+                n = names[0]
+                return lambda x: x == n
+            return lambda x: x.isin(*names)
 
-        for c in cm.model.children:
-            names.append(c.name)
-            cnt = F.size(F.filter(tags, _eq(c.name)))
+        for c in el_members:
+            names = ([] if c.abstract else [c.name]) + list(c.substitutes)
+            cnt = F.size(F.filter(tags, _in_names(names)))
             lo = c.min_occurs if cm.model.min_occurs == 1 else 0
             conds.append(cnt >= lo)
             if c.max_occurs is not None:
-                conds.append(cnt <= c.max_occurs)
-        # closed content: every tag must be one of the declared names
-        conds.append(F.size(F.filter(
-            tags, lambda x: ~x.isin(*names))) == 0)
+                # openContent interleave absorbs occurrences beyond the
+                # cap IF the wildcard admits every name of the member
+                # (the not-over rule's counting analog); otherwise the
+                # bound stands
+                absorbed = oc is not None and all(
+                    _wc_admits_name(oc_norm, n) for n in names)
+                if not absorbed:
+                    conds.append(cnt <= c.max_occurs)
+        wc_norms = [_wc_norm(c, cm.target_ns) for c in wc_members]
+        for c, nrm in zip(wc_members, wc_norms):
+            rx = f"^(?:{_wc_tag_regex(nrm)})$"
+            cnt_w = F.size(F.filter(
+                tags,
+                (lambda rx_: lambda x: x.rlike(rx_))(rx)
+                if not all_names else
+                (lambda rx_, ns_: lambda x:
+                 ~x.isin(*ns_) & x.rlike(rx_))(rx, all_names)))
+            lo = c.min_occurs if cm.model.min_occurs == 1 else 0
+            conds.append(cnt_w >= lo)
+            if c.max_occurs is not None and oc is None:
+                conds.append(cnt_w <= c.max_occurs)
+        # leftover tags: declared, or admitted by a wildcard member,
+        # or by the openContent wildcard — else closed-content error
+        def _leftover(x):
+            bad = ~x.isin(*all_names) if all_names else F.lit(True)
+            for nrm in wc_norms:
+                bad = bad & ~x.rlike(f"^(?:{_wc_tag_regex(nrm)})$")
+            if oc is not None:
+                bad = bad & ~x.rlike(oc_tag_re)
+            return bad
+        conds.append(F.size(F.filter(tags, _leftover)) == 0)
         ok = conds[0]
         for c in conds[1:]:
             ok = ok & c
         reason = (f"content does not satisfy the 'all' group "
-                  f"{sorted(names)}")
+                  f"{sorted(set(all_names))}")
+    elif oc is not None and oc.mode == "interleave":
+        if _has_any(cm.model):
+            _err("openContent interleave over a model containing "
+                 "'any' particles is not supported (the model's own "
+                 "wildcards take priority over open content, which "
+                 "count-based attribution cannot express); use "
+                 "mode='suffix' or restructure the model")
+        groups = _name_groups(cm.model)
+
+        # per-group attribution evaluated inside the HOF lambda: a tag
+        # goes to the MODEL while its position group's occurs budget is
+        # not exhausted by earlier same-group tags (the counting analog
+        # of is_over); unbounded budgets always attribute to the model
+        def _to_model(x, i):
+            prefix = F.slice(tags, F.lit(1), i + F.lit(1))
+            ok = None
+            for names, cap in groups:
+                ns = sorted(names)
+                member = x.isin(*ns)
+                if cap is None:
+                    g_ok = member
+                else:
+                    occ = F.size(F.filter(
+                        prefix,
+                        (lambda ns_: lambda e: e.isin(*ns_))(ns)))
+                    g_ok = member & (occ <= F.lit(cap))
+                ok = g_ok if ok is None else ok | g_ok
+            return ok if ok is not None else F.lit(False)
+
+        model_seq = F.filter(tags, _to_model)
+        open_seq = F.filter(
+            tags, lambda x, i: ~_to_model(x, i))
+        rx = model_regex(cm.model, cm.target_ns)
+        ok = _frame(model_seq).rlike(rx) & \
+            F.forall(open_seq,
+                     (lambda rx_: lambda t: t.rlike(rx_))(oc_tag_re))
+        reason = ("child sequence does not match the content model "
+                  "with interleaved open content")
     else:
-        ok = framed.rlike(model_regex(cm.model))
-        reason = "child sequence does not match the content model"
+        sfx = oc_norm if (oc is not None and oc.mode == "suffix") else None
+        ok = framed.rlike(model_regex(cm.model, cm.target_ns,
+                                      suffix_wildcard=sfx))
+        reason = ("child sequence does not match the content model"
+                  + (" with suffixed open content" if sfx is not None
+                     else ""))
     checks.append(RowCheck(
         constraint=f"content:{cm.name}:{cm.column}",
         reason=reason,

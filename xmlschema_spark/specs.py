@@ -225,17 +225,45 @@ class ParticleSpec:
       choice    — exactly one of the children (per repetition)
       all       — children in ANY order (XSD 1.0 rules: only at the
                   top of a model, element children only, group
-                  maxOccurs 1 / minOccurs 0|1)
+                  maxOccurs 1 / minOccurs 0|1; ContentModelSpec
+                  xsd11=True relaxes to XSD 1.1: wildcard members and
+                  member maxOccurs > 1 allowed)
       any       — wildcard child (xs:any)
 
     min_occurs/max_occurs bound repetitions; max_occurs=None means
-    'unbounded'."""
+    'unbounded'.
+
+    Element particles may carry a substitution group (the reference's
+    substitution-group dispatch inside content models,
+    elements.py:609-623 + xsd_globals.py:566-570 maps): `substitutes`
+    lists member element names that may appear in place of this head;
+    `abstract=True` forbids the head tag itself (an abstract head can
+    only be satisfied by a member, complex_types parse rules).
+
+    Wildcard ('any') particles carry the reference's namespace
+    constraint vocabulary (wildcards.py:73-126 parse, 164-185 match):
+    `namespace` is '##any' (default), '##other', or a list whose items
+    are namespace tokens / '##local' / '##targetNamespace';
+    `not_namespace` is the XSD 1.1 notNamespace complement list
+    (mutually exclusive with `namespace`). Tags are namespace-qualified
+    as 'ns:local' — the token before the first ':' is the namespace,
+    a tag with no ':' has none (##local). `process_contents` is parsed
+    with the reference's vocabulary (strict/lax/skip) but behaves as
+    'skip'/'lax': there is no sub-schema registry to strict-validate
+    wildcard content against (documented divergence)."""
 
     kind: str = "element"
     name: Optional[str] = None
     children: list["ParticleSpec"] = field(default_factory=list)
     min_occurs: int = 1
     max_occurs: Optional[int] = 1
+    # element-kind extensions (substitution groups)
+    substitutes: list[str] = field(default_factory=list)
+    abstract: bool = False
+    # any-kind extensions (wildcard namespace constraints)
+    namespace: Optional[object] = None      # '##any' | '##other' | list
+    not_namespace: Optional[list] = None    # XSD 1.1 notNamespace
+    process_contents: str = "lax"
 
     @staticmethod
     def from_dict(d: dict) -> "ParticleSpec":
@@ -244,6 +272,28 @@ class ParticleSpec:
             d["children"] = [ParticleSpec.from_dict(c)
                              for c in d["children"]]
         return ParticleSpec(**d)
+
+
+@dataclass
+class OpenContentSpec:
+    """XSD 1.1 openContent (wildcards.py:848-897 XsdOpenContent):
+    extra, non-model children admitted by a wildcard either anywhere
+    between model matches (mode='interleave') or only after the model
+    is satisfied (mode='suffix'); mode='none' cancels an inherited
+    default (and takes no wildcard). `wildcard` is an any-kind
+    ParticleSpec carrying the namespace constraint; its occurs are
+    ignored (the open-content wildcard is effectively 0..unbounded,
+    models.py:739-815 visitors)."""
+
+    mode: str = "interleave"
+    wildcard: Optional["ParticleSpec"] = None
+
+    @staticmethod
+    def from_dict(d: dict) -> "OpenContentSpec":
+        d = dict(d)
+        if d.get("wildcard"):
+            d["wildcard"] = ParticleSpec.from_dict(d["wildcard"])
+        return OpenContentSpec(**d)
 
 
 @dataclass
@@ -278,6 +328,17 @@ class ContentModelSpec:
     # evaluator itself does not need determinism, so this may be
     # disabled to accept XSD-nondeterministic models deliberately.
     check_upa: bool = True
+    # the target namespace token for '##other'/'##targetNamespace'
+    # wildcard constraints (XsdComponent.target_namespace); None means
+    # no target namespace (like a schema without targetNamespace)
+    target_ns: Optional[str] = None
+    # XSD 1.1 openContent for this model (None = closed content)
+    open_content: Optional["OpenContentSpec"] = None
+    # XSD 1.1 mode: relaxes 'all' groups (wildcard members, member
+    # maxOccurs > 1) and, inside 'all' groups only, permits
+    # element-vs-wildcard UPA overlap (attribution resolves to the
+    # element, Xsd11AnyElement precedence rules)
+    xsd11: bool = False
 
 
 @dataclass
@@ -338,7 +399,12 @@ class TableSpec:
                     model=ParticleSpec.from_dict(m["model"]),
                     tag_field=m.get("tag_field"),
                     lexical=m.get("lexical", False),
-                    check_upa=m.get("check_upa", True))
+                    check_upa=m.get("check_upa", True),
+                    target_ns=m.get("target_ns"),
+                    open_content=OpenContentSpec.from_dict(
+                        m["open_content"]) if m.get("open_content")
+                    else None,
+                    xsd11=m.get("xsd11", False))
                 for m in d.get("content_models", [])],
             payload=PayloadSpec(**d["payload"]) if d.get("payload") else None,
             drift=DriftSpec(**d["drift"]) if d.get("drift") else None,
