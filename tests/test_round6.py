@@ -45,3 +45,39 @@ def test_particle_spec_round_trips_new_fields():
     assert cm.open_content.wildcard.namespace == "##other"
     assert cm.model.children[0].substitutes == ["h2"]
     assert cm.model.children[1].not_namespace == ["##local", "u1"]
+
+
+def test_content_model_wildcards_query_regex_is_re2_safe(spark):
+    """The oracle replays the regex in DuckDB (RE2): the compiled model
+    must avoid lookahead, and pass/fail semantics must hold on known
+    sequences (substitution head + ns-list body + ##other suffix)."""
+    from xmlschema_spark.queries import _doc_ns_regex
+    import re
+    rx = _doc_ns_regex()
+    assert "(?!" not in rx and "(?=" not in rx and "(?<" not in rx
+    pat = re.compile(rx)
+    # head member + local tags + qualified suffix run
+    assert pat.fullmatch("key;value;ext:spark;other:query;other:query;")
+    # qualified substitution member as the head
+    assert pat.fullmatch("ext:spark;data;")
+    # abstract head tag itself is forbidden
+    assert not pat.fullmatch("header;value;")
+    # 'other:' tag before a local tag — not in the suffix run
+    assert not pat.fullmatch("key;other:query;value;")
+    # bad head
+    assert not pat.fullmatch("query;value;value;")
+    # body requires at least one tag after the head
+    assert not pat.fullmatch("key;")
+
+
+def test_content_model_wildcards_query_counts(spark):
+    from xmlschema_spark.queries import content_model_wildcards_documents
+    out = content_model_wildcards_documents(
+        spark, "/root/testdata/sf0.001").collect()
+    assert all(r.constraint == "content:doc_ns:text" for r in out)
+    # deterministic fixture: violations are a strict, non-empty subset
+    import duckdb
+    n = duckdb.connect().execute(
+        "SELECT count(*) FROM read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet')").fetchone()[0]
+    assert 0 < len(out) < n

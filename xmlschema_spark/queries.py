@@ -1778,6 +1778,77 @@ def content_model_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_key", "constraint", "value")
 
 
+def _doc_ns_model():
+    """Round-5 content-model features in one model: an ABSTRACT
+    substitution-group head (one member namespace-qualified), a
+    namespace-LIST wildcard body (##local + 'ext'), and suffix
+    openContent whose ##other wildcard — with no target namespace —
+    admits any qualified trailing tags (reference: wildcards.py
+    namespace vocabulary + XsdOpenContent, elements.py substitution
+    maps)."""
+    from .specs import OpenContentSpec, ParticleSpec as P
+    model = P(kind="sequence", children=[
+        P(kind="element", name="header", abstract=True,
+          substitutes=["key", "table", "row", "hash", "join", "merge",
+                       "scan", "filter", "column", "customer", "batch",
+                       "the", "a", "ext:spark"]),
+        P(kind="any", namespace=["ext", "##local"],
+          min_occurs=1, max_occurs=None)])
+    oc = OpenContentSpec(mode="suffix",
+                         wildcard=P(kind="any", namespace="##other"))
+    return model, oc
+
+
+def _doc_ns_regex() -> str:
+    from .plans.content_model import model_regex, _wc_norm
+    model, oc = _doc_ns_model()
+    return model_regex(model, target_ns=None,
+                       suffix_wildcard=_wc_norm(oc.wildcard, None))
+
+
+@register("content_model_wildcards_documents", f"""
+  WITH f AS (
+    SELECT doc_id,
+           array_to_string(list_transform(
+             string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '),
+             w -> CASE WHEN w = 'spark' THEN 'ext:spark;'
+                       WHEN w = 'query' THEN 'other:query;'
+                       ELSE w || ';' END), '') AS framed
+      FROM documents WHERE text IS NOT NULL)
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         'content:doc_ns:text' AS constraint,
+         substr(framed, 1, 200) AS value
+    FROM f
+   WHERE NOT regexp_full_match(framed, '{_doc_ns_regex()}')
+""")
+def content_model_wildcards_documents(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Wildcard/substitution/openContent content model over documents:
+    tokens are deterministically namespace-qualified ('spark' ->
+    'ext:spark', 'query' -> 'other:query') identically in both engines,
+    then the tag sequence must open with a substitution-group member of
+    the abstract head, continue with ##local/'ext' tags, and may close
+    with a qualified-tag suffix run (openContent mode='suffix'). The
+    model compiles to ONE anchored regex (shuffle-free, RE2-safe — no
+    lookahead since target_ns is None) that the DuckDB oracle replays
+    verbatim (reference: wildcards.py:73-185, models.py:790-815)."""
+    from .specs import ContentModelSpec
+    model, oc = _doc_ns_model()
+    d = _load(spark, sf_dir, "documents")
+    d = d.withColumn("text", F.array_join(F.transform(
+        F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "),
+        lambda w: F.when(w == "spark", F.lit("ext:spark"))
+                   .when(w == "query", F.lit("other:query"))
+                   .otherwise(w)), " "))
+    spec = TableSpec(
+        name="documents", key_column="doc_id",
+        content_models=[ContentModelSpec(
+            name="doc_ns", column="text", model=model, lexical=True,
+            target_ns=None, open_content=oc)])
+    return row_violations(d, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")
+
+
 # float-domain digest over events.value (double): fixed documented
 # bounds [0, 512) — the synthetic table's value range is ~[0, 490];
 # clamp policy folds any outlier into the edge leaves
