@@ -123,13 +123,25 @@ def test_all_group_order_free(spark):
 
 
 def test_all_optional_group(spark):
-    # minOccurs=0 on the group: the EMPTY content is fine, but once
-    # present the per-child maxima still bind
+    # minOccurs=0 on the group means EMPTY-OR-COMPLETE (reference
+    # models.py:415-459: zero-missing member errors fire only once
+    # occurs[group] is set, which happens as soon as ANY member
+    # occurs) — it does NOT make each member individually optional
     model = ParticleSpec(kind="all", min_occurs=0, children=[
         E("a"), E("b")])
-    rows = [("ok_empty", []), ("ok_partial", ["a"]),
-            ("bad_dup", ["a", "a", "b"])]
-    assert _viol(spark, model, rows) == ["bad_dup"]
+    rows = [("ok_empty", []), ("bad_partial", ["a"]),
+            ("ok_full", ["b", "a"]), ("bad_dup", ["a", "a", "b"])]
+    assert _viol(spark, model, rows) == ["bad_dup", "bad_partial"]
+
+
+def test_all_optional_group_optional_member(spark):
+    # a genuinely-optional member (its own minOccurs=0) stays optional
+    # inside an occurring emptiable 'all'
+    model = ParticleSpec(kind="all", min_occurs=0, children=[
+        E("a"), E("b", 0, 1)])
+    rows = [("ok_empty", []), ("ok_no_b", ["a"]),
+            ("bad_only_b", ["b"])]
+    assert _viol(spark, model, rows) == ["bad_only_b"]
 
 
 # ----------------------------------------------- tag sources / shapes
@@ -176,7 +188,6 @@ def test_from_dict_round_trip(spark):
 @pytest.mark.parametrize("particle,msg", [
     (E("a", 2, 1), "minOccurs must be lesser or equal than maxOccurs"),
     (E("a", -1, 1), "minOccurs value must be a non negative integer"),
-    (ParticleSpec(kind="sequence"), "empty 'sequence' model group"),
     (ParticleSpec(kind="element"), "requires a name"),
     (ParticleSpec(kind="weird"), "unknown particle kind"),
     (ParticleSpec(kind="all", max_occurs=2, children=[E("a")]),
@@ -190,6 +201,37 @@ def test_from_dict_round_trip(spark):
 def test_invalid_particles_rejected(particle, msg):
     with pytest.raises(ValueError, match=msg):
         validate_particle(particle)
+
+
+def test_empty_model_groups_accepted(spark):
+    # the reference ACCEPTS empty model groups at parse time
+    # (tests/validators/test_models.py test_empty_choice_groups):
+    # an empty sequence/all is epsilon — admits empty content only
+    for kind in ("sequence", "all"):
+        model = ParticleSpec(kind=kind)
+        rows = [("ok_empty", []), ("bad", ["a"])]
+        assert _viol(spark, model, rows) == ["bad"], kind
+
+
+def test_empty_choice_groups(spark):
+    # W3C group complex022 via the reference (groups.py:967-970): an
+    # empty choice with minOccurs > 0 "cannot validate any content" —
+    # EMPTY content included — while minOccurs=0 makes it epsilon
+    # (test_empty_choice_groups's nested `<xs:choice minOccurs="0"/>`)
+    rows = [("r_empty", []), ("r_a", ["a"])]
+    never = ParticleSpec(kind="choice")
+    assert _viol(spark, never, rows) == ["r_a", "r_empty"]
+    eps = ParticleSpec(kind="choice", min_occurs=0)
+    assert _viol(spark, eps, rows) == ["r_a"]
+    # nested epsilon choice before a required element (the reference's
+    # group1 shape): sequence(choice?(choice?()), elem1)
+    nested = SEQ(
+        ParticleSpec(kind="choice", min_occurs=0, children=[
+            ParticleSpec(kind="choice", min_occurs=0)]),
+        E("elem1"))
+    rows2 = [("ok", ["elem1"]), ("bad_empty", []), ("bad_two",
+                                                    ["elem1", "elem1"])]
+    assert _viol(spark, nested, rows2) == ["bad_empty", "bad_two"]
 
 
 # -------------------------------- Unique Particle Attribution (UPA)

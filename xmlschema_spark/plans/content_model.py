@@ -236,8 +236,11 @@ def validate_particle(p: ParticleSpec, top: bool = True,
                  "'processContents' attribute")
         _wc_norm(p, None)          # vocabulary errors only
     else:
-        if not p.children:
-            _err(f"empty '{p.kind}' model group")
+        # empty model groups are ACCEPTED like the reference (W3C test
+        # group complex022; test_models.py test_empty_choice_groups):
+        # an empty sequence/all — or an empty choice with minOccurs=0 —
+        # is epsilon; an empty choice with minOccurs > 0 can never
+        # validate any content (a validation-time error, not parse-time)
         if p.kind == "all":
             if not top:
                 _err("in XSD 1.0 an 'all' model group cannot be nested")
@@ -412,6 +415,13 @@ def particle_regex(p: ParticleSpec,
         body = "".join(particle_regex(c, target_ns) for c in p.children)
         return f"(?:{body}){_quant(p)}"
     if p.kind == "choice":
+        if not p.children and p.min_occurs > 0:
+            # the reference rejects ANY content — empty included —
+            # against an empty choice with minOccurs > 0
+            # (groups.py:967-970, W3C group complex022): the empty
+            # language, not epsilon. [^\s\S] can match no character
+            # (never-match without lookahead, RE2-safe).
+            return f"(?:[^\\s\\S]){_quant(p)}"
         body = "|".join(particle_regex(c, target_ns) for c in p.children)
         return f"(?:{body}){_quant(p)}"
     raise ValueError(f"particle kind {p.kind!r} has no regex form "
@@ -539,6 +549,7 @@ def content_model_checks(cm: ContentModelSpec):
                  "supported (order-free counting has no suffix "
                  "position); use mode='interleave'")
         conds = []
+        member_cnts: list[Column] = []
         el_members = [c for c in cm.model.children if c.kind == "element"]
         wc_members = [c for c in cm.model.children if c.kind == "any"]
         all_names: list[str] = []
@@ -555,8 +566,8 @@ def content_model_checks(cm: ContentModelSpec):
         for c in el_members:
             names = ([] if c.abstract else [c.name]) + list(c.substitutes)
             cnt = F.size(F.filter(tags, _in_names(names)))
-            lo = c.min_occurs if cm.model.min_occurs == 1 else 0
-            conds.append(cnt >= lo)
+            member_cnts.append(cnt)
+            conds.append(cnt >= c.min_occurs)
             if c.max_occurs is not None:
                 # openContent interleave absorbs occurrences beyond the
                 # cap IF the wildcard admits every name of the member
@@ -575,8 +586,8 @@ def content_model_checks(cm: ContentModelSpec):
                 if not all_names else
                 (lambda rx_, ns_: lambda x:
                  ~x.isin(*ns_) & x.rlike(rx_))(rx, all_names)))
-            lo = c.min_occurs if cm.model.min_occurs == 1 else 0
-            conds.append(cnt_w >= lo)
+            member_cnts.append(cnt_w)
+            conds.append(cnt_w >= c.min_occurs)
             if c.max_occurs is not None and oc is None:
                 conds.append(cnt_w <= c.max_occurs)
         # leftover tags: declared, or admitted by a wildcard member,
@@ -588,10 +599,21 @@ def content_model_checks(cm: ContentModelSpec):
             if oc is not None:
                 bad = bad & ~x.rlike(oc_tag_re)
             return bad
-        conds.append(F.size(F.filter(tags, _leftover)) == 0)
-        ok = conds[0]
-        for c in conds[1:]:
+        no_leftover = F.size(F.filter(tags, _leftover)) == 0
+        ok = F.lit(True)
+        for c in conds:
             ok = ok & c
+        if cm.model.min_occurs == 0 and member_cnts:
+            # emptiable 'all' is EMPTY-OR-COMPLETE (models.py:415-459:
+            # zero_missing errors fire only `if occurs[group]`, and the
+            # group occurs as soon as ANY member does) — it does NOT
+            # make every member optional. Absent = no tag attributed
+            # to any element or wildcard member.
+            absent = member_cnts[0] == 0
+            for cnt in member_cnts[1:]:
+                absent = absent & (cnt == 0)
+            ok = absent | ok
+        ok = ok & no_leftover
         reason = (f"content does not satisfy the 'all' group "
                   f"{sorted(set(all_names))}")
     elif oc is not None and oc.mode == "interleave":
