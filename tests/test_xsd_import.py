@@ -1,0 +1,409 @@
+"""spec_from_xsd: XSD schema text -> TableSpec (sources/xsd_import.py).
+
+The reference's front door is an XSD document; these tests feed
+reference-style schema text through the importer and check that the
+resulting spec validates rows exactly like the hand-built equivalent
+(mapping anchors cited in the module docstring)."""
+
+import pytest
+
+from xmlschema_spark import validate
+from xmlschema_spark.sources.xsd_import import spec_from_xsd
+
+XS = 'xmlns:xs="http://www.w3.org/2001/XMLSchema"'
+
+
+def _viol(spark, spec, rows, schema, refs=None):
+    df = spark.createDataFrame(rows, schema)
+    res = validate(df, spec, refs=refs)
+    return sorted(((r.row_key, r.constraint)
+                   for r in res.violations.collect()),
+                  key=lambda t: (t[0] or "", t[1]))
+
+
+# ------------------------------------------------------------ simple types
+
+def test_facet_restriction_attributes(spark):
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:simpleType name="zipType">
+        <xs:restriction base="xs:string">
+          <xs:pattern value="[0-9]{{5}}(-[0-9]{{4}})?"/>
+        </xs:restriction>
+      </xs:simpleType>
+      <xs:element name="addr">
+        <xs:complexType>
+          <xs:attribute name="id" type="xs:NCName" use="required"/>
+          <xs:attribute name="zip" type="zipType"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="id")
+    assert spec.name == "addr"
+    assert {c.name for c in spec.columns} == {"id", "zip"}
+    got = _viol(spark, spec,
+                [("a1", "55555"), ("a2", "I-55555"), ("a3", None),
+                 (None, "55555-5555")],
+                "id string, zip string")
+    assert set(got) == {("a2", "facet:pattern:zip"),
+                        (None, "required:id")}
+
+
+def test_restriction_chain_flattens(spark):
+    # derivation chain: token -> small (maxLength 5) -> tiny (pattern)
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:simpleType name="small">
+        <xs:restriction base="xs:token">
+          <xs:maxLength value="5"/>
+        </xs:restriction>
+      </xs:simpleType>
+      <xs:simpleType name="tiny">
+        <xs:restriction base="small">
+          <xs:pattern value="[a-z]+"/>
+        </xs:restriction>
+      </xs:simpleType>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:attribute name="rid" type="xs:string" use="required"/>
+          <xs:attribute name="v" type="tiny"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    got = _viol(spark, spec,
+                [("r1", "abc"), ("r2", "abcdef"), ("r3", "ABC")],
+                "rid string, v string")
+    assert ("r2", "facet:maxLength:v") in got      # from the base step
+    assert ("r3", "facet:pattern:v") in got        # from the final step
+    assert not [g for g in got if g[0] == "r1"]
+
+
+def test_inline_anonymous_base(spark):
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:attribute name="rid" type="xs:string" use="required"/>
+          <xs:attribute name="v">
+            <xs:simpleType>
+              <xs:restriction>
+                <xs:simpleType>
+                  <xs:restriction base="xs:string">
+                    <xs:maxLength value="3"/>
+                  </xs:restriction>
+                </xs:simpleType>
+                <xs:pattern value="[0-9]+"/>
+              </xs:restriction>
+            </xs:simpleType>
+          </xs:attribute>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    got = _viol(spark, spec, [("r1", "12"), ("r2", "1234"), ("r3", "ab")],
+                "rid string, v string")
+    assert ("r2", "facet:maxLength:v") in got
+    assert ("r3", "facet:pattern:v") in got
+
+
+def test_builtin_list_and_custom_list(spark):
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:simpleType name="bytes3">
+        <xs:restriction>
+          <xs:simpleType>
+            <xs:list itemType="xs:byte"/>
+          </xs:simpleType>
+          <xs:maxLength value="3"/>
+        </xs:restriction>
+      </xs:simpleType>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:attribute name="rid" type="xs:string" use="required"/>
+          <xs:attribute name="toks" type="xs:NMTOKENS"/>
+          <xs:attribute name="nums" type="bytes3"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    got = _viol(spark, spec,
+                [("r1", "a b", "1 2 3"),
+                 ("r2", "a,b", "1 2"),          # comma invalid NMTOKEN
+                 ("r3", "ok", "300"),           # byte overflow
+                 ("r4", "ok", "1 2 3 4")],      # list too long
+                "rid string, toks string, nums string")
+    assert [g[0] for g in got] == ["r2", "r3", "r4"]
+
+
+def test_union_member_types(spark):
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:simpleType name="dateOrDateTime">
+        <xs:union memberTypes="xs:date xs:dateTime"/>
+      </xs:simpleType>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:attribute name="rid" type="xs:string" use="required"/>
+          <xs:attribute name="when" type="dateOrDateTime"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    got = _viol(spark, spec,
+                [("r1", "2021-05-01"), ("r2", "2021-05-01T10:00:00"),
+                 ("r3", "yesterday")],
+                "rid string, when string")
+    assert [g[0] for g in got] == ["r3"]
+
+
+def test_assertion_facet_translates(spark):
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:simpleType name="even">
+        <xs:restriction base="xs:int">
+          <xs:assertion test="$value mod 2 = 0"/>
+        </xs:restriction>
+      </xs:simpleType>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:attribute name="rid" type="xs:string" use="required"/>
+          <xs:attribute name="v" type="even"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    got = _viol(spark, spec, [("r1", "4"), ("r2", "5")],
+                "rid string, v string")
+    assert [g[0] for g in got] == ["r2"]
+
+
+# ------------------------------------------------------------ row element
+
+def test_child_elements_required_and_repeated(spark):
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:element name="order">
+        <xs:complexType>
+          <xs:sequence>
+            <xs:element name="sku" type="xs:NCName"/>
+            <xs:element name="note" type="xs:string" minOccurs="0"/>
+            <xs:element name="tag" type="xs:token" minOccurs="1"
+                        maxOccurs="3"/>
+          </xs:sequence>
+          <xs:attribute name="oid" type="xs:string" use="required"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="oid")
+    by_name = {c.name: c for c in spec.columns}
+    assert not by_name["sku"].nullable
+    assert by_name["note"].nullable
+    assert by_name["tag"].dtype == "array<string>"
+    assert (by_name["tag"].min_length, by_name["tag"].max_length) == (1, 3)
+    got = _viol(spark, spec,
+                [("o1", "p-1", None, ["a"]),
+                 ("o2", None, "x", ["a"]),          # missing sku
+                 ("o3", "p:3", None, ["a"]),        # bad NCName
+                 ("o4", "p-4", None, ["a", "b", "c", "d"])],  # 4 tags
+                "oid string, sku string, note string, tag array<string>")
+    assert ("o2", "required:sku") in got
+    assert [g for g in got if g[0] == "o3"]
+    assert ("o4", "facet:maxLength:tag") in got
+
+
+def test_fixed_default_prohibited(spark):
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:attribute name="rid" type="xs:string" use="required"/>
+          <xs:attribute name="version" type="xs:string" fixed="1.0"/>
+          <xs:attribute name="legacy" type="xs:string"
+                        use="prohibited"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    got = _viol(spark, spec,
+                [("r1", "1.0", None), ("r2", "2.0", None),
+                 ("r3", None, "x")],
+                "rid string, version string, legacy string")
+    assert [g[0] for g in got] == ["r2", "r3"]
+
+
+def test_complextype_assert(spark):
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:element name="range">
+        <xs:complexType>
+          <xs:attribute name="rid" type="xs:string" use="required"/>
+          <xs:attribute name="min" type="xs:int"/>
+          <xs:attribute name="max" type="xs:int"/>
+          <xs:assert test="@min le @max"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    got = _viol(spark, spec,
+                [("r1", 1, 2), ("r2", 5, 3)],
+                "rid string, min int, max int")
+    assert [g[0] for g in got] == ["r2"]
+
+
+def test_content_model_via_tags_column(spark):
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:element name="doc">
+        <xs:complexType>
+          <xs:sequence>
+            <xs:element name="head"/>
+            <xs:choice minOccurs="1" maxOccurs="unbounded">
+              <xs:element name="p"/>
+              <xs:element name="table"/>
+            </xs:choice>
+          </xs:sequence>
+          <xs:attribute name="rid" type="xs:string" use="required"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid", tags_column="kids")
+    assert len(spec.content_models) == 1
+    assert spec.content_models[0].column == "kids"
+    got = _viol(spark, spec,
+                [("r1", ["head", "p", "table"]),
+                 ("r2", ["p"]),
+                 ("r3", ["head"])],
+                "rid string, kids array<string>")
+    assert [g[0] for g in got] == ["r2", "r3"]
+
+
+# ------------------------------------------------------------ identities
+
+IDENTITY_XSD = f"""
+<xs:schema {XS}>
+  <xs:element name="orders">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element ref="order" maxOccurs="unbounded"/>
+      </xs:sequence>
+    </xs:complexType>
+    <xs:key name="orderKey">
+      <xs:selector xpath=".//order"/>
+      <xs:field xpath="@oid"/>
+    </xs:key>
+    <xs:unique name="slotUnique">
+      <xs:selector xpath="order"/>
+      <xs:field xpath="@day"/>
+      <xs:field xpath="@slot"/>
+    </xs:unique>
+    <xs:keyref name="parentRef" refer="orderKey">
+      <xs:selector xpath=".//order"/>
+      <xs:field xpath="@parent"/>
+    </xs:keyref>
+  </xs:element>
+  <xs:element name="order">
+    <xs:complexType>
+      <xs:attribute name="oid" type="xs:string" use="required"/>
+      <xs:attribute name="day" type="xs:string"/>
+      <xs:attribute name="slot" type="xs:string"/>
+      <xs:attribute name="parent" type="xs:string"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+def test_identity_constraints(spark):
+    spec = spec_from_xsd(IDENTITY_XSD, element="order")
+    # key_column inferred from the single single-field xs:key
+    assert spec.key_column == "oid"
+    assert {u.name: (u.is_key, tuple(u.columns)) for u in spec.uniques} \
+        == {"orderKey": (True, ("oid",)),
+            "slotUnique": (False, ("day", "slot"))}
+    assert spec.keyrefs[0].ref_table == "order"
+    assert spec.keyrefs[0].ref_columns == ["oid"]
+
+    rows = [("o1", "mon", "1", None), ("o2", "mon", "1", "o1"),
+            ("o3", "tue", "2", "oX")]
+    df = spark.createDataFrame(
+        rows, "oid string, day string, slot string, parent string")
+    got = sorted((r.row_key, r.constraint) for r in
+                 validate(df, spec, refs={"order": df})
+                 .violations.collect())
+    assert ("o3", "keyref:parentRef") in got
+    dup = [g for g in got if g[1] == "unique:slotUnique"]
+    assert {g[0] for g in dup} == {"o1", "o2"}
+
+
+# --------------------------------------------------------------- errors
+
+@pytest.mark.parametrize("xsd,match", [
+    (f'<xs:schema {XS}><xs:import namespace="x"/></xs:schema>',
+     "xs:import is not supported"),
+    (f'''<xs:schema {XS}><xs:element name="t">
+         <xs:complexType mixed="true"><xs:attribute name="rid"/>
+         </xs:complexType></xs:element></xs:schema>''',
+     "mixed content"),
+    (f'''<xs:schema {XS}><xs:element name="t">
+         <xs:complexType><xs:attribute name="v" type="xs:QName"/>
+         </xs:complexType></xs:element></xs:schema>''',
+     "namespace bindings"),
+    (f'''<xs:schema {XS}><xs:element name="t">
+         <xs:complexType><xs:attribute name="v" type="nope"/>
+         </xs:complexType></xs:element></xs:schema>''',
+     "unknown type"),
+    (f'''<xs:schema {XS}><xs:element name="t">
+         <xs:complexType><xs:attribute name="rid"/></xs:complexType>
+         <xs:unique name="u"><xs:selector xpath="other/row"/>
+         <xs:field xpath="@rid"/></xs:unique>
+         </xs:element></xs:schema>''',
+     "does not resolve to the row element"),
+    (f'''<xs:schema {XS}><xs:element name="t">
+         <xs:complexType><xs:attribute name="rid"/></xs:complexType>
+         <xs:unique name="u"><xs:selector xpath="."/>
+         <xs:field xpath="a/b"/></xs:unique>
+         </xs:element></xs:schema>''',
+     "single '@attr' or 'child' step"),
+    (f'''<xs:schema {XS}><xs:element name="a">
+         <xs:complexType><xs:attribute name="x"/></xs:complexType>
+         </xs:element><xs:element name="b">
+         <xs:complexType><xs:attribute name="x"/></xs:complexType>
+         </xs:element></xs:schema>''',
+     "pass element="),
+    (f'''<xs:schema {XS}><xs:element name="t">
+         <xs:complexType><xs:attribute name="rid"/></xs:complexType>
+         </xs:element></xs:schema>''',
+     "pass key_column="),
+    (f'''<xs:schema {XS}><xs:element name="t">
+         <xs:complexType><xs:sequence>
+         <xs:element name="kid"><xs:complexType>
+         <xs:sequence><xs:element name="leaf"/></xs:sequence>
+         </xs:complexType></xs:element>
+         </xs:sequence><xs:attribute name="rid"/></xs:complexType>
+         </xs:element></xs:schema>''',
+     "pass tags_column="),
+])
+def test_unsupported_constructs_rejected(xsd, match):
+    kc = None if match == "pass key_column=" else "rid"
+    with pytest.raises(ValueError, match=match):
+        spec_from_xsd(xsd, key_column=kc)
+
+
+def test_equivalent_to_handbuilt(spark):
+    """The imported spec and the hand-built spec produce IDENTICAL
+    violations on the same frame."""
+    from xmlschema_spark import ColumnSpec, TableSpec
+    xsd_spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:attribute name="rid" type="xs:string" use="required"/>
+          <xs:attribute name="n">
+            <xs:simpleType>
+              <xs:restriction base="xs:int">
+                <xs:minInclusive value="0"/>
+                <xs:maxExclusive value="100"/>
+              </xs:restriction>
+            </xs:simpleType>
+          </xs:attribute>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    hand = TableSpec(name="t", key_column="rid", columns=[
+        ColumnSpec("rid", "string", nullable=False),
+        ColumnSpec("n", "xsd:int", min_inclusive="0",
+                   max_exclusive="100")])
+    rows = [("r1", "5"), ("r2", "-1"), ("r3", "100"), ("r4", "2.5")]
+    schema = "rid string, n string"
+    assert _viol(spark, xsd_spec, rows, schema) \
+        == _viol(spark, hand, rows, schema)

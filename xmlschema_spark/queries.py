@@ -119,6 +119,71 @@ def facet_rows_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_key", "constraint", "value")
 
 
+_ORDERS_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:simpleType name="priorityType">
+    <xs:restriction base="xs:token">
+      <xs:pattern value="[1-2]-[A-Z ]+"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:element name="orders">
+    <xs:complexType>
+      <xs:attribute name="o_orderkey" type="xs:long" use="required"/>
+      <xs:attribute name="o_orderstatus">
+        <xs:simpleType>
+          <xs:restriction base="xs:string">
+            <xs:enumeration value="F"/>
+            <xs:enumeration value="O"/>
+          </xs:restriction>
+        </xs:simpleType>
+      </xs:attribute>
+      <xs:attribute name="o_totalprice">
+        <xs:simpleType>
+          <xs:restriction base="xs:double">
+            <xs:maxExclusive value="450000"/>
+          </xs:restriction>
+        </xs:simpleType>
+      </xs:attribute>
+      <xs:attribute name="o_orderpriority" type="priorityType"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+@register("xsd_import_orders", """
+  SELECT CAST(o_orderkey AS VARCHAR) AS row_key,
+         'facet:enumeration:o_orderstatus' AS constraint,
+         o_orderstatus AS value
+    FROM orders
+   WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F','O')
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), 'facet:maxExclusive:o_totalprice',
+         CAST(o_totalprice AS VARCHAR)
+    FROM orders
+   WHERE o_totalprice IS NOT NULL AND NOT (o_totalprice < 450000)
+  UNION ALL
+  SELECT CAST(o_orderkey AS VARCHAR), 'facet:pattern:o_orderpriority',
+         o_orderpriority
+    FROM orders
+   WHERE o_orderpriority IS NOT NULL
+     AND NOT regexp_matches(o_orderpriority, '^(?:[1-2]-[A-Z ]+)$')
+""")
+def xsd_import_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The XSD-document front door (sources/xsd_import.spec_from_xsd):
+    the orders constraints are authored as reference-style SCHEMA TEXT
+    — a named simpleType restriction chain (token base + pattern), an
+    inline enumeration, an xs:double maxExclusive bound — imported to a
+    TableSpec and compiled like any hand-built spec (reference analog:
+    XMLSchema(source) schema build, schemas/main.py). The oracle
+    replays the same facets in SQL, so the import path itself is
+    hash-gated."""
+    from .sources.xsd_import import spec_from_xsd
+    df = _load(spark, sf_dir, "orders")
+    spec = spec_from_xsd(_ORDERS_XSD, key_column="o_orderkey")
+    return row_violations(df, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")
+
+
 # ---------------------------------------------------------------------------
 # Identity constraints (SURVEY §2.4/2.5): uniqueness aggregates + anti-joins
 # ---------------------------------------------------------------------------
