@@ -407,3 +407,302 @@ def test_equivalent_to_handbuilt(spark):
     schema = "rid string, n string"
     assert _viol(spark, xsd_spec, rows, schema) \
         == _viol(spark, hand, rows, schema)
+
+
+# ------------------------------- groups / attributeGroups / derivation
+
+def test_group_and_attributegroup_refs(spark):
+    """Named model groups and attribute groups splice in place
+    (groups.py XsdGroup ref, attributes.py:336-505)."""
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:attributeGroup name="idAttrs">
+        <xs:attribute name="rid" type="xs:string" use="required"/>
+        <xs:attribute name="ver" type="xs:int"/>
+      </xs:attributeGroup>
+      <xs:group name="nameFields">
+        <xs:sequence>
+          <xs:element name="first" type="xs:token"/>
+          <xs:element name="last" type="xs:token"/>
+        </xs:sequence>
+      </xs:group>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:sequence>
+            <xs:group ref="nameFields"/>
+            <xs:element name="age" type="xs:int" minOccurs="0"/>
+          </xs:sequence>
+          <xs:attributeGroup ref="idAttrs"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    assert [c.name for c in spec.columns] \
+        == ["rid", "ver", "first", "last", "age"]
+    got = _viol(spark, spec,
+                [("r1", "1", "Ada", "L.", "36"),
+                 ("r2", "x", "Bob", None, None)],
+                "rid string, ver string, first string, "
+                "last string, age string")
+    assert set(got) == {("r2", "facet:pattern:ver"),
+                        ("r2", "facet:decode:ver"),
+                        ("r2", "required:last")}
+
+
+def test_group_ref_occurs_in_content_model(spark):
+    """The occurs on the group REFERENCE bound the expanded group as a
+    unit (a ref'd sequence repeated 1..2 times)."""
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:group name="pair">
+        <xs:sequence>
+          <xs:element name="k"/><xs:element name="v"/>
+        </xs:sequence>
+      </xs:group>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:sequence>
+            <xs:group ref="pair" minOccurs="1" maxOccurs="2"/>
+          </xs:sequence>
+          <xs:attribute name="rid"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid", tags_column="tags")
+    got = _viol(spark, spec,
+                [("r1", ["k", "v"]),
+                 ("r2", ["k", "v", "k", "v"]),
+                 ("r3", ["k"]),
+                 ("r4", ["k", "v", "k", "v", "k", "v"])],
+                "rid string, tags array<string>")
+    assert set(got) == {("r3", "content:t:tags"),
+                        ("r4", "content:t:tags")}
+
+
+def test_complexcontent_extension_flattens(spark):
+    """An extension appends its particle after the base's and merges
+    attributes (complex_types.py:456-485); a two-level chain flattens
+    to plain columns when every child is simple."""
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:complexType name="baseT">
+        <xs:sequence><xs:element name="a" type="xs:int"/></xs:sequence>
+        <xs:attribute name="rid" type="xs:string" use="required"/>
+      </xs:complexType>
+      <xs:complexType name="midT">
+        <xs:complexContent>
+          <xs:extension base="baseT">
+            <xs:sequence>
+              <xs:element name="b" type="xs:token" minOccurs="0"/>
+            </xs:sequence>
+            <xs:attribute name="tag" type="xs:NCName"/>
+          </xs:extension>
+        </xs:complexContent>
+      </xs:complexType>
+      <xs:element name="t" type="midT"/>
+    </xs:schema>""", key_column="rid")
+    assert [c.name for c in spec.columns] == ["rid", "tag", "a", "b"]
+    assert not [c for c in spec.columns if c.name == "a"][0].nullable
+    got = _viol(spark, spec,
+                [("r1", "ok", "3", "x"),
+                 ("r2", "not ok", "y", None),
+                 ("r3", None, None, None)],
+                "rid string, tag string, a string, b string")
+    assert set(got) == {("r2", "facet:pattern:tag"),
+                        ("r2", "facet:pattern:a"),
+                        ("r2", "facet:decode:a"),
+                        ("r3", "required:a")}
+
+
+def test_complexcontent_restriction_overrides(spark):
+    """A restriction REPLACES the content model and overrides
+    attributes by name; use='prohibited' drops the base attribute and
+    asserts the column NULL (complex_types.py:361-410)."""
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:complexType name="baseT">
+        <xs:sequence>
+          <xs:element name="a" type="xs:int" minOccurs="0"/>
+          <xs:element name="b" type="xs:token" minOccurs="0"/>
+        </xs:sequence>
+        <xs:attribute name="rid" type="xs:string" use="required"/>
+        <xs:attribute name="legacy" type="xs:token"/>
+        <xs:attribute name="n" type="xs:int"/>
+      </xs:complexType>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:complexContent>
+            <xs:restriction base="baseT">
+              <xs:sequence>
+                <xs:element name="a" type="xs:int"/>
+              </xs:sequence>
+              <xs:attribute name="legacy" use="prohibited"/>
+              <xs:attribute name="n" use="required">
+                <xs:simpleType>
+                  <xs:restriction base="xs:int">
+                    <xs:maxInclusive value="9"/>
+                  </xs:restriction>
+                </xs:simpleType>
+              </xs:attribute>
+            </xs:restriction>
+          </xs:complexContent>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    # restriction's model replaced the base's: only 'a', now required
+    assert [c.name for c in spec.columns] == ["rid", "n", "a"]
+    got = _viol(spark, spec,
+                [("r1", "5", None, "1"),
+                 ("r2", "11", "old", "2"),
+                 ("r3", None, None, None)],
+                "rid string, n string, legacy string, a string")
+    assert set(got) == {("r2", "facet:maxInclusive:n"),
+                        ("r2", "assert:prohibited_legacy"),
+                        ("r3", "required:n"),
+                        ("r3", "required:a")}
+
+
+def test_simplecontent_extension_and_restriction(spark):
+    """simpleContent: the text content becomes the value column, its
+    type resolved through the chain with restriction facets as a
+    derivation step (complex_types.py:302-359)."""
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:complexType name="priced">
+        <xs:simpleContent>
+          <xs:extension base="xs:decimal">
+            <xs:attribute name="rid" type="xs:string" use="required"/>
+            <xs:attribute name="cur" type="xs:token"/>
+          </xs:extension>
+        </xs:simpleContent>
+      </xs:complexType>
+      <xs:complexType name="bounded">
+        <xs:simpleContent>
+          <xs:restriction base="priced">
+            <xs:minInclusive value="0"/>
+            <xs:attribute name="cur" type="xs:token" use="required"/>
+          </xs:restriction>
+        </xs:simpleContent>
+      </xs:complexType>
+      <xs:element name="t" type="bounded"/>
+    </xs:schema>""", key_column="rid", value_column="amount")
+    assert [c.name for c in spec.columns] == ["rid", "cur", "amount"]
+    got = _viol(spark, spec,
+                [("r1", "USD", "9.99"), ("r2", "EUR", "-3"),
+                 ("r3", None, "1e2"), ("r4", "GBP", "abc")],
+                "rid string, cur string, amount string")
+    # strict xsd:decimal lexical space inherited through the chain
+    # ('1e2' invalid), restriction facet applied, attr override
+    assert set(got) == {("r2", "facet:minInclusive:amount"),
+                        ("r3", "facet:pattern:amount"),
+                        ("r3", "required:cur"),
+                        ("r4", "facet:pattern:amount")}
+
+
+def test_xsd11_all_extends_all_merges(spark):
+    """XSD 1.1: an 'all' extension of an 'all' base merges members
+    into one order-free group (complex_types.py:976-996)."""
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:complexType name="b">
+        <xs:all><xs:element name="a"/></xs:all>
+        <xs:attribute name="rid"/>
+      </xs:complexType>
+      <xs:element name="t"><xs:complexType><xs:complexContent>
+        <xs:extension base="b">
+          <xs:all><xs:element name="c"/></xs:all>
+        </xs:extension></xs:complexContent></xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid", tags_column="tags", xsd11=True)
+    got = _viol(spark, spec,
+                [("r1", ["a", "c"]), ("r2", ["c", "a"]),
+                 ("r3", ["a"]), ("r4", ["a", "c", "a"])],
+                "rid string, tags array<string>")
+    assert set(got) == {("r3", "content:t:tags"),
+                        ("r4", "content:t:tags")}
+
+
+@pytest.mark.parametrize("xsd,match,kw", [
+    # XSD 1.0 'all'-extension prohibitions (reference wordings,
+    # complex_types.py:465-480)
+    (f'''<xs:schema {XS}><xs:complexType name="b">
+       <xs:sequence><xs:element name="a"/></xs:sequence>
+       </xs:complexType>
+       <xs:element name="t"><xs:complexType><xs:complexContent>
+       <xs:extension base="b"><xs:all><xs:element name="c"/></xs:all>
+       </xs:extension></xs:complexContent></xs:complexType>
+       </xs:element></xs:schema>''',
+     "cannot extend a complex content with xs:all", {}),
+    (f'''<xs:schema {XS}><xs:complexType name="b">
+       <xs:all><xs:element name="a"/></xs:all></xs:complexType>
+       <xs:element name="t"><xs:complexType><xs:complexContent>
+       <xs:extension base="b">
+       <xs:sequence><xs:element name="c"/></xs:sequence>
+       </xs:extension></xs:complexContent></xs:complexType>
+       </xs:element></xs:schema>''',
+     "xs:sequence cannot extend xs:all", {}),
+    (f'''<xs:schema {XS}><xs:complexType name="b">
+       <xs:all><xs:element name="a"/></xs:all></xs:complexType>
+       <xs:element name="t"><xs:complexType><xs:complexContent>
+       <xs:extension base="b"><xs:choice><xs:element name="c"/>
+       </xs:choice></xs:extension></xs:complexContent></xs:complexType>
+       </xs:element></xs:schema>''',
+     "XSD 1.0 does not allow extension of a not empty 'all'", {}),
+    # XSD 1.1 all-merge preconditions (complex_types.py:983-990)
+    (f'''<xs:schema {XS}><xs:complexType name="b">
+       <xs:all><xs:element name="a"/></xs:all></xs:complexType>
+       <xs:element name="t"><xs:complexType><xs:complexContent>
+       <xs:extension base="b">
+       <xs:sequence><xs:element name="c"/></xs:sequence>
+       </xs:extension></xs:complexContent></xs:complexType>
+       </xs:element></xs:schema>''',
+     "with a different model", {"xsd11": True}),
+    (f'''<xs:schema {XS}><xs:complexType name="b">
+       <xs:all minOccurs="0"><xs:element name="a"/></xs:all>
+       </xs:complexType>
+       <xs:element name="t"><xs:complexType><xs:complexContent>
+       <xs:extension base="b"><xs:all><xs:element name="c"/></xs:all>
+       </xs:extension></xs:complexContent></xs:complexType>
+       </xs:element></xs:schema>''',
+     "minOccurs must be the same", {"xsd11": True}),
+    # merge/override misuse
+    (f'''<xs:schema {XS}><xs:complexType name="b">
+       <xs:attribute name="rid"/><xs:attribute name="x"/>
+       </xs:complexType>
+       <xs:element name="t"><xs:complexType><xs:complexContent>
+       <xs:extension base="b"><xs:attribute name="x"/>
+       </xs:extension></xs:complexContent></xs:complexType>
+       </xs:element></xs:schema>''',
+     "duplicated attribute 'x'", {}),
+    # circularity (reference circularity checks)
+    (f'''<xs:schema {XS}><xs:group name="g"><xs:sequence>
+       <xs:group ref="g"/></xs:sequence></xs:group>
+       <xs:element name="t"><xs:complexType><xs:sequence>
+       <xs:group ref="g"/></xs:sequence><xs:attribute name="rid"/>
+       </xs:complexType></xs:element></xs:schema>''',
+     "circular definition of group 'g'", {"tags_column": "tags"}),
+    (f'''<xs:schema {XS}>
+       <xs:attributeGroup name="ag"><xs:attributeGroup ref="ag"/>
+       </xs:attributeGroup>
+       <xs:element name="t"><xs:complexType>
+       <xs:attributeGroup ref="ag"/><xs:attribute name="rid"/>
+       </xs:complexType></xs:element></xs:schema>''',
+     "circular definition of attributeGroup 'ag'", {}),
+    (f'''<xs:schema {XS}><xs:complexType name="a">
+       <xs:complexContent><xs:extension base="b"/></xs:complexContent>
+       </xs:complexType><xs:complexType name="b">
+       <xs:complexContent><xs:extension base="a"/></xs:complexContent>
+       </xs:complexType>
+       <xs:element name="t" type="a"/></xs:schema>''',
+     "circular definition of complexType", {}),
+    # simpleContent base sanity
+    (f'''<xs:schema {XS}><xs:complexType name="b">
+       <xs:sequence><xs:element name="a"/></xs:sequence>
+       </xs:complexType>
+       <xs:element name="t"><xs:complexType><xs:simpleContent>
+       <xs:extension base="b"><xs:attribute name="rid"/>
+       </xs:extension></xs:simpleContent></xs:complexType>
+       </xs:element></xs:schema>''',
+     "has no simple content", {}),
+])
+def test_derivation_errors(xsd, match, kw):
+    with pytest.raises(ValueError, match=match):
+        spec_from_xsd(xsd, key_column="rid", **kw)

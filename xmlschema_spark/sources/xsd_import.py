@@ -50,9 +50,31 @@ Mapping (reference parity anchors):
     single steps. keyref refer= resolves against the named key and
     points at this table (``ref_table = spec.name``).
 
+  xs:group / xs:attributeGroup (global def + ref) -> expanded in
+    place: a group ref becomes a copy of the named model group with
+    the ref's occurs (groups.py:61 XsdGroup ref parse; occurs live on
+    the REFERENCE, the named group's top model group carries none);
+    attributeGroup refs splice their attribute declarations
+    (attributes.py:336-505). Circular refs raise like the reference's
+    circularity checks.
+
+  complexContent extension / restriction on the row type -> flattened
+    derivation (complex_types.py:361-500 / Xsd11 893-1003): extension
+    appends its particle AFTER the base's in an implicit sequence and
+    MERGES attributes (duplicate attribute = error); the XSD 1.0
+    'all'-extension prohibitions and the XSD 1.1 all-extends-all
+    member merge (same minOccurs) use the reference's own wordings.
+    Restriction REPLACES the content model and overrides attributes
+    by name (use='prohibited' drops the base attribute and asserts
+    the column NULL). xs:assert conjoins down the chain.
+
+  simpleContent extension / restriction -> the text content becomes
+    the ``value_column`` column (its simple type resolved through the
+    chain, restriction facets applied as a derivation step) plus the
+    merged attribute columns (complex_types.py:302-359).
+
 Out of scope (raises ValueError naming the construct): xs:import /
-xs:include / xs:redefine / xs:override, attributeGroup / group refs,
-complexContent extension/restriction, mixed content, xs:notation,
+xs:include / xs:redefine / xs:override, mixed content, xs:notation,
 QName/NOTATION types, and multi-step identity field paths. The
 reference resolves these during schema build; flattening them is
 schema-authoring work the importer will not guess at.
@@ -60,6 +82,7 @@ schema-authoring work the importer will not guess at.
 
 from __future__ import annotations
 
+import copy
 import re
 from typing import Optional
 from xml.etree import ElementTree
@@ -99,7 +122,7 @@ _BUILTIN_LISTS = {"NMTOKENS": "xsd:NMTOKEN", "IDREFS": "xsd:IDREF",
                   "ENTITIES": "xsd:ENTITY"}
 
 _UNSUPPORTED_TOP = ("import", "include", "redefine", "override",
-                    "attributeGroup", "group", "notation")
+                    "notation")
 
 _FACET_INT = {"length": "length", "minLength": "min_length",
               "maxLength": "max_length", "totalDigits": "total_digits",
@@ -147,8 +170,11 @@ def _parse_facets(restriction, kw: dict) -> None:
     from ..functions.xpath_assert import xpath_assertion
     for f in restriction:
         tag = _local(f.tag)
-        if tag == "annotation":
-            continue
+        if tag in ("annotation", "attribute", "attributeGroup",
+                   "anyAttribute", "assert"):
+            continue                     # non-facet children (a
+            # simpleContent restriction body carries attributes and
+            # asserts next to its facets — handled by the flattener)
         if tag == "simpleType":          # inline base
             continue                     # handled by caller
         v = f.get("value")
@@ -282,9 +308,80 @@ def _parse_particle(node, named: dict, complex_names: set) -> ParticleSpec:
                     for c in node if _local(c.tag) != "annotation"]
         return ParticleSpec(kind=tag, min_occurs=lo, max_occurs=hi,
                             children=children)
-    _err(f"unsupported particle xs:{tag} (group refs and "
-         "complexContent need schema flattening first)")
+    _err(f"unsupported particle xs:{tag}")
     raise AssertionError  # unreachable
+
+
+_MODEL_TAGS = ("sequence", "choice", "all")
+
+
+def _group_model_child(node, name: str):
+    """The single model-group child of a global xs:group definition."""
+    body = [c for c in node if _local(c.tag) in _MODEL_TAGS]
+    if len(body) != 1:
+        _err(f"global group {name!r} must contain exactly one of "
+             "sequence|choice|all")
+    return body[0]
+
+
+def _expand_groups(node, groups: dict, stack: tuple = ()):
+    """Replace every <xs:group ref=.../> under `node` (a model group)
+    with a copy of the referenced global group's model group, carrying
+    the REFERENCE's occurs (groups.py XsdGroup ref parse: minOccurs /
+    maxOccurs belong to the reference particle; a named group's top
+    model group has none). Returns a new node; cycles raise like the
+    reference's circular-group check."""
+    out = copy.copy(node)
+    out[:] = []
+    for c in node:
+        tag = _local(c.tag)
+        if tag == "group":
+            ref = c.get("ref")
+            if ref is None:
+                _err("a group particle inside a model requires ref= "
+                     "(named group definitions are global only)")
+            ref = _strip_prefix(ref)
+            if ref in stack:
+                _err(f"circular definition of group {ref!r}")
+            if ref not in groups:
+                _err(f"unknown group ref {ref!r}")
+            eff = copy.deepcopy(_group_model_child(groups[ref], ref))
+            for attr in ("minOccurs", "maxOccurs"):
+                if c.get(attr) is not None:
+                    eff.set(attr, c.get(attr))
+                elif attr in eff.attrib:
+                    del eff.attrib[attr]
+            out.append(_expand_groups(eff, groups, stack + (ref,)))
+        elif tag in _MODEL_TAGS:
+            out.append(_expand_groups(c, groups, stack))
+        else:
+            out.append(c)
+    return out
+
+
+def _attr_entries(node, attr_groups: dict, stack: tuple = ()) -> list:
+    """Attribute declaration nodes under `node` in document order,
+    with <xs:attributeGroup ref=.../> spliced recursively
+    (attributes.py:336-505; circular refs raise)."""
+    out = []
+    for c in node:
+        tag = _local(c.tag)
+        if tag == "attribute":
+            out.append(c)
+        elif tag == "attributeGroup":
+            ref = c.get("ref")
+            if ref is None:
+                _err("a nested attributeGroup requires ref= (the "
+                     "attribute 'ref' is required in a local "
+                     "attributeGroup)")
+            ref = _strip_prefix(ref)
+            if ref in stack:
+                _err(f"circular definition of attributeGroup {ref!r}")
+            if ref not in attr_groups:
+                _err(f"unknown attributeGroup ref {ref!r}")
+            out.extend(_attr_entries(attr_groups[ref], attr_groups,
+                                     stack + (ref,)))
+    return out
 
 
 def _element_is_simple(el, named: dict) -> bool:
@@ -294,6 +391,229 @@ def _element_is_simple(el, named: dict) -> bool:
         return (local in _BUILTIN_DTYPES or local in _BUILTIN_LISTS
                 or local in named)
     return any(_local(c.tag) == "simpleType" for c in el)
+
+
+def _flat_children(node) -> Optional[list]:
+    """Element children of a model group, looking through NESTED
+    sequence/all groups with occurs 1/1 (the implicit sequence a
+    flattened extension produces). None = not a flat shape (choice,
+    wildcard, or a repeated nested group)."""
+    out: list = []
+    for c in node:
+        tag = _local(c.tag)
+        if tag == "annotation":
+            continue
+        if tag == "element":
+            out.append(c)
+        elif (tag in ("sequence", "all")
+              and _occ(c, "minOccurs", 1) == 1
+              and _occ(c, "maxOccurs", 1) == 1):
+            sub = _flat_children(c)
+            if sub is None:
+                return None
+            out.extend(sub)
+        else:
+            return None
+    return out
+
+
+def _merge_attrs(base: dict, own_nodes: list, mode: str):
+    """Merge a derivation step's attribute declarations over the
+    base's (complex_types.py _parse_content_tail base_attributes):
+    extension may only ADD (duplicate = error, attributes.py
+    duplicated-attribute rule), restriction overrides by name and
+    use='prohibited' DROPS the base attribute (the column must then
+    be absent/NULL). Returns (ordered name->node, prohibited set)."""
+    attrs = dict(base)
+    prohibited: set = set()
+    for a in own_nodes:
+        name = a.get("name")
+        if name is None:
+            _err("attribute declaration requires name= (global "
+                 "attribute refs are not supported)")
+        if a.get("use") == "prohibited":
+            attrs.pop(name, None)
+            prohibited.add(name)
+            continue
+        if mode == "extension" and name in attrs:
+            _err(f"duplicated attribute {name!r} in extension "
+                 "(an extension may only add attributes)")
+        attrs[name] = a
+    return attrs, prohibited
+
+
+def _content_node(holder, groups: dict):
+    """The model-group child of a complexType / derivation element,
+    group refs expanded. None if content-less."""
+    for c in holder:
+        tag = _local(c.tag)
+        if tag in _MODEL_TAGS:
+            return _expand_groups(c, groups)
+        if tag == "group":
+            wrapper = copy.copy(holder)
+            wrapper[:] = [c]
+            return _expand_groups(wrapper, groups)[0]
+    return None
+
+
+def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
+    """Flatten a complexType's derivation chain into effective parts:
+
+      attrs       ordered {name: attribute node} after merging
+      prohibited  attribute names that must be absent (NULL)
+      content     ONE model-group node (synthetic xs:sequence for an
+                  extension composition, merged xs:all for the XSD 1.1
+                  all-extends-all case) or None
+      value_kw    simpleContent value-type kwargs or None
+      asserts     xs:assert nodes, base-first (assertions apply down
+                  the chain, XSD 1.1)
+      oc_nodes    openContent nodes (own wins over inherited)
+
+    Reference parity: complex_types.py:361-500 (XSD 1.0 extension /
+    restriction), 893-1003 (XSD 1.1 all-merge), 302-359
+    (simpleContent); error strings mirror the reference's."""
+    if ct.get("mixed") == "true":
+        _err("mixed content has no tabular analog")
+    groups, attr_groups = env["groups"], env["attr_groups"]
+    named, anon = env["named"], env["anon"]
+    own_attr_nodes = _attr_entries(ct, attr_groups)
+    own_asserts = ct.findall(f"{_N}assert")
+    own_oc = [c for c in ct if _local(c.tag) == "openContent"]
+
+    deriv = [c for c in ct
+             if _local(c.tag) in ("simpleContent", "complexContent")]
+    if not deriv:
+        attrs, prohibited = _merge_attrs({}, own_attr_nodes, "own")
+        return {"attrs": attrs, "prohibited": prohibited,
+                "content": _content_node(ct, groups), "value_kw": None,
+                "asserts": own_asserts, "oc_nodes": own_oc}
+
+    d = deriv[0]
+    simple = _local(d.tag) == "simpleContent"
+    inner = [c for c in d
+             if _local(c.tag) in ("restriction", "extension")]
+    if len(inner) != 1:
+        _err("restriction or extension tag expected "
+             f"inside xs:{_local(d.tag)}")
+    der = inner[0]
+    mode = _local(der.tag)
+    base_q = der.get("base")
+    if base_q is None:
+        _err(f"xs:{mode} requires a base= attribute")
+    base_local = _strip_prefix(base_q)
+
+    der_attr_nodes = _attr_entries(der, attr_groups)
+    der_asserts = der.findall(f"{_N}assert")
+    der_oc = [c for c in der if _local(c.tag) == "openContent"]
+
+    def _base_ct():
+        if base_local in stack or base_local == ct.get("name"):
+            _err(f"circular definition of complexType {base_local!r}")
+        if base_local not in env["complex_types"]:
+            _err(f"base type {base_q!r} is not a global complexType "
+                 "of this document")
+        return _flatten_ct(env["complex_types"][base_local], env,
+                           stack + (base_local,))
+
+    if simple:
+        if mode == "extension":
+            # base: a simple type, or a complexType with simple
+            # content (complex_types.py:340-359)
+            if (base_local in _BUILTIN_DTYPES
+                    or base_local in _BUILTIN_LISTS
+                    or base_local in named):
+                value_kw = dict(_resolve_type(base_q, named))
+                base_attrs: dict = {}
+                base_asserts: list = []
+            else:
+                base = _base_ct()
+                if base["value_kw"] is None:
+                    _err(f"base type {base_q!r} has no simple content")
+                value_kw = dict(base["value_kw"])
+                base_attrs = base["attrs"]
+                base_asserts = base["asserts"]
+            attrs, prohibited = _merge_attrs(base_attrs,
+                                             der_attr_nodes, mode)
+        else:
+            # simpleContent restriction: base must be a complexType
+            # with simple content; its value type becomes a derivation
+            # step the restriction's facets chain onto
+            # (complex_types.py:302-338)
+            if (base_local in _BUILTIN_DTYPES
+                    or base_local in _BUILTIN_LISTS
+                    or base_local in named):
+                _err(f"base {base_q!r} is simple or has a simple "
+                     "content (a simpleContent restriction derives "
+                     "from a complexType)")
+            base = _base_ct()
+            if base["value_kw"] is None:
+                _err(f"base type {base_q!r} has no simple content")
+            anon_name = f"{ct.get('name') or 'row'}__content"
+            anon[anon_name] = dict(base["value_kw"])
+            named[anon_name] = anon[anon_name]
+            value_kw = {"base": anon_name}
+            _parse_facets(der, value_kw)
+            base_asserts = base["asserts"]
+            attrs, prohibited = _merge_attrs(base["attrs"],
+                                             der_attr_nodes, mode)
+        return {"attrs": attrs, "prohibited": prohibited,
+                "content": None, "value_kw": value_kw,
+                "asserts": (base_asserts + own_asserts + der_asserts),
+                "oc_nodes": der_oc or own_oc}
+
+    # ---- complexContent
+    base = _base_ct()
+    if base["value_kw"] is not None:
+        _err(f"base {base_q!r} is simple or has a simple content")
+    own_content = _content_node(der, groups)
+    attrs, prohibited = _merge_attrs(base["attrs"], der_attr_nodes,
+                                     mode)
+    asserts = base["asserts"] + own_asserts + der_asserts
+    oc_nodes = der_oc or own_oc or base["oc_nodes"]
+
+    if mode == "restriction":
+        # restriction REPLACES the content model
+        # (complex_types.py:361-410)
+        content = own_content
+    else:
+        bnode = base["content"]
+        if bnode is None or len(bnode) == 0:
+            content = own_content if own_content is not None else bnode
+        elif own_content is None or len(own_content) == 0:
+            content = bnode
+        else:
+            bmodel = _local(bnode.tag)
+            gmodel = _local(own_content.tag)
+            if not env["xsd11"]:
+                if gmodel == "all":
+                    _err("cannot extend a complex content with xs:all")
+                if bmodel == "all" and gmodel == "sequence":
+                    _err("xs:sequence cannot extend xs:all")
+                if bmodel == "all":
+                    _err("XSD 1.0 does not allow extension of a not "
+                         "empty 'all' model group")
+                content = ElementTree.Element(f"{_N}sequence")
+                content.extend([bnode, own_content])
+            else:
+                if bmodel == "all":
+                    if gmodel != "all":
+                        _err("cannot extend a not empty 'all' model "
+                             "group with a different model")
+                    if _occ(bnode, "minOccurs", 1) != \
+                            _occ(own_content, "minOccurs", 1):
+                        _err("when extend an xs:all group minOccurs "
+                             "must be the same")
+                    content = copy.copy(bnode)
+                    content[:] = list(bnode) + list(own_content)
+                elif gmodel == "all":
+                    _err(f"xs:all cannot extend a not empty xs:{bmodel}")
+                else:
+                    content = ElementTree.Element(f"{_N}sequence")
+                    content.extend([bnode, own_content])
+
+    return {"attrs": attrs, "prohibited": prohibited,
+            "content": content, "value_kw": None, "asserts": asserts,
+            "oc_nodes": oc_nodes}
 
 
 # -------------------------------------------------------------- identity
@@ -325,6 +645,7 @@ def _field_column(xpath: str) -> str:
 def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                   key_column: Optional[str] = None,
                   tags_column: Optional[str] = None,
+                  value_column: str = "value",
                   xsd11: bool = False) -> TableSpec:
     """Build a TableSpec from XSD schema text (or a file path).
 
@@ -337,6 +658,10 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 child-tag sequence (array<string>, array<struct> with a
                 'tag' field, or lexical); the particle tree becomes a
                 ContentModelSpec over it.
+    value_column: when the row type has simpleContent, the column
+                holding the element's text content (default 'value');
+                the simple type resolved through the derivation chain
+                validates it.
     xsd11:      enable XSD 1.1 particle rules (relaxed 'all', asserts
                 are always accepted since the engine targets 1.1
                 assertions natively).
@@ -368,6 +693,19 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     complex_types = {ct.get("name"): ct
                      for ct in root.findall(f"{_N}complexType")
                      if ct.get("name")}
+    groups: dict = {}
+    for g in root.findall(f"{_N}group"):
+        if g.get("name") is None:
+            _err("global group requires a name")
+        groups[g.get("name")] = g
+    attr_groups: dict = {}
+    for g in root.findall(f"{_N}attributeGroup"):
+        if g.get("name") is None:
+            _err("global attributeGroup requires a name")
+        attr_groups[g.get("name")] = g
+    env = {"complex_types": complex_types, "groups": groups,
+           "attr_groups": attr_groups, "named": named, "anon": anon,
+           "xsd11": xsd11}
 
     globals_ = root.findall(f"{_N}element")
     if element is None:
@@ -431,54 +769,48 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             kw["default"] = el.get("default")
         columns.append(_kw_to_colspec(name, kw))
 
-    # ---- attributes
-    def _walk_attributes(node):
-        for a in node.findall(f"{_N}attribute"):
-            name = a.get("name")
-            use = a.get("use", "optional")
-            if use == "prohibited":
-                # tabular analog of a prohibited attribute: if the
-                # column exists it must be entirely absent (NULL)
-                asserts.append(AssertSpec(
-                    name=f"prohibited_{name}",
-                    expr=f"`{name}` IS NULL", columns=[name]))
-                continue
-            t = a.get("type")
-            if t is not None:
-                kw = dict(_resolve_type(t, named))
-            else:
-                inline = [c for c in a if _local(c.tag) == "simpleType"]
-                kw = _parse_simple_type(inline[0], f"{name}__type",
-                                        named, anon) if inline else {}
-            kw["nullable"] = use != "required"
-            if a.get("fixed") is not None:
-                kw["fixed"] = a.get("fixed")
-            if a.get("default") is not None:
-                kw["default"] = a.get("default")
-            columns.append(_kw_to_colspec(name, kw))
-        if node.findall(f"{_N}anyAttribute"):
-            pass  # wildcard attributes = allow_extra_columns (default)
+    # ---- flatten the row type (derivation chains, group /
+    # attributeGroup refs) into effective attributes + content
+    flat = _flatten_ct(ct, env)
 
-    _walk_attributes(ct)
+    # ---- attributes
+    def _attr_column(name, a):
+        t = a.get("type")
+        if t is not None:
+            kw = dict(_resolve_type(t, named))
+        else:
+            inline = [c for c in a if _local(c.tag) == "simpleType"]
+            kw = _parse_simple_type(inline[0], f"{name}__type",
+                                    named, anon) if inline else {}
+        kw["nullable"] = a.get("use", "optional") != "required"
+        if a.get("fixed") is not None:
+            kw["fixed"] = a.get("fixed")
+        if a.get("default") is not None:
+            kw["default"] = a.get("default")
+        columns.append(_kw_to_colspec(name, kw))
+
+    for name, a in flat["attrs"].items():
+        _attr_column(name, a)
+    for name in sorted(flat["prohibited"]):
+        # tabular analog of a prohibited attribute: if the column
+        # exists it must be entirely absent (NULL)
+        asserts.append(AssertSpec(
+            name=f"prohibited_{name}",
+            expr=f"`{name}` IS NULL", columns=[name]))
+
+    # ---- simpleContent: the text content is the value column
+    if flat["value_kw"] is not None:
+        kw = dict(flat["value_kw"])
+        kw.setdefault("nullable", True)
+        columns.append(_kw_to_colspec(value_column, kw))
 
     # ---- content
-    model_groups = [c for c in ct
-                    if _local(c.tag) in ("sequence", "choice", "all")]
-    oc_nodes = [c for c in ct if _local(c.tag) == "openContent"]
-    if _local(ct.tag) == "complexType" and any(
-            _local(c.tag) in ("simpleContent", "complexContent")
-            for c in ct):
-        _err("simpleContent/complexContent derivation on the row "
-             "element is not supported — flatten the type first")
-    if ct.get("mixed") == "true":
-        _err("mixed content has no tabular analog")
-
-    if model_groups:
-        group = model_groups[0]
-        elements = [c for c in group if _local(c.tag) == "element"]
-        non_element = [c for c in group
-                       if _local(c.tag) not in ("element", "annotation")]
-        all_simple = (not non_element and _local(group.tag) != "choice"
+    group = flat["content"]
+    oc_nodes = flat["oc_nodes"]
+    if group is not None and len(group) > 0:
+        elements = _flat_children(group) \
+            if _local(group.tag) != "choice" else None
+        all_simple = (elements is not None
                       and all(_element_is_simple(e, named)
                               for e in elements)
                       and tags_column is None)
@@ -507,9 +839,9 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 target_ns=target_ns, open_content=open_content,
                 xsd11=xsd11))
 
-    # ---- XSD 1.1 asserts on the complexType
+    # ---- XSD 1.1 asserts (own + inherited down the chain)
     from ..functions.xpath_assert import translate_xpath_assert
-    for i, a in enumerate(ct.findall(f"{_N}assert")):
+    for i, a in enumerate(flat["asserts"]):
         test = a.get("test")
         if test is None:
             _err("xs:assert requires a 'test' attribute")
