@@ -706,3 +706,76 @@ def test_xsd11_all_extends_all_merges(spark):
 def test_derivation_errors(xsd, match, kw):
     with pytest.raises(ValueError, match=match):
         spec_from_xsd(xsd, key_column="rid", **kw)
+
+
+# --------------------------- real reference schema files import as-is
+
+_CASES = "/root/reference/tests/test_cases"
+
+
+def test_reference_collection_person(spark):
+    """The reference's flagship example schema imports directly:
+    collection.xsd's personType row (examples/collection/collection.xsd,
+    profiled by profiling/profile_decoder.py)."""
+    spec = spec_from_xsd(f"{_CASES}/examples/collection/collection.xsd",
+                         element="person", key_column="id")
+    assert [c.name for c in spec.columns] \
+        == ["id", "name", "born", "dead", "qualification"]
+    got = _viol(spark, spec,
+                # rows shaped like collection.xml's person elements
+                [("vdg", "Vincent van Gogh", "1853-03-30",
+                  "1890-07-29", "painter"),
+                 ("pm", "Paul Morand", "1888-13-01", None, None),
+                 (None, "Anon", "1900-01-01", None, "unknown")],
+                "id string, name string, born string, dead string, "
+                "qualification string")
+    assert set(got) == {("pm", "facet:pattern:born"),
+                        (None, "required:id")}
+
+
+def test_reference_menu_schema(spark):
+    """menù.xsd (non-ASCII names): repeated simple children become
+    array columns with occurs as length facets."""
+    spec = spec_from_xsd(f"{_CASES}/examples/menù/menù.xsd",
+                         key_column="rid")
+    assert spec.name == "menù"
+    col = {c.name: c for c in spec.columns}
+    assert col["antipasto"].max_length == 10
+    assert not col["antipasto"].nullable  # minOccurs defaults to 1
+    got = _viol(spark, spec,
+                [("r1", ["a"], ["b"], ["c"], ["d"]),
+                 ("r2", [], ["b"], ["c"], list("0123456789x"))],
+                "rid string, antipasto array<string>, "
+                "primo array<string>, secondo array<string>, "
+                "dolce array<string>")
+    assert set(got) == {("r2", "facet:minLength:antipasto"),
+                        ("r2", "facet:maxLength:dolce")}
+
+
+def test_reference_complex_extensions_schema(spark):
+    """features/derivations/complex-extensions.xsd imports as a type
+    library: case 1 (complexContent extension over a simpleContent
+    base with no group — LEGAL, content stays simple) and case 3."""
+    path = f"{_CASES}/features/derivations/complex-extensions.xsd"
+    spec = spec_from_xsd(path, element="external-word",
+                         key_column="language", value_column="word")
+    assert [c.name for c in spec.columns] \
+        == ["language", "other-language", "word"]
+    assert {c.name: c.default for c in spec.columns}["other-language"] \
+        == "italian"
+    spec3 = spec_from_xsd(path, element="derivedComplexContentType",
+                          key_column="dummy", value_column="expr")
+    assert [c.name for c in spec3.columns] \
+        == ["dummy", "resetTypeRef", "expr"]
+    got = _viol(spark, spec3,
+                [("d1", "ok", "x"), ("d2", "not a Name", "y")],
+                "dummy string, resetTypeRef string, expr string")
+    assert set(got) == {("d2", "facet:pattern:resetTypeRef")}
+
+
+def test_reference_mixed_type_rejected():
+    """Case 2 of the same file: personType is mixed — no tabular
+    analog, the importer says so."""
+    path = f"{_CASES}/features/derivations/complex-extensions.xsd"
+    with pytest.raises(ValueError, match="mixed content"):
+        spec_from_xsd(path, element="extPersonType", key_column="x")

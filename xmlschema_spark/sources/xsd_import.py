@@ -563,13 +563,25 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
 
     # ---- complexContent
     base = _base_ct()
-    if base["value_kw"] is not None:
-        _err(f"base {base_q!r} is simple or has a simple content")
     own_content = _content_node(der, groups)
     attrs, prohibited = _merge_attrs(base["attrs"], der_attr_nodes,
                                      mode)
     asserts = base["asserts"] + own_asserts + der_asserts
     oc_nodes = der_oc or own_oc or base["oc_nodes"]
+
+    if base["value_kw"] is not None:
+        # complexContent over a simple-content base: XSD 1.0 admits an
+        # EXTENSION that adds no model group — the content stays the
+        # base's simple content (complex_types.py:487-490, exercised
+        # by features/derivations/complex-extensions.xsd cases 1/3);
+        # anything else is the reference's error
+        if mode == "extension" and not env["xsd11"] and (
+                own_content is None or len(own_content) == 0):
+            return {"attrs": attrs, "prohibited": prohibited,
+                    "content": None,
+                    "value_kw": dict(base["value_kw"]),
+                    "asserts": asserts, "oc_nodes": oc_nodes}
+        _err(f"base {base_q!r} is simple or has a simple content")
 
     if mode == "restriction":
         # restriction REPLACES the content model
@@ -650,7 +662,9 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     """Build a TableSpec from XSD schema text (or a file path).
 
     element:    name of the global xs:element that represents one ROW
-                (defaults to the single global element).
+                (defaults to the single global element); may also name
+                a global complexType directly (type-library schemas
+                with no element declarations).
     key_column: the row-identity column; defaults to the field of the
                 schema's single single-field xs:key, if there is one.
     tags_column: when the row element's content model has COMPLEX
@@ -708,6 +722,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
            "xsd11": xsd11}
 
     globals_ = root.findall(f"{_N}element")
+    row_el = None
     if element is None:
         if len(globals_) != 1:
             _err(f"{len(globals_)} global elements — pass element= to "
@@ -715,15 +730,22 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         row_el = globals_[0]
     else:
         cands = [e for e in globals_ if e.get("name") == element]
-        if not cands:
-            _err(f"no global element named {element!r}")
-        row_el = cands[0]
-    table_name = row_el.get("name")
+        if cands:
+            row_el = cands[0]
+        elif element not in complex_types:
+            _err(f"no global element or complexType named {element!r}")
+    table_name = row_el.get("name") if row_el is not None else element
 
     # ---- resolve the row element's complexType
     ct = None
-    t = row_el.get("type")
-    if t is not None:
+    if row_el is None:
+        # element= named a global complexType directly (type-library
+        # schemas with no element declarations)
+        ct = complex_types[element]
+        t = None
+    else:
+        t = row_el.get("type")
+    if ct is None and t is not None:
         local = _strip_prefix(t)
         if local in complex_types:
             ct = complex_types[local]
@@ -731,7 +753,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             _err(f"row element type {t!r} is not a global complexType "
                  "of this document (simple-typed row elements carry no "
                  "columns)")
-    else:
+    elif ct is None:
         inline = [c for c in row_el if _local(c.tag) == "complexType"]
         if not inline:
             _err(f"row element {table_name!r} has no complexType")
