@@ -779,3 +779,129 @@ def test_reference_mixed_type_rejected():
     path = f"{_CASES}/features/derivations/complex-extensions.xsd"
     with pytest.raises(ValueError, match="mixed content"):
         spec_from_xsd(path, element="extPersonType", key_column="x")
+
+
+# ------------------- element refs, substitution groups, default attrs
+
+def test_element_ref_and_substitution_group(spark):
+    """A ref particle naming a substitution head admits the members
+    (transitively) and honors the head's abstract flag
+    (elements.py:609-623, xsd_globals substitution maps)."""
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:element name="head" abstract="true" type="xs:string"/>
+      <xs:element name="m1" substitutionGroup="head" type="xs:string"/>
+      <xs:element name="m2" substitutionGroup="head" type="xs:string"/>
+      <xs:element name="m3" substitutionGroup="m1" type="xs:string"/>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:sequence>
+            <xs:element ref="head" maxOccurs="2"/>
+          </xs:sequence>
+          <xs:attribute name="rid"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", element="t", key_column="rid",
+                         tags_column="tags")
+    model = spec.content_models[0].model
+    head = model.children[0]
+    assert head.abstract and sorted(head.substitutes) \
+        == ["m1", "m2", "m3"]
+    got = _viol(spark, spec,
+                [("r1", ["m1"]), ("r2", ["m2", "m3"]),
+                 ("r3", ["head"]),          # abstract head itself
+                 ("r4", ["m1", "m2", "m3"])],   # 3 > maxOccurs 2
+                "rid string, tags array<string>")
+    assert set(got) == {("r3", "content:t:tags"),
+                        ("r4", "content:t:tags")}
+
+
+def test_element_ref_flat_column(spark):
+    """A ref'd SIMPLE global element becomes a column: type from the
+    global declaration, occurs from the reference particle."""
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:element name="score">
+        <xs:simpleType>
+          <xs:restriction base="xs:int">
+            <xs:maxInclusive value="100"/>
+          </xs:restriction>
+        </xs:simpleType>
+      </xs:element>
+      <xs:element name="t">
+        <xs:complexType>
+          <xs:sequence>
+            <xs:element ref="score" minOccurs="0"/>
+          </xs:sequence>
+          <xs:attribute name="rid"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", element="t", key_column="rid")
+    by = {c.name: c for c in spec.columns}
+    assert by["score"].nullable            # ref's minOccurs=0
+    got = _viol(spark, spec, [("r1", "99"), ("r2", "101"), ("r3", None)],
+                "rid string, score string")
+    assert set(got) == {("r2", "facet:maxInclusive:score")}
+
+
+def test_repeated_top_sequence_not_flat():
+    """A TOP sequence with maxOccurs>1 repeats the whole child list —
+    that is a content model, not a flat row (words.xsd shape)."""
+    with pytest.raises(ValueError, match="pass tags_column="):
+        spec_from_xsd(f"""
+        <xs:schema {XS}>
+          <xs:element name="words">
+            <xs:complexType>
+              <xs:sequence maxOccurs="unbounded">
+                <xs:element name="word" type="xs:string"/>
+              </xs:sequence>
+            </xs:complexType>
+          </xs:element>
+        </xs:schema>""", key_column="rid")
+
+
+def test_default_attributes_apply_and_optout(spark):
+    """XSD 1.1 defaultAttributes: the named attributeGroup applies to
+    the row type unless it opts out with defaultAttributesApply=false
+    (features/attributes/default_attributes.xsd)."""
+    schema = f"""
+    <xs:schema {XS} defaultAttributes="default_attrs"
+               xmlns="ns" targetNamespace="ns">
+      <xs:attributeGroup name="default_attrs">
+        <xs:attribute name="node-id" type="xs:positiveInteger"
+                      use="required"/>
+        <xs:attribute name="colour" type="xs:token"/>
+      </xs:attributeGroup>
+      <xs:element name="a">
+        <xs:complexType>
+          <xs:attribute name="rid"/>
+        </xs:complexType>
+      </xs:element>
+      <xs:element name="b">
+        <xs:complexType defaultAttributesApply="false">
+          <xs:attribute name="rid"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>"""
+    spec_a = spec_from_xsd(schema, element="a", key_column="rid")
+    assert [c.name for c in spec_a.columns] \
+        == ["rid", "node-id", "colour"]
+    got = _viol(spark, spec_a,
+                [("r1", "3", "red"), ("r2", "0", None), ("r3", None, None)],
+                "rid string, `node-id` string, colour string")
+    assert set(got) >= {("r3", "required:node-id")}
+    assert any(g == ("r2", "facet:minInclusive:node-id")
+               or g[0] == "r2" for g in got)  # 0 not a positiveInteger
+    spec_b = spec_from_xsd(schema, element="b", key_column="rid")
+    assert [c.name for c in spec_b.columns] == ["rid"]
+
+
+def test_reference_default_attributes_file():
+    """The reference's default_attributes.xsd imports: tree opts out
+    of the schema default attributes."""
+    path = f"{_CASES}/features/attributes/default_attributes.xsd"
+    spec = spec_from_xsd(path, element="tree", key_column="rid",
+                         tags_column="kids")
+    assert [c.name for c in spec.columns] == []   # opted out
+    assert spec.content_models and \
+        spec.content_models[0].model.children[0].name == "node"

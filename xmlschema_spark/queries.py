@@ -184,6 +184,83 @@ def xsd_import_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_key", "constraint", "value")
 
 
+_LINEITEM_CHAIN_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:attributeGroup name="keys">
+    <xs:attribute name="l_orderkey" type="xs:long" use="required"/>
+  </xs:attributeGroup>
+  <xs:simpleType name="pct">
+    <xs:restriction base="xs:double">
+      <xs:minInclusive value="0"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:simpleType name="smallPct">
+    <xs:restriction base="pct">
+      <xs:maxExclusive value="0.1"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:simpleType name="flagType">
+    <xs:restriction base="xs:token">
+      <xs:enumeration value="A"/>
+      <xs:enumeration value="N"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:complexType name="baseLine">
+    <xs:attributeGroup ref="keys"/>
+    <xs:attribute name="l_quantity">
+      <xs:simpleType>
+        <xs:restriction base="xs:double">
+          <xs:maxInclusive value="49"/>
+        </xs:restriction>
+      </xs:simpleType>
+    </xs:attribute>
+  </xs:complexType>
+  <xs:element name="lineitem">
+    <xs:complexType>
+      <xs:complexContent>
+        <xs:extension base="baseLine">
+          <xs:attribute name="l_returnflag" type="flagType"/>
+          <xs:attribute name="l_discount" type="smallPct"/>
+        </xs:extension>
+      </xs:complexContent>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+@register("xsd_import_chain_lineitem", """
+  SELECT CAST(l_orderkey AS VARCHAR) AS row_key,
+         'facet:maxInclusive:l_quantity' AS constraint,
+         CAST(l_quantity AS VARCHAR) AS value
+    FROM lineitem
+   WHERE l_quantity IS NOT NULL AND NOT (l_quantity <= 49)
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'facet:enumeration:l_returnflag',
+         l_returnflag
+    FROM lineitem
+   WHERE l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N')
+  UNION ALL
+  SELECT CAST(l_orderkey AS VARCHAR), 'facet:maxExclusive:l_discount',
+         CAST(l_discount AS VARCHAR)
+    FROM lineitem
+   WHERE l_discount IS NOT NULL AND NOT (l_discount < 0.1)
+""")
+def xsd_import_chain_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The importer's DERIVATION machinery, hash-gated: the lineitem
+    constraints are authored as schema text using an attributeGroup
+    ref, a named simpleType restriction CHAIN (pct -> smallPct), and a
+    complexContent EXTENSION whose base carries its own attributes —
+    all flattened at import (reference analog: schema build resolving
+    attribute groups and complex derivations, complex_types.py:411-500,
+    attributes.py:336-505). The oracle replays the flattened effective
+    facets in SQL."""
+    from .sources.xsd_import import spec_from_xsd
+    df = _load(spark, sf_dir, "lineitem")
+    spec = spec_from_xsd(_LINEITEM_CHAIN_XSD, key_column="l_orderkey")
+    return row_violations(df, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")
+
+
 # ---------------------------------------------------------------------------
 # Identity constraints (SURVEY §2.4/2.5): uniqueness aggregates + anti-joins
 # ---------------------------------------------------------------------------

@@ -284,16 +284,31 @@ def _occ(node, attr: str, dflt: int):
     return int(v)
 
 
-def _parse_particle(node, named: dict, complex_names: set) -> ParticleSpec:
+def _parse_particle(node, named: dict, elems: Optional[dict] = None
+                    ) -> ParticleSpec:
+    """elems (optional): {'globals': name->global element node,
+    'subs': head name -> transitive substitution member names} — a REF
+    particle naming a substitution head carries its members (and the
+    head's abstract flag), the reference's substitution dispatch
+    inside content models (elements.py:609-623 + xsd_globals
+    substitution maps)."""
     tag = _local(node.tag)
     lo, hi = _occ(node, "minOccurs", 1), _occ(node, "maxOccurs", 1)
     if tag == "element":
         name = node.get("name") or node.get("ref")
         if name is None:
             _err("element particle needs name= or ref=")
-        return ParticleSpec(kind="element", name=_strip_prefix(name),
+        local = _strip_prefix(name)
+        abstract = node.get("abstract") == "true"
+        substitutes: list = []
+        if node.get("ref") is not None and elems:
+            head = elems.get("globals", {}).get(local)
+            if head is not None:
+                abstract = head.get("abstract") == "true"
+            substitutes = sorted(elems.get("subs", {}).get(local, ()))
+        return ParticleSpec(kind="element", name=local,
                             min_occurs=lo, max_occurs=hi,
-                            abstract=node.get("abstract") == "true")
+                            substitutes=substitutes, abstract=abstract)
     if tag == "any":
         ns = node.get("namespace")
         if ns and ns not in ("##any", "##other", "##local",
@@ -304,7 +319,7 @@ def _parse_particle(node, named: dict, complex_names: set) -> ParticleSpec:
                             process_contents=node.get("processContents",
                                                       "strict"))
     if tag in ("sequence", "choice", "all"):
-        children = [_parse_particle(c, named, complex_names)
+        children = [_parse_particle(c, named, elems)
                     for c in node if _local(c.tag) != "annotation"]
         return ParticleSpec(kind=tag, min_occurs=lo, max_occurs=hi,
                             children=children)
@@ -384,7 +399,13 @@ def _attr_entries(node, attr_groups: dict, stack: tuple = ()) -> list:
     return out
 
 
-def _element_is_simple(el, named: dict) -> bool:
+def _element_is_simple(el, named: dict,
+                       globals_map: Optional[dict] = None) -> bool:
+    ref = el.get("ref")
+    if ref is not None:
+        tgt = (globals_map or {}).get(_strip_prefix(ref))
+        return (_element_is_simple(tgt, named, None)
+                if tgt is not None else False)
     t = el.get("type")
     if t is not None:
         local = _strip_prefix(t)
@@ -722,6 +743,30 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
            "xsd11": xsd11}
 
     globals_ = root.findall(f"{_N}element")
+    global_elements = {e.get("name"): e for e in globals_
+                       if e.get("name")}
+    # substitution groups, transitively closed (xsd_globals.py
+    # substitution maps; circularity raises like the reference)
+    subs: dict = {}
+    for e in globals_:
+        h = e.get("substitutionGroup")
+        if h:
+            subs.setdefault(_strip_prefix(h), set()).add(e.get("name"))
+    changed = True
+    while changed:
+        changed = False
+        for head, members in subs.items():
+            extra = set()
+            for m in list(members):
+                extra |= subs.get(m, set())
+            if not extra <= members:
+                members |= extra
+                changed = True
+    for head, members in subs.items():
+        if head in members:
+            _err(f"circularity found for substitutionGroup {head!r}")
+    elems = {"globals": global_elements, "subs": subs}
+
     row_el = None
     if element is None:
         if len(globals_) != 1:
@@ -795,6 +840,21 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     # attributeGroup refs) into effective attributes + content
     flat = _flatten_ct(ct, env)
 
+    # ---- XSD 1.1 schema-level defaultAttributes (attributes.py
+    # default_attributes parse; defaultAttributesApply='false' on the
+    # complexType opts out) — applied to the flattened row type,
+    # already-declared names win
+    da = root.get("defaultAttributes")
+    if da is not None and ct.get("defaultAttributesApply") != "false":
+        ref = _strip_prefix(da)
+        if ref not in attr_groups:
+            _err(f"defaultAttributes names unknown attributeGroup "
+                 f"{ref!r}")
+        for a in _attr_entries(attr_groups[ref], attr_groups):
+            nm = a.get("name")
+            if nm not in flat["attrs"] and nm not in flat["prohibited"]:
+                flat["attrs"][nm] = a
+
     # ---- attributes
     def _attr_column(name, a):
         t = a.get("type")
@@ -833,14 +893,25 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         elements = _flat_children(group) \
             if _local(group.tag) != "choice" else None
         all_simple = (elements is not None
-                      and all(_element_is_simple(e, named)
+                      # a repeated TOP group means the whole child
+                      # sequence repeats — not a flat row shape
+                      and _occ(group, "minOccurs", 1) == 1
+                      and _occ(group, "maxOccurs", 1) == 1
+                      and all(_element_is_simple(e, named,
+                                                 global_elements)
                               for e in elements)
                       and tags_column is None)
         if all_simple:
-            # flat row shape: each child element is a column
+            # flat row shape: each child element is a column (a ref
+            # takes its TYPE from the global declaration, its occurs
+            # from the reference particle — elements.py ref parse)
             for e in elements:
                 lo, hi = _occ(e, "minOccurs", 1), _occ(e, "maxOccurs", 1)
-                _column_from_simple(e.get("name"), e, lo, hi)
+                tgt, nm = e, e.get("name")
+                if e.get("ref") is not None:
+                    nm = _strip_prefix(e.get("ref"))
+                    tgt = global_elements[nm]
+                _column_from_simple(nm, tgt, lo, hi)
         else:
             if tags_column is None:
                 _err("the row element has structured content (complex "
@@ -853,11 +924,11 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 wc = [c for c in oc if _local(c.tag) == "any"]
                 open_content = OpenContentSpec(
                     mode=oc.get("mode", "interleave"),
-                    wildcard=_parse_particle(wc[0], named, set())
+                    wildcard=_parse_particle(wc[0], named, elems)
                     if wc else None)
             content_models.append(ContentModelSpec(
                 name=table_name, column=tags_column,
-                model=_parse_particle(group, named, set()),
+                model=_parse_particle(group, named, elems),
                 target_ns=target_ns, open_content=open_content,
                 xsd11=xsd11))
 
