@@ -905,3 +905,19 @@ def test_reference_default_attributes_file():
     assert [c.name for c in spec.columns] == []   # opted out
     assert spec.content_models and \
         spec.content_models[0].model.children[0].name == "node"
+
+
+def test_default_requires_optional_use():
+    """attributes.py:190-193: 'use' must be 'optional' when a default
+    is present — a schema-parse error, mirrored at import."""
+    with pytest.raises(ValueError,
+                       match="must be 'optional' if the attribute "
+                             "'default' is present"):
+        spec_from_xsd(f"""
+        <xs:schema {XS}><xs:element name="t">
+          <xs:complexType>
+            <xs:attribute name="rid"/>
+            <xs:attribute name="v" type="xs:int" use="required"
+                          default="3"/>
+          </xs:complexType></xs:element></xs:schema>""",
+                      key_column="rid")

@@ -249,6 +249,67 @@ def _check_int_literal(kind: str, fname: str, v) -> None:
             f"xsd:{kind}") from None
 
 
+_NATIVE_INT_RANGES = {"byte": (-128, 127), "short": (-32768, 32767),
+                      "int": (-2**31, 2**31 - 1),
+                      "long": (-2**63, 2**63 - 1)}
+
+
+def _literal_is_type_valid(dtype: Optional[str], v) -> bool:
+    """Compile-time membership test of a fixed/default literal in the
+    column type's lexical/value space — the reference rejects an
+    incompatible default at SCHEMA PARSE ('default value {!r} is not
+    compatible with attribute's type', attributes.py:195-206;
+    elements.py:318-331), not at validation time."""
+    if dtype is None:
+        return True
+    base = dtype.split("(")[0]
+    if isinstance(v, bool):
+        # a native Python bool IS a boolean value-space member
+        return base in ("boolean", "xsd:boolean")
+    s = " ".join(str(v).split())          # collapse, like the decode path
+    if base.startswith("xsd:"):
+        kind = base[4:]
+        if kind in _XSD_INT_TYPES:
+            if not re.fullmatch(_XSD_INT_LEX, s):
+                return False
+            _, lo, hi = _XSD_INT_TYPES[kind]
+            if lo is None:
+                lo, hi = _NATIVE_INT_RANGES[kind]
+            return lo <= int(s) <= hi
+        if kind in _XSD_INT_UNBOUNDED:
+            return re.fullmatch(_XSD_INT_UNBOUNDED[kind], s) is not None
+        if kind == "decimal":
+            return re.fullmatch(_XSD_DECIMAL_LEX, s) is not None
+        if kind in ("float", "double"):
+            return re.fullmatch(_XSD_FLOAT_LEX, s) is not None
+        if kind == "boolean":
+            return s in ("true", "false", "1", "0")
+        if kind == "hexBinary":
+            return re.fullmatch(r"([0-9a-fA-F]{2})*", s) is not None
+        if kind == "base64Binary":
+            return re.fullmatch(r"[A-Za-z0-9+/ ]*={0,2}", s) is not None
+        from ..functions.temporal_lex import ALL as _LEX
+        if kind in _LEX:
+            return re.fullmatch(_LEX[kind], s) is not None
+        return True
+    import datetime as _dt
+    try:
+        if base in ("tinyint", "smallint", "int", "bigint", "long",
+                    "short", "byte"):
+            int(s)
+        elif base in ("float", "double", "real", "decimal", "numeric"):
+            float(s)
+        elif base == "date":
+            _dt.date.fromisoformat(s)
+        elif base == "timestamp":
+            _dt.datetime.fromisoformat(s)
+        elif base == "boolean":
+            return s.lower() in ("true", "false", "1", "0")
+    except ValueError:
+        return False
+    return True
+
+
 @dataclass
 class RowCheck:
     """One compiled row-local constraint."""
@@ -356,6 +417,10 @@ def _validate_column_spec(cs: ColumnSpec) -> None:
         err("enumeration facet requires at least one value")
     if cs.fixed is not None and cs.default is not None:
         err("fixed and default cannot both be specified")
+    for fld, v in (("fixed", cs.fixed), ("default", cs.default)):
+        if v is not None and not _literal_is_type_valid(cs.dtype, v):
+            err(f"{fld} value {v!r} is not compatible with the "
+                "column's type")
 
     # bound-order conflicts: only where both bounds are numerically
     # comparable at compile time (temporal/duration bounds live in a

@@ -456,6 +456,10 @@ def _merge_attrs(base: dict, own_nodes: list, mode: str):
             attrs.pop(name, None)
             prohibited.add(name)
             continue
+        if a.get("default") is not None \
+                and a.get("use", "optional") != "optional":
+            _err("the attribute 'use' must be 'optional' if the "
+                 "attribute 'default' is present")
         if mode == "extension" and name in attrs:
             _err(f"duplicated attribute {name!r} in extension "
                  "(an extension may only add attributes)")
