@@ -921,3 +921,31 @@ def test_default_requires_optional_use():
                           default="3"/>
           </xs:complexType></xs:element></xs:schema>""",
                       key_column="rid")
+
+
+def test_reference_vehicles_include_chain(spark):
+    """xs:include merges by file location, at most once — the
+    vehicles set is a CIRCULAR include chain (vehicles -> cars ->
+    types -> cars) and is legal XSD (examples/vehicles/*.xsd)."""
+    p = f"{_CASES}/examples/vehicles/vehicles.xsd"
+    spec = spec_from_xsd(p, element="vehicles", key_column="rid",
+                         tags_column="kids")
+    assert [c.name for c in spec.content_models[0].model.children] \
+        == ["cars", "bikes"]
+    # a complexType that only exists via the include chain resolves
+    spec_t = spec_from_xsd(p, element="vehicleType", key_column="make")
+    assert [c.name for c in spec_t.columns] == ["make", "model"]
+    got = _viol(spark, spec,
+                [("r1", ["cars", "bikes"]), ("r2", ["bikes", "cars"])],
+                "rid string, kids array<string>")
+    assert set(got) == {("r2", "content:vehicles:kids")}
+
+
+def test_include_from_text_rejected():
+    with pytest.raises(ValueError, match="relative"):
+        spec_from_xsd(f"""
+        <xs:schema {XS}>
+          <xs:include schemaLocation="other.xsd"/>
+          <xs:element name="t"><xs:complexType>
+          <xs:attribute name="rid"/></xs:complexType></xs:element>
+        </xs:schema>""", key_column="rid")

@@ -73,16 +73,21 @@ Mapping (reference parity anchors):
     chain, restriction facets applied as a derivation step) plus the
     merged attribute columns (complex_types.py:302-359).
 
+  xs:include -> merged in place when the schema is given as a FILE
+    PATH (locations resolve against the including file's directory,
+    loaded at most once — circular include chains are legal and stop).
+
 Out of scope (raises ValueError naming the construct): xs:import /
-xs:include / xs:redefine / xs:override, mixed content, xs:notation,
-QName/NOTATION types, and multi-step identity field paths. The
-reference resolves these during schema build; flattening them is
-schema-authoring work the importer will not guess at.
+xs:redefine / xs:override, mixed content, xs:notation, QName/NOTATION
+types, and multi-step identity field paths. The reference resolves
+these during schema build; flattening them is schema-authoring work
+the importer will not guess at.
 """
 
 from __future__ import annotations
 
 import copy
+import os
 import re
 from typing import Optional
 from xml.etree import ElementTree
@@ -121,8 +126,39 @@ for _k in ("byte", "short", "int", "long", "unsignedByte", "unsignedShort",
 _BUILTIN_LISTS = {"NMTOKENS": "xsd:NMTOKEN", "IDREFS": "xsd:IDREF",
                   "ENTITIES": "xsd:ENTITY"}
 
-_UNSUPPORTED_TOP = ("import", "include", "redefine", "override",
-                    "notation")
+_UNSUPPORTED_TOP = ("import", "redefine", "override", "notation")
+
+
+def _resolve_includes(root, base_dir: Optional[str], seen: set) -> None:
+    """Merge xs:include'd schema documents into `root` (the
+    reference's include processing during schema build,
+    schemas/main.py add_schema / xsd_globals load): locations resolve
+    against the INCLUDING file's directory and are loaded at most once
+    — circular include chains are legal XSD and simply stop
+    (includes are idempotent by location)."""
+    for inc in [c for c in root if _local(c.tag) == "include"]:
+        loc = inc.get("schemaLocation")
+        if loc is None:
+            _err("xs:include requires a schemaLocation attribute")
+        root.remove(inc)
+        if base_dir is None and not os.path.isabs(loc):
+            _err(f"xs:include schemaLocation {loc!r} is relative — "
+                 "give the schema as a FILE PATH so includes can "
+                 "resolve against its directory")
+        path = os.path.normpath(os.path.join(base_dir or "", loc))
+        if path in seen:
+            continue
+        seen.add(path)
+        try:
+            with open(path) as f:
+                sub = ElementTree.fromstring(f.read())
+        except (OSError, ElementTree.ParseError) as e:
+            _err(f"cannot load included schema {loc!r}: {e}")
+        if sub.tag != f"{_N}schema":
+            _err(f"included document {loc!r} is not an xs:schema")
+        _resolve_includes(sub, os.path.dirname(path), seen)
+        for c in sub:
+            root.append(c)
 
 _FACET_INT = {"length": "length", "minLength": "min_length",
               "maxLength": "max_length", "totalDigits": "total_digits",
@@ -705,10 +741,17 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 are always accepted since the engine targets 1.1
                 assertions natively).
     """
-    text = xsd if xsd.lstrip().startswith("<") else open(xsd).read()
+    if xsd.lstrip().startswith("<"):
+        text, base_dir, seen = xsd, None, set()
+    else:
+        with open(xsd) as f:
+            text = f.read()
+        base_dir = os.path.dirname(os.path.abspath(xsd))
+        seen = {os.path.normpath(os.path.abspath(xsd))}
     root = ElementTree.fromstring(text)
     if root.tag != f"{_N}schema":
         _err(f"root element is {root.tag!r}, expected xs:schema")
+    _resolve_includes(root, base_dir, seen)
     target_ns = root.get("targetNamespace")
 
     for child in root:
