@@ -949,3 +949,51 @@ def test_include_from_text_rejected():
           <xs:element name="t"><xs:complexType>
           <xs:attribute name="rid"/></xs:complexType></xs:element>
         </xs:schema>""", key_column="rid")
+
+
+@pytest.mark.parametrize("body,match", [
+    ('''<xs:attribute name="a1"/><xs:attribute name="a2"/>
+        <xs:attribute name="a2"/>''',
+     "multiple declaration for attribute 'a2'"),
+    ('''<xs:attributeGroup ref="other"/>
+        <xs:attributeGroup ref="other"/>''',
+     "duplicated attributeGroup 'other'"),
+    ('<xs:attribute name="a" use="prohibited" fixed="foo"/>',
+     "'fixed' with use=prohibited is not allowed"),
+    ('<xs:attribute name="a" type="xs:ID" default="XYZ"/>',
+     "xs:ID key attributes cannot have a default value"),
+    ('<xs:attribute name="a" type="xs:ID" fixed="XYZ"/>',
+     "xs:ID key attributes cannot have a fixed value"),
+])
+def test_attribute_parse_rules(body, match):
+    """Reference attribute parse-error parity
+    (tests/validators/test_attributes.py:242-291,403-427,585-593)."""
+    with pytest.raises(ValueError, match=match):
+        spec_from_xsd(f"""
+        <xs:schema {XS}>
+          <xs:attributeGroup name="other">
+            <xs:attribute name="x"/></xs:attributeGroup>
+          <xs:element name="t"><xs:complexType>
+            <xs:attribute name="rid"/>{body}
+          </xs:complexType></xs:element>
+        </xs:schema>""", key_column="rid")
+
+
+@pytest.mark.parametrize("body,match", [
+    ('<xs:element ref="unknown"/>', "unknown element ref 'unknown'"),
+    ('<xs:element ref="node" default="foo"/>',
+     "cannot carry a default/fixed value constraint"),
+])
+def test_element_ref_parse_rules(body, match):
+    """Reference element-ref parse-error parity
+    (tests/validators/test_elements.py:22-46)."""
+    with pytest.raises(ValueError, match=match):
+        spec_from_xsd(f"""
+        <xs:schema {XS}>
+          <xs:element name="node" type="xs:string"/>
+          <xs:element name="t"><xs:complexType>
+            <xs:sequence>{body}</xs:sequence>
+            <xs:attribute name="rid"/>
+          </xs:complexType></xs:element>
+        </xs:schema>""", element="t", key_column="rid",
+                      tags_column="tags")

@@ -337,11 +337,20 @@ def _parse_particle(node, named: dict, elems: Optional[dict] = None
         local = _strip_prefix(name)
         abstract = node.get("abstract") == "true"
         substitutes: list = []
-        if node.get("ref") is not None and elems:
-            head = elems.get("globals", {}).get(local)
-            if head is not None:
+        if node.get("ref") is not None:
+            if node.get("default") is not None \
+                    or node.get("fixed") is not None:
+                # reference: ref particles take the value constraint
+                # from the GLOBAL declaration (test_elements.py:40-46)
+                _err(f"element reference {local!r} cannot carry a "
+                     "default/fixed value constraint")
+            if elems is not None:
+                head = elems.get("globals", {}).get(local)
+                if head is None:
+                    _err(f"unknown element ref {local!r}")
                 abstract = head.get("abstract") == "true"
-            substitutes = sorted(elems.get("subs", {}).get(local, ()))
+                substitutes = sorted(
+                    elems.get("subs", {}).get(local, ()))
         return ParticleSpec(kind="element", name=local,
                             min_occurs=lo, max_occurs=hi,
                             substitutes=substitutes, abstract=abstract)
@@ -415,6 +424,7 @@ def _attr_entries(node, attr_groups: dict, stack: tuple = ()) -> list:
     with <xs:attributeGroup ref=.../> spliced recursively
     (attributes.py:336-505; circular refs raise)."""
     out = []
+    local_refs: set = set()
     for c in node:
         tag = _local(c.tag)
         if tag == "attribute":
@@ -426,6 +436,10 @@ def _attr_entries(node, attr_groups: dict, stack: tuple = ()) -> list:
                      "attribute 'ref' is required in a local "
                      "attributeGroup)")
             ref = _strip_prefix(ref)
+            if ref in local_refs:
+                # attributes.py:455 duplicated-group wording
+                _err(f"duplicated attributeGroup {ref!r}")
+            local_refs.add(ref)
             if ref in stack:
                 _err(f"circular definition of attributeGroup {ref!r}")
             if ref not in attr_groups:
@@ -483,12 +497,19 @@ def _merge_attrs(base: dict, own_nodes: list, mode: str):
     be absent/NULL). Returns (ordered name->node, prohibited set)."""
     attrs = dict(base)
     prohibited: set = set()
+    seen_own: set = set()
     for a in own_nodes:
         name = a.get("name")
         if name is None:
             _err("attribute declaration requires name= (global "
                  "attribute refs are not supported)")
+        if name in seen_own:
+            # attributes.py test_duplicated_attribute wording
+            _err(f"multiple declaration for attribute {name!r}")
+        seen_own.add(name)
         if a.get("use") == "prohibited":
+            if a.get("fixed") is not None:
+                _err("'fixed' with use=prohibited is not allowed")
             attrs.pop(name, None)
             prohibited.add(name)
             continue
@@ -496,6 +517,12 @@ def _merge_attrs(base: dict, own_nodes: list, mode: str):
                 and a.get("use", "optional") != "optional":
             _err("the attribute 'use' must be 'optional' if the "
                  "attribute 'default' is present")
+        if _strip_prefix(a.get("type") or "") == "ID":
+            # XSD 1.0 rule (attributes.py:199-208)
+            if a.get("default") is not None:
+                _err("xs:ID key attributes cannot have a default value")
+            if a.get("fixed") is not None:
+                _err("xs:ID key attributes cannot have a fixed value")
         if mode == "extension" and name in attrs:
             _err(f"duplicated attribute {name!r} in extension "
                  "(an extension may only add attributes)")
@@ -956,6 +983,11 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 lo, hi = _occ(e, "minOccurs", 1), _occ(e, "maxOccurs", 1)
                 tgt, nm = e, e.get("name")
                 if e.get("ref") is not None:
+                    if e.get("default") is not None \
+                            or e.get("fixed") is not None:
+                        _err(f"element reference "
+                             f"{_strip_prefix(e.get('ref'))!r} cannot "
+                             "carry a default/fixed value constraint")
                     nm = _strip_prefix(e.get("ref"))
                     tgt = global_elements[nm]
                 _column_from_simple(nm, tgt, lo, hi)
