@@ -997,3 +997,60 @@ def test_element_ref_parse_rules(body, match):
           </xs:complexType></xs:element>
         </xs:schema>""", element="t", key_column="rid",
                       tags_column="tags")
+
+
+@pytest.mark.parametrize("ics,match", [
+    ('''<xs:unique name="u1"><xs:selector xpath="."/>
+        <xs:field xpath="@rid"/></xs:unique>
+        <xs:unique name="u1"><xs:selector xpath="."/>
+        <xs:field xpath="@rid"/></xs:unique>''',
+     "duplicated identity constraint name 'u1'"),
+    ('''<xs:unique><xs:selector xpath="."/>
+        <xs:field xpath="@rid"/></xs:unique>''',
+     "missing required attribute 'name'"),
+    ('''<xs:key name="k1"><xs:selector xpath="."/>
+        <xs:field xpath="@rid"/></xs:key>
+        <xs:keyref name="kr1" refer="kr2"><xs:selector xpath="."/>
+        <xs:field xpath="@rid"/></xs:keyref>
+        <xs:keyref name="kr2" refer="k1"><xs:selector xpath="."/>
+        <xs:field xpath="@rid"/></xs:keyref>''',
+     "reference to a non key/unique identity constraint"),
+    ('''<xs:keyref name="kr"><xs:selector xpath="."/>
+        <xs:field xpath="@rid"/></xs:keyref>''',
+     "missing required attribute 'refer'"),
+])
+def test_identity_parse_rules(ics, match):
+    """Reference identity parse-error parity
+    (tests/validators/test_identities.py:37-72,206-290)."""
+    with pytest.raises(ValueError, match=match):
+        spec_from_xsd(f"""
+        <xs:schema {XS}><xs:element name="t">
+          <xs:complexType><xs:attribute name="rid"/></xs:complexType>
+          {ics}
+        </xs:element></xs:schema>""", key_column="rid")
+
+
+def test_unknown_substitution_group():
+    """elements.py:370-374: substitutionGroup must name a global
+    element."""
+    with pytest.raises(ValueError, match="unknown substitutionGroup"):
+        spec_from_xsd(f"""
+        <xs:schema {XS}>
+          <xs:element name="m1" substitutionGroup="nope"
+                      type="xs:string"/>
+          <xs:element name="t"><xs:complexType>
+            <xs:attribute name="rid"/></xs:complexType></xs:element>
+        </xs:schema>""", element="t", key_column="rid")
+
+
+def test_circular_substitution_group():
+    """xsd_globals.py:640-643 circularity check."""
+    with pytest.raises(ValueError,
+                       match="circularity found for substitutionGroup"):
+        spec_from_xsd(f"""
+        <xs:schema {XS}>
+          <xs:element name="a" substitutionGroup="b" type="xs:string"/>
+          <xs:element name="b" substitutionGroup="a" type="xs:string"/>
+          <xs:element name="t"><xs:complexType>
+            <xs:attribute name="rid"/></xs:complexType></xs:element>
+        </xs:schema>""", element="t", key_column="rid")

@@ -825,6 +825,8 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     for e in globals_:
         h = e.get("substitutionGroup")
         if h:
+            if _strip_prefix(h) not in global_elements:
+                _err(f"unknown substitutionGroup {h!r}")
             subs.setdefault(_strip_prefix(h), set()).add(e.get("name"))
     changed = True
     while changed:
@@ -1026,12 +1028,23 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     uniques: list[UniqueSpec] = []
     keyrefs: list[KeyrefSpec] = []
     keys_by_name: dict[str, UniqueSpec] = {}
+    keyref_names: set = set()
+    id_names: set = set()
     pending_keyrefs = []
     for holder in root.iter(f"{_N}element"):
         for ic in holder:
             kind = _local(ic.tag)
             if kind not in ("unique", "key", "keyref"):
                 continue
+            if ic.get("name") is None:
+                # identities.py parse: name is required
+                _err(f"xs:{kind}: missing required attribute 'name'")
+            if ic.get("name") in id_names:
+                # identity names share ONE schema-wide symbol space
+                # (test_identities.py:37-53 'duplicated value')
+                _err("duplicated identity constraint name "
+                     f"{ic.get('name')!r}")
+            id_names.add(ic.get("name"))
             sel = ic.find(f"{_N}selector")
             fields = ic.findall(f"{_N}field")
             if sel is None or not fields:
@@ -1053,9 +1066,18 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 uniques.append(u)
                 keys_by_name[name] = u
             else:
+                if ic.get("refer") is None:
+                    _err(f"xs:keyref {name!r}: missing required "
+                         "attribute 'refer'")
+                keyref_names.add(name)
                 pending_keyrefs.append((name, cols,
                                         _strip_prefix(ic.get("refer"))))
     for name, cols, refer in pending_keyrefs:
+        if refer in keyref_names:
+            # identities.py 'reference to a non key/unique identity
+            # constraint' (test_identities.py:254-273)
+            _err(f"xs:keyref {name!r}: reference to a non key/unique "
+                 f"identity constraint {refer!r}")
         if refer not in keys_by_name:
             _err(f"xs:keyref {name!r} refers to unknown key {refer!r}")
         ref = keys_by_name[refer]
