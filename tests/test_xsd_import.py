@@ -1054,3 +1054,36 @@ def test_circular_substitution_group():
           <xs:element name="t"><xs:complexType>
             <xs:attribute name="rid"/></xs:complexType></xs:element>
         </xs:schema>""", element="t", key_column="rid")
+
+
+def test_reference_decoder_simple_types(spark):
+    """features/decoder/simple-types.xsd: a simpleContent extension
+    type (year_attr_string_75 — string_75 value + integer attribute)
+    and XSD digit/length/hex facets import and validate."""
+    path = f"{_CASES}/features/decoder/simple-types.xsd"
+    spec = spec_from_xsd(path, element="year_attr_string_75",
+                         key_column="Year", value_column="cert")
+    assert [c.name for c in spec.columns] == ["Year", "cert"]
+    got = _viol(spark, spec,
+                [("1999", "ok"), ("MMXX", "x"), ("2000", "y" * 76)],
+                "Year string, cert string")
+    assert ("MMXX", "facet:pattern:Year") in got
+    assert ("2000", "facet:maxLength:cert") in got
+    # hexBinary length counts DECODED OCTETS (issue #63 type)
+    spec_hex = spec_from_xsd(f"""
+    <xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      <xs:simpleType name='hexCode'>
+        <xs:restriction base='xs:hexBinary'>
+          <xs:length value='4'/>
+        </xs:restriction>
+      </xs:simpleType>
+      <xs:element name="t"><xs:complexType>
+        <xs:attribute name="rid"/>
+        <xs:attribute name="code" type="hexCode"/>
+      </xs:complexType></xs:element>
+    </xs:schema>""", key_column="rid")
+    got2 = _viol(spark, spec_hex,
+                 [("r1", "0A0B0C0D"), ("r2", "0A0B"), ("r3", "zz")],
+                 "rid string, code string")
+    assert ("r2", "facet:length:code") in got2
+    assert any(g[0] == "r3" for g in got2)
