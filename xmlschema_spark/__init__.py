@@ -16,6 +16,7 @@ from .plans.compiler import ValidationPlan, compile_plan
 from .runner import (ValidationResult, XmlSchemaSparkValidationError,
                      apply_defaults, is_valid, schema_violations, validate,
                      violations_frame, verdicts_frame)
+from .sources.xsd_export import spec_to_xsd
 from .sources.xsd_import import spec_from_xsd
 
 __version__ = "0.1.0"
@@ -26,5 +27,5 @@ __all__ = [
     "PayloadSpec", "TableSpec", "UniqueSpec", "ValidationPlan",
     "compile_plan", "ValidationResult", "XmlSchemaSparkValidationError",
     "is_valid", "validate", "violations_frame", "verdicts_frame",
-    "spec_from_xsd",
+    "spec_from_xsd", "spec_to_xsd",
 ]

@@ -1,0 +1,391 @@
+"""XSD document exporter — serialize a TableSpec back to XSD text.
+
+The inverse of ``sources/xsd_import.spec_from_xsd``: a TableSpec (hand
+built, imported, or checkpoint-loaded) renders as a reference-style
+XSD schema document, so specs authored here can travel back to any
+XSD-consuming toolchain (the reference validates real XML against the
+exported schema; its own export direction is schema serialization
+from ``XMLSchema.root`` sources).
+
+Mapping (mirror of the importer's, see xsd_import.py):
+
+  TableSpec.simple_types      -> global <xs:simpleType> restrictions
+  scalar columns              -> <xs:attribute> (use='required' when
+                                 non-null, fixed/default carried;
+                                 facets as an inline restriction)
+  array columns (item=)       -> repeated child <xs:element> with
+                                 min/maxOccurs from min/max_length
+  lexical_list columns        -> inline <xs:list> (wrapped in a
+                                 restriction when length facets apply)
+  union_members               -> <xs:union> with inline member types
+  pattern_groups              -> nested anonymous restriction steps
+                                 (one per AND group — the importer
+                                 reads them back as a chain)
+  content_models              -> the particle tree; substitution heads
+                                 re-emit the global member element
+                                 declarations with substitutionGroup=
+  uniques / keyrefs           -> xs:unique / xs:key / xs:keyref with
+                                 selector '.' and '@field' steps
+
+NOT exportable (SQL has no faithful XPath rendering; engine-specific
+operators have no XSD analog): AssertSpec / ColumnSpec.assertion
+expressions, conditionals, occurs specs, payload/drift specs, and
+keyrefs into OTHER tables. By default these raise ValueError; pass
+``lossy=True`` to skip them and collect the omissions in the returned
+report.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+from xml.sax.saxutils import escape, quoteattr
+
+from ..specs import ColumnSpec, ParticleSpec, TableSpec
+
+_HEADER = '<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">'
+
+# inverse of xsd_import's dtype mapping: engine dtype -> xs type name
+_SPARK_TO_XS = {
+    "string": "xs:string",
+    "double": "xs:double",
+    "float": "xs:float",
+    "real": "xs:float",
+    "boolean": "xs:boolean",
+    "int": "xs:int",
+    "integer": "xs:int",
+    "bigint": "xs:long",
+    "long": "xs:long",
+    "smallint": "xs:short",
+    "short": "xs:short",
+    "tinyint": "xs:byte",
+    "byte": "xs:byte",
+    "date": "xs:date",
+    "timestamp": "xs:dateTime",
+    "binary": "xs:base64Binary",
+}
+
+_FACETS = (("length", "length"), ("min_length", "minLength"),
+           ("max_length", "maxLength"),
+           ("min_inclusive", "minInclusive"),
+           ("min_exclusive", "minExclusive"),
+           ("max_inclusive", "maxInclusive"),
+           ("max_exclusive", "maxExclusive"),
+           ("total_digits", "totalDigits"),
+           ("fraction_digits", "fractionDigits"),
+           ("whitespace", "whiteSpace"),
+           ("explicit_timezone", "explicitTimezone"))
+
+
+def _xs_base(dtype: Optional[str]) -> str:
+    if dtype is None:
+        return "xs:string"
+    base = dtype.split("(")[0]
+    if base.startswith("xsd:"):
+        return "xs:" + base[4:]
+    if base in _SPARK_TO_XS:
+        return _SPARK_TO_XS[base]
+    raise ValueError(f"xsd export: no XSD rendering for dtype {dtype!r}")
+
+
+def _fmt(v) -> str:
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
+def _facet_lines(cs: ColumnSpec, pad: str) -> list[str]:
+    out = []
+    for field, facet in _FACETS:
+        v = getattr(cs, field)
+        if v is not None:
+            out.append(f'{pad}<xs:{facet} value={quoteattr(_fmt(v))}/>')
+    if cs.enum:
+        for v in cs.enum:
+            out.append(f'{pad}<xs:enumeration value={quoteattr(_fmt(v))}/>')
+    return out
+
+
+def _simple_type_body(cs: ColumnSpec, pad: str, report: list,
+                      lossy: bool, path: str) -> list[str]:
+    """The restriction/list/union body of a simpleType for `cs`
+    (no surrounding <xs:simpleType> tag)."""
+    if cs.assertion is not None:
+        if not lossy:
+            raise ValueError(
+                f"xsd export: {path}: a SQL assertion has no faithful "
+                "XPath rendering — pass lossy=True to omit it")
+        report.append(f"{path}: assertion omitted")
+    p2 = pad + "  "
+    if cs.union_of and not cs.union_members:
+        types = " ".join(_xs_base(t) for t in cs.union_of)
+        return [f"{pad}<xs:union memberTypes={quoteattr(types)}/>"]
+    if cs.union_members:
+        out = [f"{pad}<xs:union>"]
+        for i, m in enumerate(cs.union_members):
+            out.append(f"{p2}<xs:simpleType>")
+            out.extend(_simple_type_body(m, p2 + "  ", report, lossy,
+                                         f"{path}/member{i}"))
+            out.append(f"{p2}</xs:simpleType>")
+        out.append(f"{pad}</xs:union>")
+        return out
+    if cs.lexical_list:
+        item = cs.item or ColumnSpec(name=cs.name)
+        has_facets = any(getattr(cs, f) is not None
+                         for f, _ in _FACETS) or cs.enum or cs.pattern
+        list_block = [f"{p2}<xs:simpleType>",
+                      f"{p2}  <xs:list>",
+                      f"{p2}    <xs:simpleType>",
+                      *_simple_type_body(item, p2 + "      ", report,
+                                         lossy, f"{path}/item"),
+                      f"{p2}    </xs:simpleType>",
+                      f"{p2}  </xs:list>",
+                      f"{p2}</xs:simpleType>"]
+        if not has_facets:
+            # bare list type
+            return [line[2:] for line in list_block]
+        out = [f"{pad}<xs:restriction>"]
+        out.extend(list_block)
+        out.extend(_facet_lines(cs, p2))
+        for p in (cs.pattern or []):
+            out.append(f'{p2}<xs:pattern value={quoteattr(p)}/>')
+        out.append(f"{pad}</xs:restriction>")
+        return out
+
+    # atomic restriction; pattern_groups render as NESTED anonymous
+    # restriction steps (AND across steps, the importer's chain form)
+    groups = [list(g) for g in (cs.pattern_groups or []) if g]
+    if cs.pattern:
+        groups.insert(0, list(cs.pattern))
+    base_ref = cs.base if cs.base else None
+
+    def render(step_groups: list[list[str]], with_facets: bool,
+               pad: str) -> list[str]:
+        p2 = pad + "  "
+        if len(step_groups) > 1:
+            inner = [f"{pad}<xs:restriction>", f"{p2}<xs:simpleType>",
+                     *render(step_groups[:-1], with_facets, p2 + "  "),
+                     f"{p2}</xs:simpleType>"]
+            for p in step_groups[-1]:
+                inner.append(f'{p2}<xs:pattern value={quoteattr(p)}/>')
+            inner.append(f"{pad}</xs:restriction>")
+            return inner
+        if base_ref:
+            head = f"{pad}<xs:restriction base={quoteattr(base_ref)}>"
+        else:
+            head = (f"{pad}<xs:restriction "
+                    f"base={quoteattr(_xs_base(cs.dtype))}>")
+        out = [head]
+        if with_facets:
+            out.extend(_facet_lines(cs, p2))
+        for p in (step_groups[0] if step_groups else []):
+            out.append(f'{p2}<xs:pattern value={quoteattr(p)}/>')
+        out.append(f"{pad}</xs:restriction>")
+        return out
+
+    if len(groups) > 1:
+        # facets belong to the OUTERMOST step; inner steps carry the
+        # earlier pattern groups
+        p2 = pad + "  "
+        out = [f"{pad}<xs:restriction>", f"{p2}<xs:simpleType>",
+               *render(groups[:-1], False, p2 + "  "),
+               f"{p2}</xs:simpleType>"]
+        out.extend(_facet_lines(cs, p2))
+        for p in groups[-1]:
+            out.append(f'{p2}<xs:pattern value={quoteattr(p)}/>')
+        out.append(f"{pad}</xs:restriction>")
+        return out
+    return render(groups, True, pad)
+
+
+def _needs_inline(cs: ColumnSpec) -> bool:
+    """True when the column carries facets beyond a bare type ref."""
+    return bool(any(getattr(cs, f) is not None for f, _ in _FACETS)
+                or cs.enum or cs.pattern or cs.pattern_groups
+                or cs.union_members or cs.lexical_list
+                or cs.assertion is not None)
+
+
+def _particle_lines(p: ParticleSpec, pad: str, heads: dict) -> list[str]:
+    occ = ""
+    if p.min_occurs != 1:
+        occ += f' minOccurs="{p.min_occurs}"'
+    if p.max_occurs is None:
+        occ += ' maxOccurs="unbounded"'
+    elif p.max_occurs != 1:
+        occ += f' maxOccurs="{p.max_occurs}"'
+    if p.kind == "element":
+        if p.substitutes or p.abstract:
+            heads[p.name] = (sorted(p.substitutes), p.abstract)
+            return [f'{pad}<xs:element ref="{p.name}"{occ}/>']
+        return [f'{pad}<xs:element name="{p.name}"{occ}/>']
+    if p.kind == "any":
+        ns = p.namespace
+        ns_attr = ""
+        if ns is not None and ns != "##any":
+            ns_val = ns if isinstance(ns, str) else " ".join(ns)
+            ns_attr = f" namespace={quoteattr(ns_val)}"
+        pc = f' processContents="{p.process_contents}"' \
+            if p.process_contents != "strict" else ""
+        return [f"{pad}<xs:any{ns_attr}{pc}{occ}/>"]
+    out = [f"{pad}<xs:{p.kind}{occ}>"]
+    for c in p.children:
+        out.extend(_particle_lines(c, pad + "  ", heads))
+    out.append(f"{pad}</xs:{p.kind}>")
+    return out
+
+
+def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
+    """Render `spec` as XSD schema text.
+
+    lossy=False (default): raise ValueError naming the first construct
+    with no XSD rendering (SQL asserts, conditionals, occurs, payload/
+    drift, cross-table keyrefs). lossy=True: omit them; the omissions
+    are listed in a trailing XML comment so the exported document is
+    self-describing.
+    """
+    report: list[str] = []
+
+    def unexportable(what: str) -> None:
+        if not lossy:
+            raise ValueError(f"xsd export: {what} has no XSD "
+                             "rendering — pass lossy=True to omit")
+        report.append(f"{what} omitted")
+
+    lines = [_HEADER]
+
+    # ---- global simple types
+    for name, st in (spec.simple_types or {}).items():
+        lines.append(f'  <xs:simpleType name={quoteattr(name)}>')
+        lines.extend(_simple_type_body(st, "    ", report, lossy,
+                                       f"simpleType {name!r}"))
+        lines.append("  </xs:simpleType>")
+
+    # ---- engine-specific constructs
+    for a in spec.asserts:
+        unexportable(f"table assert {a.name!r} (SQL expression)")
+    for c in spec.conditionals:
+        unexportable(f"conditional spec {getattr(c, 'name', '')!r}")
+    for o in spec.occurs:
+        unexportable(f"occurs spec {getattr(o, 'name', '')!r}")
+    if spec.payload is not None:
+        unexportable("payload spec")
+    if spec.drift is not None:
+        unexportable("drift spec")
+
+    # ---- row element
+    heads: dict = {}
+    body: list[str] = ["    <xs:complexType>"]
+
+    model_lines: list[str] = []
+    if spec.content_models:
+        cm = spec.content_models[0]
+        model_lines = _particle_lines(cm.model, "      ", heads)
+        for extra in spec.content_models[1:]:
+            unexportable(f"additional content model {extra.name!r}")
+    array_cols = [c for c in spec.columns
+                  if (c.dtype or "").startswith("array") and c.item
+                  and not c.lexical_list]
+    if array_cols and not model_lines:
+        seq = ["      <xs:sequence>"]
+        for c in array_cols:
+            occ = ""
+            lo = c.min_length if c.min_length is not None else 0
+            occ += f' minOccurs="{lo}"'
+            occ += (f' maxOccurs="{c.max_length}"'
+                    if c.max_length is not None
+                    else ' maxOccurs="unbounded"')
+            if _needs_inline(c.item):
+                seq.append(f'        <xs:element name='
+                           f'{quoteattr(c.name)}{occ}>')
+                seq.append("          <xs:simpleType>")
+                seq.extend(_simple_type_body(
+                    c.item, "            ", report, lossy,
+                    f"column {c.name!r} item"))
+                seq.append("          </xs:simpleType>")
+                seq.append("        </xs:element>")
+            else:
+                base = c.item.base or _xs_base(c.item.dtype)
+                seq.append(f'        <xs:element name='
+                           f'{quoteattr(c.name)} '
+                           f'type={quoteattr(base)}{occ}/>')
+        seq.append("      </xs:sequence>")
+        model_lines = seq
+    elif array_cols:
+        for c in array_cols:
+            unexportable(f"array column {c.name!r} alongside an "
+                         "explicit content model")
+    body.extend(model_lines)
+
+    for c in spec.columns:
+        if c in array_cols:
+            continue
+        attrs = f"name={quoteattr(c.name)}"
+        if not c.nullable:
+            attrs += ' use="required"'
+        if c.fixed is not None:
+            attrs += f" fixed={quoteattr(_fmt(c.fixed))}"
+        if c.default is not None:
+            attrs += f" default={quoteattr(_fmt(c.default))}"
+        if _needs_inline(c):
+            body.append(f"      <xs:attribute {attrs}>")
+            body.append("        <xs:simpleType>")
+            body.extend(_simple_type_body(c, "          ", report,
+                                          lossy, f"column {c.name!r}"))
+            body.append("        </xs:simpleType>")
+            body.append("      </xs:attribute>")
+        else:
+            t = c.base or _xs_base(c.dtype)
+            body.append(f"      <xs:attribute {attrs} "
+                        f"type={quoteattr(t)}/>")
+    body.append("    </xs:complexType>")
+
+    # ---- identity constraints
+    for u in spec.uniques:
+        tag = "key" if u.is_key else "unique"
+        body.append(f'    <xs:{tag} name={quoteattr(u.name)}>')
+        body.append('      <xs:selector xpath="."/>')
+        for col in u.columns:
+            body.append(f'      <xs:field xpath={quoteattr("@" + col)}/>')
+        body.append(f"    </xs:{tag}>")
+    key_names = {u.name for u in spec.uniques}
+    for kr in spec.keyrefs:
+        if kr.ref_table and kr.ref_table != spec.name:
+            unexportable(f"keyref {kr.name!r} into table "
+                         f"{kr.ref_table!r}")
+            continue
+        refer = None
+        for u in spec.uniques:
+            if list(u.columns) == list(kr.ref_columns):
+                refer = u.name
+                break
+        if refer is None or refer not in key_names:
+            unexportable(f"keyref {kr.name!r} (no matching key "
+                         "declaration)")
+            continue
+        body.append(f'    <xs:keyref name={quoteattr(kr.name)} '
+                    f'refer={quoteattr(refer)}>')
+        body.append('      <xs:selector xpath="."/>')
+        for col in kr.columns:
+            body.append(f'      <xs:field xpath={quoteattr("@" + col)}/>')
+        body.append("    </xs:keyref>")
+
+    lines.append(f'  <xs:element name={quoteattr(spec.name)}>')
+    lines.extend(body)
+    lines.append("  </xs:element>")
+
+    # ---- substitution-group member declarations for heads referenced
+    # in content models
+    for head, (members, abstract) in heads.items():
+        ab = ' abstract="true"' if abstract else ""
+        lines.append(f'  <xs:element name={quoteattr(head)}'
+                     f'{ab} type="xs:string"/>')
+        for m in members:
+            lines.append(f'  <xs:element name={quoteattr(m)} '
+                         f'substitutionGroup={quoteattr(head)} '
+                         'type="xs:string"/>')
+
+    lines.append("</xs:schema>")
+    if report:
+        lines.append("<!-- omitted (no XSD rendering): "
+                     + escape("; ".join(report)) + " -->")
+    return "\n".join(lines)
