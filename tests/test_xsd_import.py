@@ -331,7 +331,9 @@ def test_identity_constraints(spark):
     (f'<xs:schema {XS}><xs:import namespace="x"/></xs:schema>',
      "xs:import is not supported"),
     (f'''<xs:schema {XS}><xs:element name="t">
-         <xs:complexType mixed="true"><xs:attribute name="rid"/>
+         <xs:complexType mixed="true"><xs:sequence>
+         <xs:element name="kid"/></xs:sequence>
+         <xs:attribute name="rid"/>
          </xs:complexType></xs:element></xs:schema>''',
      "mixed content"),
     (f'''<xs:schema {XS}><xs:element name="t">
@@ -1087,3 +1089,37 @@ def test_reference_decoder_simple_types(spark):
                  "rid string, code string")
     assert ("r2", "facet:length:code") in got2
     assert any(g[0] == "r3" for g in got2)
+
+
+def test_reference_type_alternatives(spark):
+    """XSD 1.1 xs:alternative -> ConditionalSpec with first-match-wins
+    guards (elements.py:654-657, get_alternative_type elements.py:1340;
+    features/elements/type_alternatives-no-ns.xsd imports as-is). The
+    mixed attributes-only base type contributes an unconstrained
+    string value column; each alternative re-types it conditionally."""
+    p = f"{_CASES}/features/elements/type_alternatives-no-ns.xsd"
+    spec = spec_from_xsd(p, key_column="choice")
+    assert [c.name for c in spec.conditionals] \
+        == ["alternative_0", "alternative_1", "alternative_2"]
+    assert spec.conditionals[0].when == "choice = 'int'"
+    assert "NOT (choice = 'int')" in spec.conditionals[1].when
+    got = _viol(spark, spec,
+                [("int", "3"), ("int2", "3.5"),
+                 ("float", "3.5"), ("float2", "abc"),
+                 ("bool", "true"), ("bool2", "maybe"),
+                 ("other", "anything goes")],
+                "choice string, value string")
+    # rows are keyed by the 'choice' column here
+    bad = {g[0] for g in got}
+    assert bad == set()  # 'int2' etc. don't match any test -> free text
+    got2 = _viol(spark, spec,
+                 [("int", "3"), ("int", "3.5"), ("float", "abc"),
+                  ("bool", "maybe"), ("other", "x")],
+                 "choice string, value string")
+    assert {(g[0], g[1]) for g in got2} \
+        == {("int", "cond:alternative_0:facet:pattern:value"),
+            ("int", "cond:alternative_0:facet:decode:value"),
+            ("float", "cond:alternative_1:facet:pattern:value"),
+            ("float", "cond:alternative_1:facet:decode:value"),
+            ("bool", "cond:alternative_2:facet:pattern:value"),
+            ("bool", "cond:alternative_2:facet:decode:value")}

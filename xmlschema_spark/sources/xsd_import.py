@@ -92,8 +92,9 @@ import re
 from typing import Optional
 from xml.etree import ElementTree
 
-from ..specs import (AssertSpec, ColumnSpec, ContentModelSpec, KeyrefSpec,
-                     OpenContentSpec, ParticleSpec, TableSpec, UniqueSpec)
+from ..specs import (AssertSpec, ColumnSpec, ConditionalSpec,
+                     ContentModelSpec, KeyrefSpec, OpenContentSpec,
+                     ParticleSpec, TableSpec, UniqueSpec)
 
 _XSD_NS = "http://www.w3.org/2001/XMLSchema"
 _N = "{%s}" % _XSD_NS
@@ -560,7 +561,15 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
     Reference parity: complex_types.py:361-500 (XSD 1.0 extension /
     restriction), 893-1003 (XSD 1.1 all-merge), 302-359
     (simpleContent); error strings mirror the reference's."""
-    if ct.get("mixed") == "true":
+    mixed = ct.get("mixed") == "true"
+    if mixed and any(_local(c.tag) in (*_MODEL_TAGS, "group")
+                     for c in ct):
+        # mixed ELEMENT content interleaves text with children — no
+        # tabular analog; mixed with attributes only (an emptiable
+        # mixed type) is just free text content, which IS tabular:
+        # an unconstrained string value (the reference admits
+        # simpleContent restriction of such bases,
+        # complex_types.py:328-330)
         _err("mixed content has no tabular analog")
     groups, attr_groups = env["groups"], env["attr_groups"]
     named, anon = env["named"], env["anon"]
@@ -573,7 +582,10 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
     if not deriv:
         attrs, prohibited = _merge_attrs({}, own_attr_nodes, "own")
         return {"attrs": attrs, "prohibited": prohibited,
-                "content": _content_node(ct, groups), "value_kw": None,
+                "content": _content_node(ct, groups),
+                # mixed attributes-only type: the text content is an
+                # unconstrained string value
+                "value_kw": {"dtype": "string"} if mixed else None,
                 "asserts": own_asserts, "oc_nodes": own_oc}
 
     d = deriv[0]
@@ -636,10 +648,21 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
             base = _base_ct()
             if base["value_kw"] is None:
                 _err(f"base type {base_q!r} has no simple content")
-            anon_name = f"{ct.get('name') or 'row'}__content"
-            anon[anon_name] = dict(base["value_kw"])
-            named[anon_name] = anon[anon_name]
-            value_kw = {"base": anon_name}
+            inline = [c for c in der
+                      if _local(c.tag) == "simpleType"]
+            if inline:
+                # the restriction re-declares the content's simple
+                # type inline (complex_types.py:311-318 — the XSD 1.1
+                # type-alternatives schemas use this shape); the
+                # restriction's own facets then apply to it
+                value_kw = _parse_simple_type(
+                    inline[0], f"{ct.get('name') or 'row'}__content",
+                    named, anon)
+            else:
+                anon_name = f"{ct.get('name') or 'row'}__content"
+                anon[anon_name] = dict(base["value_kw"])
+                named[anon_name] = anon[anon_name]
+                value_kw = {"base": anon_name}
             _parse_facets(der, value_kw)
             base_asserts = base["asserts"]
             attrs, prohibited = _merge_attrs(base["attrs"],
@@ -932,7 +955,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 flat["attrs"][nm] = a
 
     # ---- attributes
-    def _attr_column(name, a):
+    def _attr_colspec(name, a) -> ColumnSpec:
         t = a.get("type")
         if t is not None:
             kw = dict(_resolve_type(t, named))
@@ -945,10 +968,10 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             kw["fixed"] = a.get("fixed")
         if a.get("default") is not None:
             kw["default"] = a.get("default")
-        columns.append(_kw_to_colspec(name, kw))
+        return _kw_to_colspec(name, kw)
 
     for name, a in flat["attrs"].items():
-        _attr_column(name, a)
+        columns.append(_attr_colspec(name, a))
     for name in sorted(flat["prohibited"]):
         # tabular analog of a prohibited attribute: if the column
         # exists it must be entirely absent (NULL)
@@ -1013,8 +1036,50 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 target_ns=target_ns, open_content=open_content,
                 xsd11=xsd11))
 
-    # ---- XSD 1.1 asserts (own + inherited down the chain)
+    # ---- XSD 1.1 type alternatives on the row element -> conditional
+    # type assignment (elements.py:654-657 + get_alternative_type at
+    # elements.py:1340; features/elements/type_alternatives.xsd): the
+    # FIRST alternative whose test holds selects the type, a final
+    # test-less alternative is the default, the declared type's
+    # columns stay unconditional
     from ..functions.xpath_assert import translate_xpath_assert
+    conditionals: list[ConditionalSpec] = []
+    prior_tests: list[str] = []
+    for i, alt in enumerate(
+            row_el.findall(f"{_N}alternative") if row_el is not None
+            else []):
+        t = alt.get("type")
+        if t is None:
+            _err("xs:alternative requires type= (inline alternative "
+                 "types are not supported)")
+        local_t = _strip_prefix(t)
+        if local_t not in complex_types:
+            _err(f"xs:alternative type {t!r} is not a global "
+                 "complexType of this document")
+        alt_flat = _flatten_ct(complex_types[local_t], env,
+                               stack=(local_t,))
+        cols: list[ColumnSpec] = []
+        if alt_flat["value_kw"] is not None:
+            kw = dict(alt_flat["value_kw"])
+            kw.setdefault("nullable", True)
+            cols.append(_kw_to_colspec(value_column, kw))
+        for nm2, a in alt_flat["attrs"].items():
+            cols.append(_attr_colspec(nm2, a))
+        test = alt.get("test")
+        guards = [f"NOT ({p})" for p in prior_tests]
+        if test is not None:
+            when = translate_xpath_assert(test)
+            when_full = (" AND ".join([f"({when})"] + guards)
+                         if guards else when)
+            prior_tests.append(when)
+        else:
+            # default alternative: applies when no earlier test held
+            when_full = " AND ".join(guards) if guards else "true"
+        conditionals.append(ConditionalSpec(
+            name=alt.get("id") or f"alternative_{i}",
+            when=when_full, columns=cols))
+
+    # ---- XSD 1.1 asserts (own + inherited down the chain)
     for i, a in enumerate(flat["asserts"]):
         test = a.get("test")
         if test is None:
@@ -1103,4 +1168,4 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         simple_types={n: _kw_to_colspec(n, kw)
                       for n, kw in {**named, **anon}.items()},
         uniques=uniques, keyrefs=keyrefs, asserts=asserts,
-        content_models=content_models)
+        conditionals=conditionals, content_models=content_models)
