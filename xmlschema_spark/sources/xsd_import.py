@@ -77,6 +77,14 @@ Mapping (reference parity anchors):
     PATH (locations resolve against the including file's directory,
     loaded at most once — circular include chains are legal and stop).
 
+  xs:alternative (XSD 1.1 type alternatives, elements.py:654-657 +
+    get_alternative_type elements.py:1340) -> ConditionalSpec: each
+    alternative's test runs through the XPath translator with
+    first-match-wins guards; a test-less final alternative is the
+    default; the declared type's columns stay unconditional. A mixed
+    attributes-only complexType imports as an unconstrained string
+    value column (emptiable mixed content IS tabular text).
+
 Out of scope (raises ValueError naming the construct): xs:import /
 xs:redefine / xs:override, mixed content, xs:notation, QName/NOTATION
 types, and multi-step identity field paths. The reference resolves
