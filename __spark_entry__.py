@@ -34,7 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
     from xmlschema_spark.sources.fixtures import images_spec, make_images
 
     imgs = make_images(spark, 2000, dirty=True)
-    res = validate(imgs, images_spec(with_keyref=False))
+    res = validate(imgs, images_spec(with_keyref=False, check_phash=True))
     img_counts = res.violations.groupBy("constraint").agg(
         F.count(F.lit(1)).alias("n"))
     li_counts = facet_summary_lineitem(spark, "/root/testdata/sf0.001")

@@ -31,13 +31,11 @@ def test_queries_oracle_key_consistency():
 # Queries with NO DuckDB oracle, each with the reason it is not
 # SQL-expressible. Growing this set is a release decision, not a
 # default — the driver's gate records these as weaker rows-only checks.
-NO_ORACLE_EXCEPTIONS = {
-    # Spark-internal percentile_approx sketch (implementation-defined
-    # merge tree); rank-gated by quantile_sketch_rank_check and
-    # superseded by the fully hash-checked canonical q-digest
-    # (qdigest_lineitem / qdigest_quantiles_lineitem)
-    "quantile_sketch_lineitem",
-}
+# (Round 6: empty — quantile_sketch_lineitem was deregistered from
+# QUERIES so the driver board carries no permanent `no_oracle` row; its
+# rank-error gate quantile_sketch_rank_check stays registered and
+# hash-checked, and the function itself stays importable + pytested.)
+NO_ORACLE_EXCEPTIONS: set[str] = set()
 
 
 def test_every_query_has_oracle_or_documented_exception():

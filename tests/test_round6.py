@@ -1,83 +1,170 @@
-"""Round-6 driver-side additions: HOF lambda vocabulary, spec
-round-trips for the new content-model fields."""
+"""Round-6 tests: remote-URI-safe fingerprint-store location check,
+survivor-scratch retention (prune_survivors), quoteattr'd element
+names in the XSD exporter."""
 
 import pytest
+from pyspark.sql import functions as F
 
-from xmlschema_spark.plans.compiler import check_assert_vocabulary
-
-
-def test_assert_vocabulary_accepts_hof_lambdas():
-    cols = {"tags", "vals"}
-    check_assert_vocabulary("exists(vals, x -> x > 5)", cols, "t")
-    check_assert_vocabulary("forall(tags, t -> length(t) <= 8)", cols, "t")
-    check_assert_vocabulary(
-        "aggregate(vals, 0, (acc, x) -> acc + x) > 10", cols, "t")
-    check_assert_vocabulary(
-        "size(filter(vals, v -> v is not null)) = size(vals)", cols, "t")
-    # lambda params are scoped: a stray identifier is still a typo
-    with pytest.raises(ValueError, match="unknown column 'y'"):
-        check_assert_vocabulary("exists(vals, x -> y > 5)", cols, "t")
-    with pytest.raises(ValueError, match="unknown column"):
-        check_assert_vocabulary("exists(nope, x -> x > 5)", cols, "t")
+from xmlschema_spark.operators.dedup import (_normalize_store_locs,
+                                             incremental_deduplicate,
+                                             prune_survivors)
 
 
-def test_particle_spec_round_trips_new_fields():
-    from xmlschema_spark.specs import (ContentModelSpec, OpenContentSpec,
-                                       ParticleSpec, TableSpec)
-    spec = TableSpec(
-        name="t", key_column="rid",
-        content_models=[ContentModelSpec(
-            name="m", column="v", target_ns="tns", xsd11=True,
-            open_content=OpenContentSpec(
-                mode="suffix",
-                wildcard=ParticleSpec(kind="any", namespace="##other")),
+def _inc(spark, rows):
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+# --------------------------------------- store-location normalization
+
+def test_store_loc_local_paths_absolutized():
+    got, want = _normalize_store_locs("file:/tmp/s", "/tmp/s/")
+    assert got == want == "/tmp/s"
+
+
+def test_store_loc_remote_uri_not_mangled_by_abspath():
+    """hdfs:// and s3a:// store paths must compare as URIs — abspath
+    would prepend the cwd and raise a spurious collision error on the
+    documented 10^12-row remote-store configuration."""
+    got, want = _normalize_store_locs("hdfs://nn:8020/warehouse/fps/",
+                                      "hdfs://nn:8020/warehouse/fps")
+    assert got == want == "hdfs://nn:8020/warehouse/fps"
+    got, want = _normalize_store_locs("s3a://bucket/fps",
+                                      "s3a://other/fps")
+    assert got != want          # real mismatch still detected
+
+
+def test_store_loc_mismatch_detected():
+    got, want = _normalize_store_locs("file:/tmp/a", "/tmp/b")
+    assert got != want
+
+
+def test_fp_store_accepts_file_uri(spark, tmp_path):
+    """A file:// store_path round-trips through the bucketed-table
+    location check (catalog reports file:/abs)."""
+    store = f"file://{tmp_path}/ustore"
+    s = incremental_deduplicate(
+        _inc(spark, [("a", "x")]), "text", "doc_id", store,
+        run_id="r1", store_buckets=2)
+    assert [r.doc_id for r in s.collect()] == ["a"]
+
+
+# --------------------------------------------- survivor retention
+
+def test_prune_survivors_keeps_inflight_runs(spark, tmp_path):
+    """_survivors/run=<id> is caller scratch: pruning deletes consumed
+    runs, keeps the ones named, and never touches the run=<id>
+    fingerprint partitions (the store itself)."""
+    store = str(tmp_path / "fps")
+    incremental_deduplicate(_inc(spark, [("a", "one")]),
+                            "text", "doc_id", store, run_id="r1").count()
+    incremental_deduplicate(_inc(spark, [("b", "two")]),
+                            "text", "doc_id", store, run_id="r2").count()
+    deleted = prune_survivors(spark, store, keep_run_ids=["r2"])
+    assert deleted == ["r1"]
+    surv = tmp_path / "fps" / "_survivors"
+    assert not (surv / "run=r1").exists()
+    assert (surv / "run=r2").is_dir()
+    # fingerprint partitions untouched: a duplicate of run r1's doc is
+    # still excluded
+    s = incremental_deduplicate(_inc(spark, [("c", "one")]),
+                                "text", "doc_id", store, run_id="r3")
+    assert s.count() == 0
+    # idempotent on an already-pruned (or absent) tree
+    assert prune_survivors(spark, str(tmp_path / "nostore")) == []
+
+
+# --------------------------------------------- phash recompute check
+
+def test_phash_exact_mode_dirty_fixture_counts(spark):
+    """check_phash=True (exact mode) on the dirty fixture: the stored
+    phash is the stable content hash of the ORIGINAL pixels, so a
+    mismatch means the payload no longer carries the content the
+    metadata describes. Only lossless containers are recomputable
+    bit-exactly; the dirty generator's phash-breaking rows are
+    k in {8 wrong-constant, 9 re-encoded-at-wrong-dims, 12 perturbed}
+    and only their png-container instances flag."""
+    from xmlschema_spark import validate
+    from xmlschema_spark.sources.fixtures import (FMTS, MOD, images_spec,
+                                                  make_images)
+    n = 2000
+    imgs = make_images(spark, n, dirty=True)
+    res = validate(imgs, images_spec(with_keyref=False, check_phash=True))
+    got = {r["constraint"]: r["cnt"] for r in
+           res.violations.groupBy("constraint").agg(
+               F.count("*").alias("cnt")).collect()}
+    expected = sum(1 for i in range(n)
+                   if i % MOD in (8, 9, 12) and FMTS[i % 3] == "png")
+    assert expected == 2            # i=1018 (k=9), i=1021 (k=12)
+    assert got.get("payload:phash", 0) == expected
+    res.unpersist()
+
+
+def test_phash_exact_skips_lossy_and_flags_lossless(spark):
+    from xmlschema_spark import fakecodec
+    from xmlschema_spark.operators.payload import payload_violations
+    from xmlschema_spark.specs import PayloadSpec
+
+    px = fakecodec.gen_pixels(7, 24, 16)
+    rows = [
+        # png, correct content hash -> clean
+        ("ok", fakecodec.encode(px, "png"), 24, 16, "png",
+         fakecodec.stable_hash64(px)),
+        # png, wrong hash -> payload:phash
+        ("bad", fakecodec.encode(px, "png"), 24, 16, "png",
+         fakecodec.stable_hash64(px) ^ 1),
+        # jpeg (lossy), hash of the ORIGINAL pixels: decode is
+        # quantized, exact parity is undefined -> skipped, not flagged
+        ("lossy", fakecodec.encode(px, "jpeg"), 24, 16, "jpeg",
+         fakecodec.stable_hash64(px)),
+    ]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, "
+              "fmt string, phash long")
+    spec = PayloadSpec(check_phash=True)
+    out = payload_violations(df, spec) \
+        .where("constraint = 'payload:phash'").collect()
+    assert [r.row_key for r in out] == ["bad"]
+
+
+def test_phash_perceptual_mode_hamming_tolerance(spark):
+    from xmlschema_spark import fakecodec
+    from xmlschema_spark.operators.payload import payload_violations
+    from xmlschema_spark.specs import PayloadSpec
+
+    px = fakecodec.gen_pixels(3, 32, 32)
+    buf = fakecodec.encode(px, "png")
+    ph = fakecodec.phash64(px)
+    rows = [("a", buf, 32, 32, "png", ph),
+            ("b", buf, 32, 32, "png", ph ^ ((1 << 20) - 1))]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, w int, h int, "
+              "fmt string, phash long")
+    spec = PayloadSpec(check_phash=True, phash_mode="perceptual",
+                       phash_max_hamming=8)
+    out = payload_violations(df, spec) \
+        .where("constraint = 'payload:phash'").collect()
+    assert [r.row_key for r in out] == ["b"]
+    assert "hamming distance 20" in out[0].reason
+
+
+# --------------------------------------------- exporter quoteattr
+
+def test_exporter_quotes_element_names():
+    from xmlschema_spark.sources.xsd_export import spec_to_xsd
+    from xmlschema_spark.specs import (ContentModelSpec, ParticleSpec,
+                                       TableSpec)
+
+    spec = TableSpec(name="t", key_column="id", content_models=[
+        ContentModelSpec(
+            name="cm", column="children", check_upa=False,
             model=ParticleSpec(kind="sequence", children=[
-                ParticleSpec(name="h", substitutes=["h2"],
-                             abstract=False),
-                ParticleSpec(kind="any",
-                             not_namespace=["##local", "u1"],
-                             min_occurs=0, max_occurs=None)]))])
-    import json
-    back = TableSpec.from_json(spec.to_json())
-    cm = back.content_models[0]
-    assert cm.target_ns == "tns" and cm.xsd11 is True
-    assert cm.open_content.mode == "suffix"
-    assert cm.open_content.wildcard.namespace == "##other"
-    assert cm.model.children[0].substitutes == ["h2"]
-    assert cm.model.children[1].not_namespace == ["##local", "u1"]
-
-
-def test_content_model_wildcards_query_regex_is_re2_safe(spark):
-    """The oracle replays the regex in DuckDB (RE2): the compiled model
-    must avoid lookahead, and pass/fail semantics must hold on known
-    sequences (substitution head + ns-list body + ##other suffix)."""
-    from xmlschema_spark.queries import _doc_ns_regex
-    import re
-    rx = _doc_ns_regex()
-    assert "(?!" not in rx and "(?=" not in rx and "(?<" not in rx
-    pat = re.compile(rx)
-    # head member + local tags + qualified suffix run
-    assert pat.fullmatch("key;value;ext:spark;other:query;other:query;")
-    # qualified substitution member as the head
-    assert pat.fullmatch("ext:spark;data;")
-    # abstract head tag itself is forbidden
-    assert not pat.fullmatch("header;value;")
-    # 'other:' tag before a local tag — not in the suffix run
-    assert not pat.fullmatch("key;other:query;value;")
-    # bad head
-    assert not pat.fullmatch("query;value;value;")
-    # body requires at least one tag after the head
-    assert not pat.fullmatch("key;")
-
-
-def test_content_model_wildcards_query_counts(spark):
-    from xmlschema_spark.queries import content_model_wildcards_documents
-    out = content_model_wildcards_documents(
-        spark, "/root/testdata/sf0.001").collect()
-    assert all(r.constraint == "content:doc_ns:text" for r in out)
-    # deterministic fixture: violations are a strict, non-empty subset
-    import duckdb
-    n = duckdb.connect().execute(
-        "SELECT count(*) FROM read_parquet("
-        "'/root/testdata/sf0.001/documents.parquet')").fetchone()[0]
-    assert 0 < len(out) < n
+                ParticleSpec(kind="element", name='weird"&name'),
+            ]))])
+    text = spec_to_xsd(spec, lossy=True)
+    # well-formed (pre-fix output had a raw '"' inside a "-quoted
+    # attribute) and the name round-trips through an XML parse
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(text)
+    names = {e.get("name") for e in root.iter()
+             if e.tag.endswith("element")}
+    assert 'weird"&name' in names

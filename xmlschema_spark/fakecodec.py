@@ -110,9 +110,16 @@ def stable_hash64(pixels: np.ndarray) -> int:
     """Stable signed-64 content hash of the exact pixel buffer (used as
     the fixture `phash` column: FIXTURES.md F1 'stable 64-bit hash of the
     generated pixel pattern')."""
+    return stable_hash64_bytes(pixels.tobytes())
+
+
+def stable_hash64_bytes(raw: bytes) -> int:
+    """stable_hash64 over an already-flat pixel byte buffer (the
+    payload validator hashes the decompressed buffer directly — same
+    bytes as pixels.tobytes(), no reshape needed)."""
     import hashlib
 
-    d = hashlib.blake2b(pixels.tobytes(), digest_size=8).digest()
+    d = hashlib.blake2b(raw, digest_size=8).digest()
     v = int.from_bytes(d, "little")
     return v - (1 << 64) if v >= (1 << 63) else v
 

@@ -445,7 +445,11 @@ def _fp_store_table(spark, store_path: str, buckets: int) -> str:
     partition through INSERT OVERWRITE ... PARTITION, so the metadata
     cost per increment is O(1), not a store-wide scan."""
     name = f"xmlschema_spark_fp_store_{zlib.crc32(store_path.encode()):08x}"
-    os.makedirs(store_path, exist_ok=True)
+    from urllib.parse import urlparse as _urlparse
+    if _urlparse(store_path).scheme in ("", "file"):
+        os.makedirs(_urlparse(store_path).path, exist_ok=True)
+    # remote URIs (hdfs://, s3a://): the filesystem creates the prefix
+    # on first write; no local mkdir applies
     if not spark.catalog.tableExists(name):
         spark.sql(
             f"CREATE TABLE IF NOT EXISTS {name} (fp STRING, run STRING) "
@@ -466,15 +470,32 @@ def _fp_store_table(spark, store_path: str, buckets: int) -> str:
             f"{got_buckets or '?'} buckets; store_buckets={buckets} "
             f"does not match — the bucket count is fixed at store "
             f"creation")
-    from urllib.parse import urlparse
-    got_loc = urlparse(detail.get("Location", "")).path.rstrip("/")
-    want_loc = os.path.abspath(store_path).rstrip("/")
+    got_loc, want_loc = _normalize_store_locs(
+        detail.get("Location", ""), store_path)
     if got_loc != want_loc:
         raise ValueError(
             f"fingerprint store table {name} points at "
             f"{got_loc!r}, not {want_loc!r} — store-path hash "
             f"collision; move one of the stores")
     return name
+
+
+def _normalize_store_locs(catalog_loc: str, store_path: str) -> tuple:
+    """Normalize (catalog Location, requested store_path) for equality.
+
+    Local store paths (no scheme, or file:) compare as absolutized
+    local paths — the catalog reports them as file:/abs/path.
+    Remote URIs (hdfs://, s3a://, ...) compare as scheme+authority+path:
+    os.path.abspath on those would prepend the cwd and mangle the
+    authority, producing a spurious 'store-path hash collision'."""
+    from urllib.parse import urlparse
+    got = urlparse(catalog_loc)
+    want = urlparse(store_path)
+    if want.scheme in ("", "file"):
+        return (got.path.rstrip("/"),
+                os.path.abspath(want.path).rstrip("/"))
+    return (f"{got.scheme}://{got.netloc}{got.path.rstrip('/')}",
+            f"{want.scheme}://{want.netloc}{want.path.rstrip('/')}")
 
 
 def incremental_deduplicate(df: DataFrame, text_col: str, id_col: str,
@@ -512,6 +533,18 @@ def incremental_deduplicate(df: DataFrame, text_col: str, id_col: str,
       idempotence as above). N is fixed at store creation; pick it for
       the TARGET store size (e.g. 2^13 buckets ~ 10^12 fps at ~10^8
       fps/bucket-file group).
+
+    RETENTION CONTRACT — `store_path/_survivors/run=<id>`: with run_id
+    set, the surviving increment (ALL df columns, text payload
+    included) is written there as the durable barrier between the
+    anti-join and the store write, and the RETURNED DataFrame lazily
+    READS from it — so it cannot be deleted until the caller has fully
+    consumed (written out / counted) the result. It is the caller's
+    state, not the store's: call `prune_survivors(spark, store_path,
+    keep_run_ids=[...])` after each run's downstream consumption
+    succeeds, keeping only in-flight runs. The `run=<id>` fingerprint
+    partitions themselves are permanent (they ARE the store); only
+    `_survivors/` is prunable scratch.
     """
     spark = df.sparkSession
     if run_id is not None and not _RUN_ID_RE.match(run_id):
@@ -587,3 +620,34 @@ def incremental_deduplicate(df: DataFrame, text_col: str, id_col: str,
     else:
         new_fps.write.mode("append").parquet(store_path)
     return fresh.drop("_fp").unionByName(nulls.drop("_fp"))
+
+
+def prune_survivors(spark, store_path: str,
+                    keep_run_ids: list[str] | None = None) -> list[str]:
+    """Delete consumed `_survivors/run=<id>` scratch under a
+    fingerprint store (see incremental_deduplicate's RETENTION
+    CONTRACT). Keeps runs named in `keep_run_ids` (in-flight runs whose
+    returned DataFrame has not been fully consumed yet). Returns the
+    run ids whose survivor dirs were deleted.
+
+    Uses the Hadoop FileSystem API via the session JVM so the same
+    call works on file://, hdfs:// and s3a:// stores — never
+    os.path/shutil, which mangle remote URIs."""
+    keep = set(keep_run_ids or [])
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    root = jvm.org.apache.hadoop.fs.Path(f"{store_path}/_survivors")
+    fs = root.getFileSystem(conf)
+    if not fs.exists(root):
+        return []
+    deleted = []
+    for st in fs.listStatus(root):
+        name = st.getPath().getName()          # 'run=<id>'
+        if not name.startswith("run="):
+            continue
+        rid = name[4:]
+        if rid in keep:
+            continue
+        fs.delete(st.getPath(), True)
+        deleted.append(rid)
+    return sorted(deleted)

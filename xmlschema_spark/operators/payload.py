@@ -199,12 +199,24 @@ def payload_violations(
     spec: PayloadSpec,
     part_key: str | None = None,
     expected_pixels: Callable | None = None,
-    check_phash: bool = False,
-    phash_col: str = "phash",
+    check_phash: bool | None = None,
+    phash_col: str | None = None,
 ) -> DataFrame:
-    """mapInArrow over ONLY the needed columns; returns violation rows."""
+    """mapInArrow over ONLY the needed columns; returns violation rows.
+
+    check_phash / phash_col default to the spec's fields
+    (PayloadSpec.check_phash et al.); passing them overrides."""
     from ..distribute import ensure_distributed
     ensure_distributed(df.sparkSession)
+    if check_phash is None:
+        check_phash = getattr(spec, "check_phash", False)
+    if phash_col is None:
+        phash_col = getattr(spec, "phash_col", "phash")
+    phash_exact = getattr(spec, "phash_mode", "exact") == "exact"
+    if getattr(spec, "phash_mode", "exact") not in ("exact", "perceptual"):
+        raise ValueError(f"phash_mode must be 'exact' or 'perceptual', "
+                         f"got {spec.phash_mode!r}")
+    phash_ham = int(getattr(spec, "phash_max_hamming", 0))
     cols = [spec.id_col, spec.bytes_col, spec.fmt_col, spec.w_col, spec.h_col]
     if check_phash:
         cols.append(phash_col)
@@ -339,12 +351,26 @@ def payload_violations(
                                 emit_pixels(j, lossy, scratch.sse(a, ev), sz)
                 if deep and check_phash and raw is not None \
                         and phs[j] is not None:
-                    px = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
-                    got = fakecodec.phash64(px)
-                    if int(got) != int(phs[j]):
-                        emit(j, "payload:phash",
-                             f"recomputed phash {got} != metadata {phs[j]}",
-                             str(got))
+                    if phash_exact:
+                        # exact content hash: only bit-exact decodes
+                        # (lossless containers) can reproduce it; lossy
+                        # rows' pixel parity is the PSNR check's job
+                        if fmt in lossless:
+                            got = fakecodec.stable_hash64_bytes(raw)
+                            if int(got) != int(phs[j]):
+                                emit(j, "payload:phash",
+                                     f"recomputed content hash {got} != "
+                                     f"metadata phash {phs[j]}", str(got))
+                    else:
+                        px = np.frombuffer(raw, np.uint8).reshape(h, w, 3)
+                        got = fakecodec.phash64(px)
+                        d = bin((int(got) ^ int(phs[j]))
+                                & ((1 << 64) - 1)).count("1")
+                        if d > phash_ham:
+                            emit(j, "payload:phash",
+                                 f"recomputed phash {got} at hamming "
+                                 f"distance {d} > {phash_ham} from "
+                                 f"metadata {phs[j]}", str(got))
 
             yield pa.RecordBatch.from_pydict(out, schema=_pa_schema())
 

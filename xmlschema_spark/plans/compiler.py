@@ -139,7 +139,12 @@ def check_assert_vocabulary(expr: str, known_cols: set[str],
     backquoted = re.findall(r"`([^`]+)`", s)
     s = re.sub(r"`[^`]+`", " ", s)
     # lambda parameters of higher-order functions ('x ->', '(x, y) ->')
-    # are locals, not columns
+    # are locals, not columns. KNOWN SCOPE LEAK (advisory check only):
+    # the params whitelist applies to the WHOLE expression, not just the
+    # lambda's span, so a typo'd column reference elsewhere that happens
+    # to equal a lambda parameter name escapes this compile-time check —
+    # Catalyst analysis still rejects it at plan time with its own
+    # unresolved-column error, so nothing unsound passes, just later.
     lambda_params: set[str] = set()
     for m in re.finditer(r"\(([A-Za-z_0-9\s,]+)\)\s*->|"
                          r"([A-Za-z_][A-Za-z_0-9]*)\s*->", s):

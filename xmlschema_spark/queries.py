@@ -896,7 +896,7 @@ def conditional_facets_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distributed percentiles (oracle-parity path). The sketch
     path for 10^12 rows is percentile_approx (t-digest role) — exposed
-    as quantile_sketch_lineitem (rows-only)."""
+    as quantile_sketch_lineitem (unregistered; rank-gated)."""
     df = _load(spark, sf_dir, "lineitem")
     qs = [0.25, 0.5, 0.75, 0.95]
     row = df.agg(F.percentile("l_extendedprice", qs).alias("v"))
@@ -908,10 +908,14 @@ def quantiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round("raw", 4).alias("value"))
 
 
-@register("quantile_sketch_lineitem")
 def quantile_sketch_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable quantile sketch (percentile_approx; bounded-error,
-    partition-mergeable — the scale path). Rows-only check."""
+    partition-mergeable — the scale path). Deliberately NOT registered
+    in QUERIES: percentile_approx has no DuckDB-exact oracle, so it
+    would sit on the driver board as a permanent `no_oracle` row. Its
+    correctness is gated by quantile_sketch_rank_check (hash-checked
+    rank-error bound) and superseded by the canonical q-digest queries
+    (qdigest_lineitem / qdigest_events_value, fully hash-checked)."""
     from .operators.drift import quantile_sketch
     df = _load(spark, sf_dir, "lineitem")
     return quantile_sketch(df, ["l_extendedprice", "l_quantity"],

@@ -123,8 +123,7 @@ def violation_parts(df: DataFrame, plan: ValidationPlan,
     for o in spec.occurs:
         parts.append(occurs_violations(df, o, spec.part_key))
     if include_payload and spec.payload is not None:
-        parts.append(payload_violations(df, spec.payload, spec.part_key,
-                                        check_phash=False))
+        parts.append(payload_violations(df, spec.payload, spec.part_key))
     for ev in (extra_validators or []):
         parts.append(ev(df))
     return parts

@@ -176,7 +176,8 @@ def make_captions_ref(spark: SparkSession, n_rows: int) -> DataFrame:
 
 
 def images_spec(with_payload: bool = True, with_keyref: bool = False,
-                check_pixels: bool = True) -> TableSpec:
+                check_pixels: bool = True,
+                check_phash: bool = False) -> TableSpec:
     """The flagship TableSpec for the (image_id, bytes, w, h, fmt,
     caption, phash) table — the full constraint suite of BASELINE.json."""
     return TableSpec(
@@ -204,5 +205,7 @@ def images_spec(with_payload: bool = True, with_keyref: bool = False,
                             "captions_ref", ["image_id"])] if with_keyref else [],
         asserts=[AssertSpec("max_pixels",
                             "w IS NULL OR h IS NULL OR CAST(w AS BIGINT) * h <= 16777216")],
-        payload=PayloadSpec(check_pixels=check_pixels) if with_payload else None,
+        payload=PayloadSpec(check_pixels=check_pixels,
+                            check_phash=check_phash)
+        if with_payload else None,
     )

@@ -216,8 +216,8 @@ def _particle_lines(p: ParticleSpec, pad: str, heads: dict) -> list[str]:
     if p.kind == "element":
         if p.substitutes or p.abstract:
             heads[p.name] = (sorted(p.substitutes), p.abstract)
-            return [f'{pad}<xs:element ref="{p.name}"{occ}/>']
-        return [f'{pad}<xs:element name="{p.name}"{occ}/>']
+            return [f'{pad}<xs:element ref={quoteattr(p.name)}{occ}/>']
+        return [f'{pad}<xs:element name={quoteattr(p.name)}{occ}/>']
     if p.kind == "any":
         ns = p.namespace
         ns_attr = ""

@@ -171,6 +171,21 @@ class PayloadSpec:
     check_pixels: bool = False     # needs deterministic expected generator
     psnr_min: float = 40.0
     lossless_fmts: tuple = ("png",)
+    # phash recompute vs the metadata phash column (input_hint: the
+    # image table carries phash:int64 — this verifies it matches the
+    # payload it describes, like fmt/w/h above).
+    #   mode "exact": stored phash is a stable 64-bit content hash of
+    #     the pixel buffer (FIXTURES.md F1); recomputable only where
+    #     decode is bit-exact, so LOSSY containers are skipped (their
+    #     pixel parity is covered by the PSNR check) — deterministic.
+    #   mode "perceptual": stored phash is the 8x8 block-mean hash
+    #     (fakecodec.phash64); recomputed on every decodable row and
+    #     compared within `phash_max_hamming` bits (lossy quantization
+    #     can flip borderline bits).
+    check_phash: bool = False
+    phash_col: str = "phash"
+    phash_mode: str = "exact"      # "exact" | "perceptual"
+    phash_max_hamming: int = 0
 
 
 @dataclass
