@@ -147,6 +147,67 @@ def test_phash_perceptual_mode_hamming_tolerance(spark):
     assert "hamming distance 20" in out[0].reason
 
 
+# ------------------------------------- Columnar / Unordered converters
+
+def test_columnar_converter_naming_rule(spark):
+    """Attribute keys = parent + attr_prefix + name (reference
+    columnar.py:74-79), attributes first, level-0 {root: ...} wrap."""
+    import json as _json
+
+    from xmlschema_spark.functions.converters import (columnar_converter,
+                                                      decode_table)
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+
+    df = spark.createDataFrame([(1, "en", 5)],
+                               "doc_id bigint, lang string, n bigint")
+    spec = TableSpec(name="doc", key_column="doc_id",
+                     columns=[ColumnSpec("doc_id", "bigint"),
+                              ColumnSpec("lang", "string"),
+                              ColumnSpec("n", "bigint")])
+    row = decode_table(df, spec, columnar_converter(["lang"], "__")) \
+        .collect()[0]
+    d = _json.loads(row.doc)
+    assert list(d) == ["doc"]
+    assert list(d["doc"]) == ["doc__lang", "doc_id", "n"]
+    # empty prefix: parent name glued straight on (reference default)
+    row0 = decode_table(df, spec, columnar_converter(["lang"])) \
+        .collect()[0]
+    assert "doclang" in _json.loads(row0.doc)["doc"]
+
+
+def test_columnar_converter_rejects_bad_prefix():
+    from xmlschema_spark.functions.converters import columnar_converter
+    with pytest.raises(ValueError,
+                       match="single/double underscore"):
+        columnar_converter([], attr_prefix="@")
+
+
+def test_unordered_converter_model_order_wins(spark):
+    """Unordered mode re-derives sibling order from the model; the
+    default converter preserves the caller's insertion order — the
+    exact contrast the reference documents (unordered.py:24-30)."""
+    import json as _json
+
+    from xmlschema_spark.functions.converters import (decode_table,
+                                                      unordered_converter)
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+
+    df = spark.createDataFrame([(1, "en", 5, "web")],
+                               "doc_id bigint, lang string, n bigint, "
+                               "src string")
+    spec = TableSpec(name="doc", key_column="doc_id",
+                     columns=[ColumnSpec("doc_id", "bigint"),
+                              ColumnSpec("lang", "string"),
+                              ColumnSpec("n", "bigint")])
+    scrambled = ["n", "src", "lang", "doc_id"]
+    un = decode_table(df, spec, unordered_converter(),
+                      names=scrambled).collect()[0]
+    # declared order, undeclared 'src' trailing
+    assert list(_json.loads(un.doc)) == ["doc_id", "lang", "n", "src"]
+    default = decode_table(df, spec, names=scrambled).collect()[0]
+    assert list(_json.loads(default.doc)) == scrambled
+
+
 # --------------------------------------------- exporter quoteattr
 
 def test_exporter_quotes_element_names():

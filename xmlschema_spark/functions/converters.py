@@ -57,11 +57,17 @@ def nested_converter(groups: dict[str, list[str]]) -> Converter:
 
 
 def decode_table(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,
-                 converter: Optional[Converter] = None) -> DataFrame:
+                 converter: Optional[Converter] = None,
+                 names: list[str] | None = None) -> DataFrame:
     """Validated-decode sink: defaults filled, whitespace normalizations
     applied, declared columns assembled by the converter, serialized to
     JSON (reference: XMLSchema.decode -> converter -> dict/JSON,
-    documents.py:275,301). Returns (row_key, doc)."""
+    documents.py:275,301). Returns (row_key, doc).
+
+    `names` overrides the column order handed to the converter (the
+    analog of input-dict insertion order on the encode side): the
+    default converter preserves it, unordered_converter re-derives
+    model order from the spec instead."""
     from ..runner import apply_defaults
     plan = spec_or_plan if isinstance(spec_or_plan, ValidationPlan) \
         else compile_plan(spec_or_plan)
@@ -69,7 +75,8 @@ def decode_table(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,
     out = apply_defaults(df, spec)
     for name, norm in plan.normalizations.items():
         out = out.withColumn(name, norm)
-    names = [c.name for c in spec.columns]
+    if names is None:
+        names = [c.name for c in spec.columns]
     conv = converter or default_converter
     doc = conv(spec, names)
     # converters that build JSON text directly (JsonML's heterogeneous
@@ -142,6 +149,55 @@ def abdera_converter(attr_cols: list[str]) -> Converter:
             return F.struct(*c)
         return F.struct(F.struct(*a).alias("attributes"),
                         F.struct(*c).alias("children"))
+    return conv
+
+
+def columnar_converter(attr_cols: list[str],
+                       attr_prefix: str = "") -> Converter:
+    """Columnar convention (converters/columnar.py:23-174) — the layout
+    that motivated this engine's own output shape. Naming rule, exactly
+    the reference's element_decode:
+
+      - attributes are flattened with the PARENT element's local name:
+        key = parent + attr_prefix + attr (columnar.py:74-79,
+        `pfx = xsd_element.local_name + self.attr_prefix`), where
+        attr_prefix must be '', '_' or '__' (columnar.py:57-66
+        __setattr__ guard, same wording);
+      - simple-content children keep their own local names and merge
+        straight into the parent dict (columnar.py:95-99);
+      - at level 0 the result is wrapped {root: {...}}
+        (columnar.py:123-124).
+
+    Attributes come first (result_dict is initialized from
+    data.attributes), then children in declared order."""
+    if attr_prefix not in ("", "_", "__"):
+        raise ValueError("'attr_prefix' can be the empty string or a "
+                         "single/double underscore")
+    attrs = set(attr_cols)
+
+    def conv(spec: TableSpec, names: list[str]) -> Column:
+        fields = [F.col(n).alias(f"{spec.name}{attr_prefix}{n}")
+                  for n in names if n in attrs]
+        fields += [F.col(n) for n in names if n not in attrs]
+        return F.struct(F.struct(*fields).alias(spec.name))
+    return conv
+
+
+def unordered_converter() -> Converter:
+    """Unordered convention (converters/unordered.py:21-34): output
+    order comes from the MODEL, not from input order — the reference's
+    unordered encode mode lets the ModelVisitor decide sibling order
+    instead of dict insertion order. Tabular analog: the struct is
+    assembled in the spec's DECLARED column order no matter what order
+    the caller passed `names` in (decode_table's `names` override);
+    columns not declared in the spec keep their given relative order at
+    the end (wildcard content follows the modeled content)."""
+    def conv(spec: TableSpec, names: list[str]) -> Column:
+        want = set(names)
+        declared = [c.name for c in spec.columns if c.name in want]
+        seen = set(declared)
+        rest = [n for n in names if n not in seen]
+        return F.struct(*[F.col(n) for n in declared + rest])
     return conv
 
 

@@ -2102,6 +2102,53 @@ def decode_badgerfish_documents(spark: SparkSession,
                                                       text_col="source"))
 
 
+@register("decode_columnar_documents", """
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         '{"documents":{"documents_lang":"' || lang || '","doc_id":'
+           || doc_id || ',"n_chars":' || n_chars || '}}' AS doc
+    FROM documents
+""")
+def decode_columnar_documents(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Columnar convention (reference converters/columnar.py:23-174):
+    attributes flattened with the parent element's name — lang as
+    'documents_lang' (attr_prefix='_'), attributes first, children
+    (doc_id, n_chars) after, the whole row wrapped {documents: {...}}
+    at level 0."""
+    from .functions.converters import columnar_converter, decode_table
+    d = _load(spark, sf_dir, "documents")
+    spec = TableSpec(name="documents", key_column="doc_id",
+                     columns=[ColumnSpec("doc_id", "bigint"),
+                              ColumnSpec("lang", "string"),
+                              ColumnSpec("n_chars", "bigint")])
+    return decode_table(d, spec, columnar_converter(["lang"],
+                                                    attr_prefix="_"))
+
+
+@register("decode_unordered_documents", """
+  SELECT CAST(doc_id AS VARCHAR) AS row_key,
+         '{"doc_id":' || doc_id || ',"lang":"' || lang || '","n_chars":'
+           || n_chars || ',"source":"' || source || '"}' AS doc
+    FROM documents
+""")
+def decode_unordered_documents(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Unordered convention (reference converters/unordered.py:21-34):
+    sibling order comes from the MODEL, not input order — the caller
+    hands columns in scrambled insertion order (n_chars, lang, doc_id,
+    source) and the output is still in the spec's declared order, with
+    the undeclared 'source' column trailing (wildcard content after
+    modeled content)."""
+    from .functions.converters import decode_table, unordered_converter
+    d = _load(spark, sf_dir, "documents")
+    spec = TableSpec(name="documents", key_column="doc_id",
+                     columns=[ColumnSpec("doc_id", "bigint"),
+                              ColumnSpec("lang", "string"),
+                              ColumnSpec("n_chars", "bigint")])
+    return decode_table(d, spec, unordered_converter(),
+                        names=["n_chars", "lang", "doc_id", "source"])
+
+
 @register("dup_clusters_star_documents", ORACLES["dup_clusters_documents"])
 def dup_clusters_star_documents(spark: SparkSession,
                                 sf_dir: str) -> DataFrame:
