@@ -328,14 +328,13 @@ def test_identity_constraints(spark):
 # --------------------------------------------------------------- errors
 
 @pytest.mark.parametrize("xsd,match", [
-    (f'<xs:schema {XS}><xs:import namespace="x"/></xs:schema>',
-     "xs:import is not supported"),
-    (f'''<xs:schema {XS}><xs:element name="t">
-         <xs:complexType mixed="true"><xs:sequence>
-         <xs:element name="kid"/></xs:sequence>
-         <xs:attribute name="rid"/>
-         </xs:complexType></xs:element></xs:schema>''',
-     "mixed content"),
+    # xs:import is SUPPORTED since round 6; importing one's own
+    # targetNamespace stays an error with the reference's wording
+    (f'<xs:schema {XS} targetNamespace="urn:t" xmlns:t="urn:t">'
+     '<xs:import namespace="urn:t"/></xs:schema>',
+     "must be different from schema's 'targetNamespace'"),
+    # (mixed element content imports since round 6: value column +
+    # content model — see test_xsd_import_ns.py mixed tests)
     (f'''<xs:schema {XS}><xs:element name="t">
          <xs:complexType><xs:attribute name="v" type="xs:QName"/>
          </xs:complexType></xs:element></xs:schema>''',
@@ -776,11 +775,14 @@ def test_reference_complex_extensions_schema(spark):
 
 
 def test_reference_mixed_type_rejected():
-    """Case 2 of the same file: personType is mixed — no tabular
-    analog, the importer says so."""
+    """Case 2 of the same file: extPersonType extends the MIXED
+    personType with an element-only non-empty group — the reference's
+    content-type mismatch error (complex_types.py:478-484)."""
     path = f"{_CASES}/features/derivations/complex-extensions.xsd"
-    with pytest.raises(ValueError, match="mixed content"):
-        spec_from_xsd(path, element="extPersonType", key_column="x")
+    with pytest.raises(ValueError,
+                       match="different content type \\(mixed=True\\)"):
+        spec_from_xsd(path, element="extPersonType", key_column="x",
+                      tags_column="children")
 
 
 # ------------------- element refs, substitution groups, default attrs

@@ -112,3 +112,25 @@ NAME_TYPES = {
 }
 
 ALL.update(NAME_TYPES)
+
+
+def python_lexical(kind: str):
+    """Python-`re`-safe lexical pattern for `kind`, or None. The NAME
+    family uses XSD escapes (\\i \\c, class subtraction) whose Java
+    translation (xsd_regex) carries `&&[^:]` intersections Python's re
+    cannot parse — the compile-time literal checks (fixed/default
+    values) need these equivalents with the subtraction expanded by
+    simply omitting ':' from the classes. Everything else in ALL is
+    already engine-portable."""
+    if kind not in ALL:
+        return None
+    if kind in ("Name", "NCName", "NMTOKEN", "ID", "IDREF", "ENTITY"):
+        from .xsd_regex import _NAME_CHAR, _NAME_START
+        start_nc = _NAME_START.lstrip(":")     # \i minus ':'
+        char_nc = _NAME_CHAR.lstrip(":")       # \c minus ':'
+        if kind == "Name":
+            return f"[{_NAME_START}][{_NAME_CHAR}]*"
+        if kind == "NMTOKEN":
+            return f"[{_NAME_CHAR}]+"
+        return f"[{start_nc}][{char_nc}]*"     # NCName/ID/IDREF/ENTITY
+    return ALL[kind]

@@ -293,9 +293,10 @@ def _literal_is_type_valid(dtype: Optional[str], v) -> bool:
             return re.fullmatch(r"([0-9a-fA-F]{2})*", s) is not None
         if kind == "base64Binary":
             return re.fullmatch(r"[A-Za-z0-9+/ ]*={0,2}", s) is not None
-        from ..functions.temporal_lex import ALL as _LEX
-        if kind in _LEX:
-            return re.fullmatch(_LEX[kind], s) is not None
+        from ..functions.temporal_lex import python_lexical
+        lex = python_lexical(kind)
+        if lex is not None:
+            return re.fullmatch(lex, s) is not None
         return True
     import datetime as _dt
     try:

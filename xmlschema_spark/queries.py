@@ -184,6 +184,89 @@ def xsd_import_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_key", "constraint", "value")
 
 
+# Multi-namespace schema set: the events row schema in urn:events
+# imports a measurement-types library living in urn:metrics — the
+# reference's namespaced-schema shape (every production XSD), with
+# QName references resolving across the import (loaders.py:85-182,
+# features/namespaces/*). 'xs:import' has no schemaLocation: satisfied
+# via spec_from_xsd(locations=...), the reference's locations argument.
+_METRICS_LIB_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           targetNamespace="urn:metrics" xmlns="urn:metrics">
+  <xs:simpleType name="reading">
+    <xs:restriction base="xs:double">
+      <xs:minInclusive value="0"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:simpleType name="boundedReading">
+    <xs:restriction base="reading">
+      <xs:maxExclusive value="99"/>
+    </xs:restriction>
+  </xs:simpleType>
+</xs:schema>
+"""
+
+_EVENTS_MULTINS_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           targetNamespace="urn:events"
+           xmlns:ev="urn:events" xmlns:m="urn:metrics">
+  <xs:import namespace="urn:metrics"/>
+  <xs:simpleType name="kind">
+    <xs:restriction base="xs:token">
+      <xs:enumeration value="click"/>
+      <xs:enumeration value="view"/>
+      <xs:enumeration value="purchase"/>
+      <xs:enumeration value="error"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:element name="event">
+    <xs:complexType>
+      <xs:attribute name="event_id" type="xs:long" use="required"/>
+      <xs:attribute name="event_type" type="ev:kind"/>
+      <xs:attribute name="value" type="m:boundedReading"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>
+"""
+
+
+@register("xsd_import_multins_events", """
+  SELECT CAST(event_id AS VARCHAR) AS row_key,
+         'facet:enumeration:event_type' AS constraint,
+         event_type AS value
+    FROM events
+   WHERE event_type IS NOT NULL
+     AND event_type NOT IN ('click','view','purchase','error')
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:minInclusive:value',
+         CAST(value AS VARCHAR)
+    FROM events
+   WHERE value IS NOT NULL AND NOT (value >= 0)
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:maxExclusive:value',
+         CAST(value AS VARCHAR)
+    FROM events
+   WHERE value IS NOT NULL AND value >= 0 AND NOT (value < 99)
+""")
+def xsd_import_multins_events(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """Namespace-aware XSD front door: the events constraints live in
+    a TWO-namespace schema set — urn:events imports a urn:metrics type
+    library (no schemaLocation; satisfied via locations=), and the
+    value column's restriction CHAIN crosses the import
+    (ev:event/@value -> m:boundedReading -> m:reading -> xs:double).
+    Reference analog: loaders.py:85-182 import processing +
+    schemas.py:1180-1199 QName resolution. The oracle replays the
+    flattened chain in SQL, so cross-namespace resolution itself is
+    hash-gated."""
+    from .sources.xsd_import import spec_from_xsd
+    df = _load(spark, sf_dir, "events")
+    spec = spec_from_xsd(_EVENTS_MULTINS_XSD, key_column="event_id",
+                         locations={"urn:metrics": _METRICS_LIB_XSD})
+    return row_violations(df, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")
+
+
 _LINEITEM_CHAIN_XSD = """
 <xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
   <xs:attributeGroup name="keys">

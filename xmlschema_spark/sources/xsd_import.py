@@ -75,7 +75,21 @@ Mapping (reference parity anchors):
 
   xs:include -> merged in place when the schema is given as a FILE
     PATH (locations resolve against the including file's directory,
-    loaded at most once — circular include chains are legal and stop).
+    loaded at most once — circular include chains are legal and stop);
+    a no-namespace included document is ADOPTED into the including
+    schema's targetNamespace (chameleon include, schemas.py:345-348).
+
+  targetNamespace / xs:import (loaders.py:85-182) -> each document's
+    QName references resolve against its own in-scope xmlns
+    declarations; global components of namespace U key as '{U}name'
+    internally and all references rewrite to those canonical keys at
+    load, so the rest of the importer is namespace-free. Imports load
+    from schemaLocation (relative to the importing FILE) or from the
+    `locations=` argument {namespace: path-or-text}; an unresolvable
+    import namespace defers (reference: warning) and only an actual
+    reference into it errors. Parse-error parity: importing one's own
+    targetNamespace, import/include targetNamespace mismatches, and
+    unmapped QName prefixes use the reference's wordings.
 
   xs:alternative (XSD 1.1 type alternatives, elements.py:654-657 +
     get_alternative_type elements.py:1340) -> ConditionalSpec: each
@@ -85,11 +99,19 @@ Mapping (reference parity anchors):
     attributes-only complexType imports as an unconstrained string
     value column (emptiable mixed content IS tabular text).
 
-Out of scope (raises ValueError naming the construct): xs:import /
-xs:redefine / xs:override, mixed content, xs:notation, QName/NOTATION
-types, and multi-step identity field paths. The reference resolves
-these during schema build; flattening them is schema-authoring work
-the importer will not guess at.
+  mixed content (round 6) -> the row's character data lands in the
+    VALUE COLUMN (an unconstrained string — the reference decodes
+    mixed text as untyped character data) NEXT TO the content model
+    over tags_column; interleaving positions are not represented
+    (documented divergence: a row is column-shaped, not a node list).
+    Mixed-ness propagates down complexContent EXTENSIONS; emptiable
+    mixed (attributes only) stays a bare string value column.
+
+Out of scope (raises ValueError naming the construct): xs:redefine /
+xs:override, xs:notation, QName/NOTATION types, and multi-step
+identity field paths. The reference resolves these during schema
+build; flattening them is schema-authoring work the importer will not
+guess at.
 """
 
 from __future__ import annotations
@@ -135,39 +157,267 @@ for _k in ("byte", "short", "int", "long", "unsignedByte", "unsignedShort",
 _BUILTIN_LISTS = {"NMTOKENS": "xsd:NMTOKEN", "IDREFS": "xsd:IDREF",
                   "ENTITIES": "xsd:ENTITY"}
 
-_UNSUPPORTED_TOP = ("import", "redefine", "override", "notation")
+_UNSUPPORTED_TOP = ("redefine", "override", "notation")
+
+_XML_NS = "http://www.w3.org/XML/1998/namespace"
+
+# QName-valued attributes of XSD components (resolved against the
+# in-scope namespace declarations, like the reference's
+# schema.resolve_qname, schemas.py:1180-1199)
+_QNAME_ATTRS = ("type", "base", "ref", "itemType", "refer",
+                "substitutionGroup", "defaultAttributes")
+
+# global components whose name= lives in the schema's targetNamespace
+_COMPONENT_TAGS = ("simpleType", "complexType", "group",
+                   "attributeGroup", "element", "attribute", "notation")
 
 
-def _resolve_includes(root, base_dir: Optional[str], seen: set) -> None:
-    """Merge xs:include'd schema documents into `root` (the
-    reference's include processing during schema build,
-    schemas/main.py add_schema / xsd_globals load): locations resolve
-    against the INCLUDING file's directory and are loaded at most once
-    — circular include chains are legal XSD and simply stop
-    (includes are idempotent by location)."""
-    for inc in [c for c in root if _local(c.tag) == "include"]:
-        loc = inc.get("schemaLocation")
-        if loc is None:
-            _err("xs:include requires a schemaLocation attribute")
-        root.remove(inc)
-        if base_dir is None and not os.path.isabs(loc):
-            _err(f"xs:include schemaLocation {loc!r} is relative — "
-                 "give the schema as a FILE PATH so includes can "
-                 "resolve against its directory")
-        path = os.path.normpath(os.path.join(base_dir or "", loc))
-        if path in seen:
-            continue
-        seen.add(path)
-        try:
-            with open(path) as f:
-                sub = ElementTree.fromstring(f.read())
-        except (OSError, ElementTree.ParseError) as e:
-            _err(f"cannot load included schema {loc!r}: {e}")
-        if sub.tag != f"{_N}schema":
-            _err(f"included document {loc!r} is not an xs:schema")
-        _resolve_includes(sub, os.path.dirname(path), seen)
-        for c in sub:
-            root.append(c)
+def _parse_schema_doc(text: str):
+    """Parse schema text capturing each element's in-scope namespace
+    declarations (the reference keeps these via XMLResource
+    get_namespaces; ElementTree drops them, so we track start-ns
+    events against the element stack). Returns (root, scopes) with
+    scopes[id(element)] = {prefix: uri} ('' = default namespace)."""
+    parser = ElementTree.XMLPullParser(["start-ns", "start", "end"])
+    try:
+        parser.feed(text)
+        parser.close()
+    except ElementTree.ParseError as e:
+        _err(f"schema document does not parse: {e}")
+    root = None
+    stack = [{"xml": _XML_NS}]
+    pending: list = []
+    scopes: dict[int, dict] = {}
+    for ev, obj in parser.read_events():
+        if ev == "start-ns":
+            pending.append(obj)
+        elif ev == "start":
+            if pending:
+                ns = dict(stack[-1])
+                ns.update(dict(pending))
+                pending = []
+            else:
+                ns = stack[-1]
+            stack.append(ns)
+            scopes[id(obj)] = ns
+            if root is None:
+                root = obj
+        else:
+            stack.pop()
+    return root, scopes
+
+
+def _canon(qname: str, nsmap: dict, default_ns: str = "") -> str:
+    """Resolve a QName against in-scope declarations to its canonical
+    key: 'xs:local' for the XSD namespace, bare local for
+    no-namespace, Clark '{uri}local' otherwise. `default_ns` supplies
+    the chameleon default (reference schemas.py:345-348: a schema
+    adopted into a namespace maps the unbound default prefix to it)."""
+    qname = qname.strip()
+    if qname.startswith("{"):
+        uri, local = qname[1:].split("}", 1)
+    elif ":" in qname:
+        prefix, local = qname.split(":", 1)
+        uri = nsmap.get(prefix)
+        if uri is None:
+            _err(f"prefix {prefix!r} not found in namespace map")
+    else:
+        local = qname
+        uri = nsmap.get("") or default_ns
+    if uri == _XSD_NS:
+        return f"xs:{local}"
+    if not uri:
+        return local
+    return "{%s}%s" % (uri, local)
+
+
+def _key_in_ns(name: str, tns: str) -> str:
+    """Registration key of a global component named `name` in
+    targetNamespace `tns` — the same canonical form _canon produces
+    for references, so lookups are exact string matches."""
+    if not tns:
+        return name
+    if tns == _XSD_NS:
+        return f"xs:{name}"
+    return "{%s}%s" % (tns, name)
+
+
+def _localname(key: str) -> str:
+    """Display/column name of a canonical key (drop the namespace)."""
+    if key.startswith("{"):
+        return key.rsplit("}", 1)[1]
+    if key.startswith("xs:"):
+        return key[3:]
+    return key
+
+
+def _canonicalize_doc(root, scopes: dict, tns: str,
+                      default_ns: str = "") -> None:
+    """Rewrite every QName-valued attribute to its canonical key and
+    mangle global component names (and identity-constraint names,
+    which are schema-global QNames in the target namespace) — after
+    this pass the whole schema set resolves by exact string match and
+    the namespace layer is gone."""
+    root_ns = scopes.get(id(root), {})
+    for el in root.iter():
+        if not isinstance(el.tag, str):
+            continue               # comments / PIs
+        ns = scopes.get(id(el), root_ns)
+        for a in _QNAME_ATTRS:
+            v = el.get(a)
+            if v is not None:
+                el.set(a, _canon(v, ns, default_ns))
+        mt = el.get("memberTypes")
+        if mt is not None:
+            el.set("memberTypes",
+                   " ".join(_canon(q, ns, default_ns)
+                            for q in mt.split()))
+        if tns and _local(el.tag) in ("unique", "key", "keyref") \
+                and el.get("name"):
+            el.set("name", _key_in_ns(el.get("name"), tns))
+    if tns:
+        for child in root:
+            if isinstance(child.tag, str) \
+                    and _local(child.tag) in _COMPONENT_TAGS \
+                    and child.get("name"):
+                child.set("name", _key_in_ns(child.get("name"), tns))
+
+
+def _read_schema_source(src: str, base_dir: Optional[str],
+                        what: str) -> tuple:
+    """(text, base_dir, normalized path or None) of a schema source
+    that is either literal XML text or a file path / location."""
+    if src.lstrip().startswith("<"):
+        return src, base_dir, None
+    if base_dir is None and not os.path.isabs(src):
+        _err(f"{what} location {src!r} is relative — give the schema "
+             "as a FILE PATH so locations can resolve against its "
+             "directory")
+    path = os.path.normpath(os.path.join(base_dir or "", src))
+    try:
+        with open(path) as f:
+            return f.read(), os.path.dirname(path), path
+    except OSError as e:
+        _err(f"cannot load {what} {src!r}: {e}")
+
+
+def _assemble_schema_set(xsd: str,
+                         locations: Optional[dict] = None) -> tuple:
+    """Load the main schema plus its xs:include / xs:import closure,
+    canonicalize every document against its own namespace
+    declarations, and merge all global components into the main root.
+    Returns (root, target_ns).
+
+    Reference parity (loaders.py:85-182 load_declared_schemas):
+      - include: same targetNamespace required; a no-namespace
+        document is adopted into the including schema's namespace
+        (chameleon include) with its unbound default prefix mapped to
+        it (schemas.py:345-348); circular chains are legal and stop
+        (loaded at most once per location).
+      - import: namespace= must differ from the importing schema's
+        targetNamespace (loaders.py:103-108 wordings); the imported
+        document's targetNamespace must match the declared namespace
+        (schemas.py:341-343 wording); a location-less import is
+        satisfied from `locations` {namespace: path-or-text}; a
+        namespace that stays unresolvable is NOT an error until a
+        reference into it fails to resolve (the reference defers
+        missing imports the same way, loaders.py:128-147).
+    """
+    locations = dict(locations or {})
+    main_text, main_base, main_path = _read_schema_source(
+        xsd, None, "schema")
+    # one document may be reached both by include and by import —
+    # load it at most once per (path, namespace it lands in)
+    seen_docs: set = set()
+    if main_path is not None:
+        peek, _ = _parse_schema_doc(main_text)
+        if peek is not None:
+            seen_docs.add((main_path,
+                           peek.get("targetNamespace") or ""))
+    merged: list = []          # sub-document components, load order
+
+    def load(text, base_dir, adopt_tns, expected_ns):
+        root, scopes = _parse_schema_doc(text)
+        if root is None or root.tag != f"{_N}schema":
+            _err(f"root element is {getattr(root, 'tag', None)!r}, "
+                 "expected xs:schema")
+        tns = root.get("targetNamespace") or ""
+        default_ns = ""
+        if adopt_tns is not None:            # include context
+            if tns and tns != adopt_tns:
+                _err(f"the targetNamespace {tns!r} of an included "
+                     f"schema differs from {adopt_tns!r} of the "
+                     "including schema")
+            if not tns and adopt_tns:
+                default_ns = adopt_tns       # chameleon adoption
+            tns = adopt_tns
+        if expected_ns is not None:          # import context
+            if tns and tns != expected_ns:
+                _err("targetNamespace of XSD resource differs from "
+                     f"what expected (found {tns!r} instead of "
+                     f"{expected_ns!r})")
+            if not tns:
+                default_ns = expected_ns     # adopted import
+            tns = expected_ns
+
+        for decl in list(root):
+            kind = _local(decl.tag) if isinstance(decl.tag, str) else ""
+            if kind == "include":
+                loc = decl.get("schemaLocation")
+                if loc is None:
+                    _err("xs:include requires a schemaLocation "
+                         "attribute")
+                root.remove(decl)
+                sub_text, sub_base, sub_path = _read_schema_source(
+                    loc, base_dir, "included schema")
+                if sub_path is not None:
+                    if (sub_path, tns) in seen_docs:
+                        continue             # circular chains stop
+                    seen_docs.add((sub_path, tns))
+                sub = load(sub_text, sub_base, tns, None)
+                merged.extend(c for c in sub if isinstance(c.tag, str))
+            elif kind == "import":
+                root.remove(decl)
+                ns = (decl.get("namespace") or "").strip()
+                if ns == tns:
+                    if ns == "":
+                        _err("if the 'namespace' attribute is not "
+                             "present on the import statement then "
+                             "the imported schema must have a "
+                             "'targetNamespace'")
+                    _err("the attribute 'namespace' must be different "
+                         "from schema's 'targetNamespace'")
+                # candidate locations: the schemaLocation hint, then
+                # the locations= map; a location that fails to LOAD is
+                # skipped like a missing one — the reference records
+                # these as warnings, not errors (loaders.py:128-136,
+                # 'It is not an error if the location fails to
+                # resolve'); only an actual reference into a
+                # never-loaded namespace fails, at resolution time
+                for loc in (decl.get("schemaLocation"),
+                            locations.get(ns)):
+                    if loc is None:
+                        continue
+                    try:
+                        sub_text, sub_base, sub_path = \
+                            _read_schema_source(loc, base_dir,
+                                                "imported schema")
+                    except ValueError:
+                        continue         # unresolvable hint: try next
+                    key = (sub_path, ns) if sub_path else (loc[:120], ns)
+                    if key not in seen_docs:
+                        seen_docs.add(key)
+                        sub = load(sub_text, sub_base, None, ns)
+                        merged.extend(c for c in sub
+                                      if isinstance(c.tag, str))
+                    break            # a never-loaded ns fails lazily
+
+        _canonicalize_doc(root, scopes, tns, default_ns)
+        return root
+
+    main_root = load(main_text, main_base, None, None)
+    main_root.extend(merged)
+    return main_root, main_root.get("targetNamespace") or ""
 
 _FACET_INT = {"length": "length", "minLength": "min_length",
               "maxLength": "max_length", "totalDigits": "total_digits",
@@ -187,14 +437,15 @@ def _local(tag: str) -> str:
 
 
 def _strip_prefix(qname: str) -> str:
+    """Local part of a LEGACY 'p:local' form (Clark keys pass through
+    _localname instead — a Clark URI may itself contain ':')."""
+    if qname.startswith("{"):
+        return qname.rsplit("}", 1)[1]
     return qname.rsplit(":", 1)[-1]
 
 
-def _resolve_type(qname: Optional[str], named: dict) -> dict:
-    """A type reference -> partial ColumnSpec kwargs."""
-    if qname is None:
-        return {}
-    local = _strip_prefix(qname)
+def _builtin_kw(local: str) -> Optional[dict]:
+    """ColumnSpec kwargs of the XSD built-in named `local`, or None."""
     if local in _BUILTIN_LISTS:
         return {"lexical_list": True,
                 "item": {"dtype": _BUILTIN_LISTS[local]}}
@@ -203,10 +454,38 @@ def _resolve_type(qname: Optional[str], named: dict) -> dict:
     if local in ("QName", "NOTATION"):
         _err(f"xs:{local} needs in-scope namespace bindings a row does "
              "not have (reference: qnames resolved during decode)")
-    if local in named:
-        return {"base": local}
+    return None
+
+
+def _resolve_type(qname: Optional[str], named: dict) -> dict:
+    """A CANONICAL type reference -> partial ColumnSpec kwargs.
+
+    'xs:local' resolves only against the built-ins (the reference
+    resolves built-ins by the XSD namespace, not by local name);
+    anything else prefers the schema set's own global simpleTypes —
+    so a user type whose local name collides with a built-in (e.g. a
+    no-namespace global simpleType named 'token') is no longer
+    shadowed by the built-in. Unqualified names fall back to the
+    built-ins only in no-namespace schemas where no user type claims
+    the name (legacy-lenient; the reference would reject the
+    reference outright there)."""
+    if qname is None:
+        return {}
+    if qname.startswith("xs:"):
+        kw = _builtin_kw(qname[3:])
+        if kw is None:
+            _err(f"unknown XSD built-in type {qname[3:]!r}")
+        return kw
+    if qname in named:
+        return {"base": qname}
+    if not qname.startswith("{"):
+        kw = _builtin_kw(qname)
+        if kw is not None:
+            return kw
     _err(f"unknown type {qname!r} (not a built-in, not a global "
-         "simpleType of this document)")
+         "simpleType of the schema set; if its namespace was imported "
+         "without a resolvable schemaLocation, pass "
+         "locations={namespace: path_or_text})")
     return {}
 
 
@@ -343,10 +622,13 @@ def _parse_particle(node, named: dict, elems: Optional[dict] = None
         name = node.get("name") or node.get("ref")
         if name is None:
             _err("element particle needs name= or ref=")
-        local = _strip_prefix(name)
+        # ParticleSpec names are data TAGS: local for name=; a ref=
+        # resolves by its canonical key, displays by its local part
+        local = _localname(name)
         abstract = node.get("abstract") == "true"
         substitutes: list = []
         if node.get("ref") is not None:
+            ref = node.get("ref")
             if node.get("default") is not None \
                     or node.get("fixed") is not None:
                 # reference: ref particles take the value constraint
@@ -354,12 +636,13 @@ def _parse_particle(node, named: dict, elems: Optional[dict] = None
                 _err(f"element reference {local!r} cannot carry a "
                      "default/fixed value constraint")
             if elems is not None:
-                head = elems.get("globals", {}).get(local)
+                head = elems.get("globals", {}).get(ref)
                 if head is None:
                     _err(f"unknown element ref {local!r}")
                 abstract = head.get("abstract") == "true"
                 substitutes = sorted(
-                    elems.get("subs", {}).get(local, ()))
+                    _localname(m)
+                    for m in elems.get("subs", {}).get(ref, ()))
         return ParticleSpec(kind="element", name=local,
                             min_occurs=lo, max_occurs=hi,
                             substitutes=substitutes, abstract=abstract)
@@ -409,7 +692,6 @@ def _expand_groups(node, groups: dict, stack: tuple = ()):
             if ref is None:
                 _err("a group particle inside a model requires ref= "
                      "(named group definitions are global only)")
-            ref = _strip_prefix(ref)
             if ref in stack:
                 _err(f"circular definition of group {ref!r}")
             if ref not in groups:
@@ -428,23 +710,98 @@ def _expand_groups(node, groups: dict, stack: tuple = ()):
     return out
 
 
-def _attr_entries(node, attr_groups: dict, stack: tuple = ()) -> list:
+def _xml_builtin_attr(ref: str):
+    """Synthesized declarations of the xml.xsd attributes the
+    reference bundles as a base schema (xml:lang / space / base / id)
+    — referenced as `xs:attribute ref="xml:lang"` after importing the
+    XML namespace, with or without a schemaLocation."""
+    if not ref.startswith("{" + _XML_NS + "}"):
+        return None
+    local = ref.rsplit("}", 1)[1]
+    a = ElementTree.Element(f"{_N}attribute")
+    a.set("name", local)
+    if local == "lang":
+        # xml.xsd: union of xs:language and the empty string
+        st = ElementTree.SubElement(a, f"{_N}simpleType")
+        un = ElementTree.SubElement(st, f"{_N}union")
+        m1 = ElementTree.SubElement(un, f"{_N}simpleType")
+        ElementTree.SubElement(m1, f"{_N}restriction").set(
+            "base", "xs:language")
+        m2 = ElementTree.SubElement(un, f"{_N}simpleType")
+        r2 = ElementTree.SubElement(m2, f"{_N}restriction")
+        r2.set("base", "xs:string")
+        ElementTree.SubElement(r2, f"{_N}enumeration").set("value", "")
+        return a
+    if local == "space":
+        st = ElementTree.SubElement(a, f"{_N}simpleType")
+        r = ElementTree.SubElement(st, f"{_N}restriction")
+        r.set("base", "xs:NCName")
+        for v in ("default", "preserve"):
+            ElementTree.SubElement(r, f"{_N}enumeration").set("value", v)
+        a.set("default", "preserve")
+        return a
+    if local == "base":
+        a.set("type", "xs:anyURI")
+        return a
+    if local == "id":
+        a.set("type", "xs:ID")
+        return a
+    return None
+
+
+def _resolve_attr_ref(c, global_attrs: dict):
+    """An <xs:attribute ref="..."/> -> an effective declaration node:
+    type (and inline simpleType) from the GLOBAL declaration, name its
+    local part, use/default/fixed from the reference with the
+    reference's consistency rules (attributes.py:98-125)."""
+    ref = c.get("ref")
+    for banned in ("form", "type"):
+        if c.get(banned) is not None:
+            _err(f"attribute {banned!r} is not allowed when attribute "
+                 "reference is used")
+    decl = global_attrs.get(ref)
+    if decl is None:
+        decl = _xml_builtin_attr(ref)
+    if decl is None:
+        _err(f"unknown attribute {_localname(ref)!r}")
+    node = copy.deepcopy(decl)
+    node.set("name", _localname(ref))
+    if c.get("use") is not None:
+        node.set("use", c.get("use"))
+    if c.get("default") is not None:
+        node.set("default", c.get("default"))
+        node.attrib.pop("fixed", None)   # local default replaces both
+    if c.get("fixed") is not None:
+        gf = decl.get("fixed")
+        if gf is not None and gf != c.get("fixed"):
+            _err("referenced attribute has a different fixed value "
+                 f"{gf!r}")
+        node.set("fixed", c.get("fixed"))
+        node.attrib.pop("default", None)
+    return node
+
+
+def _attr_entries(node, attr_groups: dict, stack: tuple = (),
+                  global_attrs: Optional[dict] = None) -> list:
     """Attribute declaration nodes under `node` in document order,
-    with <xs:attributeGroup ref=.../> spliced recursively
-    (attributes.py:336-505; circular refs raise)."""
+    with <xs:attributeGroup ref=.../> spliced recursively and
+    <xs:attribute ref=.../> resolved against the global attribute
+    declarations (attributes.py:336-505; circular refs raise)."""
     out = []
     local_refs: set = set()
     for c in node:
         tag = _local(c.tag)
         if tag == "attribute":
-            out.append(c)
+            if c.get("ref") is not None:
+                out.append(_resolve_attr_ref(c, global_attrs or {}))
+            else:
+                out.append(c)
         elif tag == "attributeGroup":
             ref = c.get("ref")
             if ref is None:
                 _err("a nested attributeGroup requires ref= (the "
                      "attribute 'ref' is required in a local "
                      "attributeGroup)")
-            ref = _strip_prefix(ref)
             if ref in local_refs:
                 # attributes.py:455 duplicated-group wording
                 _err(f"duplicated attributeGroup {ref!r}")
@@ -454,7 +811,7 @@ def _attr_entries(node, attr_groups: dict, stack: tuple = ()) -> list:
             if ref not in attr_groups:
                 _err(f"unknown attributeGroup ref {ref!r}")
             out.extend(_attr_entries(attr_groups[ref], attr_groups,
-                                     stack + (ref,)))
+                                     stack + (ref,), global_attrs))
     return out
 
 
@@ -462,15 +819,27 @@ def _element_is_simple(el, named: dict,
                        globals_map: Optional[dict] = None) -> bool:
     ref = el.get("ref")
     if ref is not None:
-        tgt = (globals_map or {}).get(_strip_prefix(ref))
+        tgt = (globals_map or {}).get(ref)
         return (_element_is_simple(tgt, named, None)
                 if tgt is not None else False)
     t = el.get("type")
     if t is not None:
-        local = _strip_prefix(t)
-        return (local in _BUILTIN_DTYPES or local in _BUILTIN_LISTS
-                or local in named)
+        return _is_simple_type_ref(t, named)
     return any(_local(c.tag) == "simpleType" for c in el)
+
+
+def _is_simple_type_ref(q: str, named: dict) -> bool:
+    """True when canonical type ref `q` denotes a SIMPLE type (named
+    before built-in, like _resolve_type)."""
+    if q in named:
+        return True
+    if q.startswith("xs:"):
+        local = q[3:]
+    elif q.startswith("{"):
+        return False
+    else:
+        local = q
+    return local in _BUILTIN_DTYPES or local in _BUILTIN_LISTS
 
 
 def _flat_children(node) -> Optional[list]:
@@ -510,8 +879,7 @@ def _merge_attrs(base: dict, own_nodes: list, mode: str):
     for a in own_nodes:
         name = a.get("name")
         if name is None:
-            _err("attribute declaration requires name= (global "
-                 "attribute refs are not supported)")
+            _err("attribute declaration requires name= or ref=")
         if name in seen_own:
             # attributes.py test_duplicated_attribute wording
             _err(f"multiple declaration for attribute {name!r}")
@@ -526,7 +894,7 @@ def _merge_attrs(base: dict, own_nodes: list, mode: str):
                 and a.get("use", "optional") != "optional":
             _err("the attribute 'use' must be 'optional' if the "
                  "attribute 'default' is present")
-        if _strip_prefix(a.get("type") or "") == "ID":
+        if (a.get("type") or "") in ("xs:ID", "ID"):
             # XSD 1.0 rule (attributes.py:199-208)
             if a.get("default") is not None:
                 _err("xs:ID key attributes cannot have a default value")
@@ -569,19 +937,18 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
     Reference parity: complex_types.py:361-500 (XSD 1.0 extension /
     restriction), 893-1003 (XSD 1.1 all-merge), 302-359
     (simpleContent); error strings mirror the reference's."""
+    # mixed content contract (round 6): text interleaves with child
+    # elements in XML; the tabular row holds the character data in the
+    # VALUE COLUMN (unconstrained string — the reference decodes mixed
+    # text as untyped character data, complex_types.py content_type)
+    # and the child-tag sequence validates through the content model
+    # as usual. Mixed with attributes only (emptiable mixed) stays a
+    # bare string value column.
     mixed = ct.get("mixed") == "true"
-    if mixed and any(_local(c.tag) in (*_MODEL_TAGS, "group")
-                     for c in ct):
-        # mixed ELEMENT content interleaves text with children — no
-        # tabular analog; mixed with attributes only (an emptiable
-        # mixed type) is just free text content, which IS tabular:
-        # an unconstrained string value (the reference admits
-        # simpleContent restriction of such bases,
-        # complex_types.py:328-330)
-        _err("mixed content has no tabular analog")
     groups, attr_groups = env["groups"], env["attr_groups"]
     named, anon = env["named"], env["anon"]
-    own_attr_nodes = _attr_entries(ct, attr_groups)
+    own_attr_nodes = _attr_entries(ct, attr_groups,
+                                   global_attrs=env.get("global_attrs"))
     own_asserts = ct.findall(f"{_N}assert")
     own_oc = [c for c in ct if _local(c.tag) == "openContent"]
 
@@ -591,10 +958,11 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
         attrs, prohibited = _merge_attrs({}, own_attr_nodes, "own")
         return {"attrs": attrs, "prohibited": prohibited,
                 "content": _content_node(ct, groups),
-                # mixed attributes-only type: the text content is an
-                # unconstrained string value
+                # mixed: the text content is an unconstrained string
+                # value (beside the content model, if any)
                 "value_kw": {"dtype": "string"} if mixed else None,
-                "asserts": own_asserts, "oc_nodes": own_oc}
+                "asserts": own_asserts, "oc_nodes": own_oc,
+                "mixed": mixed}
 
     d = deriv[0]
     simple = _local(d.tag) == "simpleContent"
@@ -608,28 +976,27 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
     base_q = der.get("base")
     if base_q is None:
         _err(f"xs:{mode} requires a base= attribute")
-    base_local = _strip_prefix(base_q)
 
-    der_attr_nodes = _attr_entries(der, attr_groups)
+    der_attr_nodes = _attr_entries(der, attr_groups,
+                                   global_attrs=env.get("global_attrs"))
     der_asserts = der.findall(f"{_N}assert")
     der_oc = [c for c in der if _local(c.tag) == "openContent"]
 
     def _base_ct():
-        if base_local in stack or base_local == ct.get("name"):
-            _err(f"circular definition of complexType {base_local!r}")
-        if base_local not in env["complex_types"]:
+        if base_q in stack or base_q == ct.get("name"):
+            _err(f"circular definition of complexType "
+                 f"{_localname(base_q)!r}")
+        if base_q not in env["complex_types"]:
             _err(f"base type {base_q!r} is not a global complexType "
-                 "of this document")
-        return _flatten_ct(env["complex_types"][base_local], env,
-                           stack + (base_local,))
+                 "of the schema set")
+        return _flatten_ct(env["complex_types"][base_q], env,
+                           stack + (base_q,))
 
     if simple:
         if mode == "extension":
             # base: a simple type, or a complexType with simple
             # content (complex_types.py:340-359)
-            if (base_local in _BUILTIN_DTYPES
-                    or base_local in _BUILTIN_LISTS
-                    or base_local in named):
+            if _is_simple_type_ref(base_q, named):
                 value_kw = dict(_resolve_type(base_q, named))
                 base_attrs: dict = {}
                 base_asserts: list = []
@@ -647,9 +1014,7 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
             # with simple content; its value type becomes a derivation
             # step the restriction's facets chain onto
             # (complex_types.py:302-338)
-            if (base_local in _BUILTIN_DTYPES
-                    or base_local in _BUILTIN_LISTS
-                    or base_local in named):
+            if _is_simple_type_ref(base_q, named):
                 _err(f"base {base_q!r} is simple or has a simple "
                      "content (a simpleContent restriction derives "
                      "from a complexType)")
@@ -678,7 +1043,7 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
         return {"attrs": attrs, "prohibited": prohibited,
                 "content": None, "value_kw": value_kw,
                 "asserts": (base_asserts + own_asserts + der_asserts),
-                "oc_nodes": der_oc or own_oc}
+                "oc_nodes": der_oc or own_oc, "mixed": False}
 
     # ---- complexContent
     base = _base_ct()
@@ -687,8 +1052,28 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
                                      mode)
     asserts = base["asserts"] + own_asserts + der_asserts
     oc_nodes = der_oc or own_oc or base["oc_nodes"]
+    # content-type mixed-ness rules (complex_types.py:389-394,478-484):
+    # an extension with a NON-EMPTY own group must declare the same
+    # mixed-ness as its base; with an empty own group the content (and
+    # its mixed-ness) stays the base's; a restriction redeclares it
+    # but may not derive mixed from an element-only base.
+    own_mixed = mixed or d.get("mixed") == "true"
+    base_mixed = base.get("mixed", False)
+    own_nonempty = own_content is not None and len(own_content) > 0
+    base_nonempty = base["content"] is not None and len(base["content"])
+    if mode == "extension":
+        if own_nonempty and base_nonempty and own_mixed != base_mixed:
+            _err(f"base has a different content type "
+                 f"(mixed={base_mixed!r}) and the extension group is "
+                 "not empty")
+        eff_mixed = base_mixed if not own_nonempty else own_mixed
+    else:
+        if own_mixed and base_nonempty and not base_mixed:
+            _err("derived a mixed content from a base type that has "
+                 "element-only content")
+        eff_mixed = own_mixed
 
-    if base["value_kw"] is not None:
+    if base["value_kw"] is not None and not base_mixed:
         # complexContent over a simple-content base: XSD 1.0 admits an
         # EXTENSION that adds no model group — the content stays the
         # base's simple content (complex_types.py:487-490, exercised
@@ -699,7 +1084,8 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
             return {"attrs": attrs, "prohibited": prohibited,
                     "content": None,
                     "value_kw": dict(base["value_kw"]),
-                    "asserts": asserts, "oc_nodes": oc_nodes}
+                    "asserts": asserts, "oc_nodes": oc_nodes,
+                    "mixed": False}
         _err(f"base {base_q!r} is simple or has a simple content")
 
     if mode == "restriction":
@@ -743,8 +1129,10 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
                     content.extend([bnode, own_content])
 
     return {"attrs": attrs, "prohibited": prohibited,
-            "content": content, "value_kw": None, "asserts": asserts,
-            "oc_nodes": oc_nodes}
+            "content": content,
+            "value_kw": {"dtype": "string"} if eff_mixed else None,
+            "asserts": asserts, "oc_nodes": oc_nodes,
+            "mixed": eff_mixed}
 
 
 # -------------------------------------------------------------- identity
@@ -777,7 +1165,8 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                   key_column: Optional[str] = None,
                   tags_column: Optional[str] = None,
                   value_column: str = "value",
-                  xsd11: bool = False) -> TableSpec:
+                  xsd11: bool = False,
+                  locations: Optional[dict] = None) -> TableSpec:
     """Build a TableSpec from XSD schema text (or a file path).
 
     element:    name of the global xs:element that represents one ROW
@@ -798,22 +1187,28 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     xsd11:      enable XSD 1.1 particle rules (relaxed 'all', asserts
                 are always accepted since the engine targets 1.1
                 assertions natively).
+    locations:  {namespace: path-or-schema-text} satisfying xs:import
+                statements that carry no (or no resolvable)
+                schemaLocation — the analog of the reference's
+                `locations` argument (loaders.py get_locations).
+
+    Namespaces: each schema document's QName references resolve
+    against its own in-scope xmlns declarations (default namespace
+    included — an unprefixed reference in a targetNamespace'd schema
+    without a default mapping does NOT find target-namespace
+    components, exactly the reference's
+    features/namespaces/default_ns_invalid.xsd case). Global
+    components of a non-empty namespace are keyed '{uri}name'
+    internally; XSD built-ins only resolve through the XSD namespace
+    (or unqualified in a no-namespace schema when no user type of
+    that name exists).
     """
-    if xsd.lstrip().startswith("<"):
-        text, base_dir, seen = xsd, None, set()
-    else:
-        with open(xsd) as f:
-            text = f.read()
-        base_dir = os.path.dirname(os.path.abspath(xsd))
-        seen = {os.path.normpath(os.path.abspath(xsd))}
-    root = ElementTree.fromstring(text)
-    if root.tag != f"{_N}schema":
-        _err(f"root element is {root.tag!r}, expected xs:schema")
-    _resolve_includes(root, base_dir, seen)
-    target_ns = root.get("targetNamespace")
+    root, target_ns = _assemble_schema_set(xsd, locations)
+    target_ns = target_ns or None
 
     for child in root:
-        if _local(child.tag) in _UNSUPPORTED_TOP:
+        if isinstance(child.tag, str) \
+                and _local(child.tag) in _UNSUPPORTED_TOP:
             _err(f"xs:{_local(child.tag)} is not supported — flatten "
                  "the schema first (the reference resolves these "
                  "during schema build)")
@@ -843,9 +1238,17 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         if g.get("name") is None:
             _err("global attributeGroup requires a name")
         attr_groups[g.get("name")] = g
+    global_attrs: dict = {}
+    for a in root.findall(f"{_N}attribute"):
+        if a.get("name") is None:
+            _err("global attribute requires a name")
+        if _localname(a.get("name")) == "xmlns":
+            # attributes.py:139-141 wording
+            _err("an attribute name must be different from 'xmlns'")
+        global_attrs[a.get("name")] = a
     env = {"complex_types": complex_types, "groups": groups,
            "attr_groups": attr_groups, "named": named, "anon": anon,
-           "xsd11": xsd11}
+           "global_attrs": global_attrs, "xsd11": xsd11}
 
     globals_ = root.findall(f"{_N}element")
     global_elements = {e.get("name"): e for e in globals_
@@ -856,9 +1259,9 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     for e in globals_:
         h = e.get("substitutionGroup")
         if h:
-            if _strip_prefix(h) not in global_elements:
+            if h not in global_elements:
                 _err(f"unknown substitutionGroup {h!r}")
-            subs.setdefault(_strip_prefix(h), set()).add(e.get("name"))
+            subs.setdefault(h, set()).add(e.get("name"))
     changed = True
     while changed:
         changed = False
@@ -874,37 +1277,54 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             _err(f"circularity found for substitutionGroup {head!r}")
     elems = {"globals": global_elements, "subs": subs}
 
+    def _pick_global(name, table, what):
+        """Match a user-facing name against a registry of canonical
+        keys: exact canonical match first, else a UNIQUE local-name
+        match (so element='cars' finds '{urn:vh}cars')."""
+        if name in table:
+            return name
+        hits = [k for k in table if _localname(k) == name]
+        if len(hits) > 1:
+            _err(f"{what} {name!r} is ambiguous across namespaces: "
+                 f"{sorted(hits)} — pass the Clark name")
+        return hits[0] if hits else None
+
     row_el = None
+    row_ct_key = None
     if element is None:
         if len(globals_) != 1:
             _err(f"{len(globals_)} global elements — pass element= to "
                  "choose the row element")
         row_el = globals_[0]
     else:
-        cands = [e for e in globals_ if e.get("name") == element]
-        if cands:
-            row_el = cands[0]
-        elif element not in complex_types:
-            _err(f"no global element or complexType named {element!r}")
-    table_name = row_el.get("name") if row_el is not None else element
+        k = _pick_global(element, global_elements, "element")
+        if k is not None:
+            row_el = global_elements[k]
+        else:
+            row_ct_key = _pick_global(element, complex_types,
+                                      "complexType")
+            if row_ct_key is None:
+                _err(f"no global element or complexType named "
+                     f"{element!r}")
+    table_name = _localname(row_el.get("name")) \
+        if row_el is not None else _localname(element)
 
     # ---- resolve the row element's complexType
     ct = None
     if row_el is None:
         # element= named a global complexType directly (type-library
         # schemas with no element declarations)
-        ct = complex_types[element]
+        ct = complex_types[row_ct_key]
         t = None
     else:
         t = row_el.get("type")
     if ct is None and t is not None:
-        local = _strip_prefix(t)
-        if local in complex_types:
-            ct = complex_types[local]
+        if t in complex_types:
+            ct = complex_types[t]
         else:
             _err(f"row element type {t!r} is not a global complexType "
-                 "of this document (simple-typed row elements carry no "
-                 "columns)")
+                 "of the schema set (simple-typed row elements carry "
+                 "no columns)")
     elif ct is None:
         inline = [c for c in row_el if _local(c.tag) == "complexType"]
         if not inline:
@@ -953,11 +1373,12 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     # already-declared names win
     da = root.get("defaultAttributes")
     if da is not None and ct.get("defaultAttributesApply") != "false":
-        ref = _strip_prefix(da)
+        ref = da
         if ref not in attr_groups:
             _err(f"defaultAttributes names unknown attributeGroup "
                  f"{ref!r}")
-        for a in _attr_entries(attr_groups[ref], attr_groups):
+        for a in _attr_entries(attr_groups[ref], attr_groups,
+                               global_attrs=global_attrs):
             nm = a.get("name")
             if nm not in flat["attrs"] and nm not in flat["prohibited"]:
                 flat["attrs"][nm] = a
@@ -1019,10 +1440,10 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                     if e.get("default") is not None \
                             or e.get("fixed") is not None:
                         _err(f"element reference "
-                             f"{_strip_prefix(e.get('ref'))!r} cannot "
+                             f"{_localname(e.get('ref'))!r} cannot "
                              "carry a default/fixed value constraint")
-                    nm = _strip_prefix(e.get("ref"))
-                    tgt = global_elements[nm]
+                    tgt = global_elements[e.get("ref")]
+                    nm = _localname(e.get("ref"))
                 _column_from_simple(nm, tgt, lo, hi)
         else:
             if tags_column is None:
@@ -1060,7 +1481,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         if t is None:
             _err("xs:alternative requires type= (inline alternative "
                  "types are not supported)")
-        local_t = _strip_prefix(t)
+        local_t = t
         if local_t not in complex_types:
             _err(f"xs:alternative type {t!r} is not a global "
                  "complexType of this document")
@@ -1113,10 +1534,11 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 # identities.py parse: name is required
                 _err(f"xs:{kind}: missing required attribute 'name'")
             if ic.get("name") in id_names:
-                # identity names share ONE schema-wide symbol space
-                # (test_identities.py:37-53 'duplicated value')
+                # identity names share ONE symbol space per namespace
+                # (names are namespace-mangled by the canonicalizer;
+                # test_identities.py:37-53 'duplicated value')
                 _err("duplicated identity constraint name "
-                     f"{ic.get('name')!r}")
+                     f"{_localname(ic.get('name'))!r}")
             id_names.add(ic.get("name"))
             sel = ic.find(f"{_N}selector")
             fields = ic.findall(f"{_N}field")
@@ -1132,33 +1554,34 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                      f"row element {table_name!r} (only row-scoped "
                      "identities have a tabular analog)")
             cols = [_field_column(f.get("xpath", "")) for f in fields]
-            name = ic.get("name")
+            name = ic.get("name")        # canonical (ns-mangled) key
             if kind in ("unique", "key"):
-                u = UniqueSpec(name=name, columns=cols,
+                u = UniqueSpec(name=_localname(name), columns=cols,
                                is_key=(kind == "key"))
                 uniques.append(u)
                 keys_by_name[name] = u
             else:
                 if ic.get("refer") is None:
-                    _err(f"xs:keyref {name!r}: missing required "
-                         "attribute 'refer'")
+                    _err(f"xs:keyref {_localname(name)!r}: missing "
+                         "required attribute 'refer'")
                 keyref_names.add(name)
-                pending_keyrefs.append((name, cols,
-                                        _strip_prefix(ic.get("refer"))))
+                pending_keyrefs.append((name, cols, ic.get("refer")))
     for name, cols, refer in pending_keyrefs:
+        disp = _localname(name)
         if refer in keyref_names:
             # identities.py 'reference to a non key/unique identity
             # constraint' (test_identities.py:254-273)
-            _err(f"xs:keyref {name!r}: reference to a non key/unique "
-                 f"identity constraint {refer!r}")
+            _err(f"xs:keyref {disp!r}: reference to a non key/unique "
+                 f"identity constraint {_localname(refer)!r}")
         if refer not in keys_by_name:
-            _err(f"xs:keyref {name!r} refers to unknown key {refer!r}")
+            _err(f"xs:keyref {disp!r} refers to unknown key "
+                 f"{_localname(refer)!r}")
         ref = keys_by_name[refer]
         if len(cols) != len(ref.columns):
-            _err(f"xs:keyref {name!r}: cardinality of the keyref "
+            _err(f"xs:keyref {disp!r}: cardinality of the keyref "
                  "fields must be the same of the referred key "
                  "(identities.py keyref arity check)")
-        keyrefs.append(KeyrefSpec(name=name, columns=cols,
+        keyrefs.append(KeyrefSpec(name=disp, columns=cols,
                                   ref_table=table_name,
                                   ref_columns=list(ref.columns)))
 
