@@ -335,10 +335,8 @@ def test_identity_constraints(spark):
      "must be different from schema's 'targetNamespace'"),
     # (mixed element content imports since round 6: value column +
     # content model — see test_xsd_import_ns.py mixed tests)
-    (f'''<xs:schema {XS}><xs:element name="t">
-         <xs:complexType><xs:attribute name="v" type="xs:QName"/>
-         </xs:complexType></xs:element></xs:schema>''',
-     "namespace bindings"),
+    # (xs:QName imports since round 6 — prefixes resolve against the
+    # spec's namespace map; see test_xsd_import_ns.py QName tests)
     (f'''<xs:schema {XS}><xs:element name="t">
          <xs:complexType><xs:attribute name="v" type="nope"/>
          </xs:complexType></xs:element></xs:schema>''',

@@ -433,6 +433,124 @@ def test_emptiable_mixed_still_bare_string():
     assert not spec.content_models
 
 
+# ------------------------------------------------- QName / NOTATION
+
+def test_qname_column_prefix_binding_and_enum(spark):
+    """xs:QName values resolve prefixes against the SPEC's namespace
+    map (the schema document's root bindings); enumeration compares
+    EXPANDED names, so two prefixes bound to the same URI are equal
+    (builtins.py:139-145)."""
+    from xmlschema_spark import validate
+
+    spec = _imp(f"""
+      <xs:schema {XS} xmlns:a="urn:one" xmlns:b="urn:one"
+                 xmlns:c="urn:two">
+        <xs:element name="row">
+          <xs:complexType>
+            <xs:attribute name="rid" type="xs:string"/>
+            <xs:attribute name="q">
+              <xs:simpleType>
+                <xs:restriction base="xs:QName">
+                  <xs:enumeration value="a:ok"/>
+                  <xs:enumeration value="c:fine"/>
+                </xs:restriction>
+              </xs:simpleType>
+            </xs:attribute>
+          </xs:complexType>
+        </xs:element>
+      </xs:schema>""")
+    assert spec.namespaces["a"] == "urn:one"
+    df = spark.createDataFrame(
+        [("1", "a:ok"), ("2", "b:ok"),      # same URI as a: -> equal
+         ("3", "c:ok"),                      # bound, not in enum
+         ("4", "zz:ok"),                     # unbound prefix
+         ("5", "not a name"),                # lexical failure
+         ("6", "c:fine")],
+        "rid string, q string")
+    got = sorted((r.row_key, r.constraint) for r in
+                 validate(df, spec).violations.collect())
+    assert got == [
+        ("3", "facet:enumeration:q"),
+        ("4", "facet:qnamePrefix:q"),
+        ("5", "facet:pattern:q"),
+    ]
+
+
+def test_notation_subtype_with_declared_notations(spark):
+    from xmlschema_spark import validate
+
+    spec = _imp(f"""
+      <xs:schema {XS}>
+        <xs:notation name="png" public="image/png"/>
+        <xs:notation name="jpeg" system="file:jpeg"/>
+        <xs:element name="row">
+          <xs:complexType>
+            <xs:attribute name="rid" type="xs:string"/>
+            <xs:attribute name="fmt">
+              <xs:simpleType>
+                <xs:restriction base="xs:NOTATION">
+                  <xs:enumeration value="png"/>
+                  <xs:enumeration value="jpeg"/>
+                </xs:restriction>
+              </xs:simpleType>
+            </xs:attribute>
+          </xs:complexType>
+        </xs:element>
+      </xs:schema>""")
+    df = spark.createDataFrame([("1", "png"), ("2", "gif")],
+                               "rid string, fmt string")
+    got = [(r.row_key, r.constraint) for r in
+           validate(df, spec).violations.collect()]
+    assert got == [("2", "facet:enumeration:fmt")]
+
+
+def test_notation_enum_must_match_declaration():
+    with pytest.raises(ValueError,
+                       match="must match a notation declaration"):
+        _imp(f"""
+          <xs:schema {XS}>
+            <xs:notation name="png" public="image/png"/>
+            <xs:element name="row">
+              <xs:complexType>
+                <xs:attribute name="rid" type="xs:string"/>
+                <xs:attribute name="fmt">
+                  <xs:simpleType>
+                    <xs:restriction base="xs:NOTATION">
+                      <xs:enumeration value="gif"/>
+                    </xs:restriction>
+                  </xs:simpleType>
+                </xs:attribute>
+              </xs:complexType>
+            </xs:element>
+          </xs:schema>""")
+
+
+def test_notation_direct_use_rejected():
+    from xmlschema_spark.plans.compiler import compile_plan
+    spec = _imp(f"""
+      <xs:schema {XS}>
+        <xs:element name="row">
+          <xs:complexType>
+            <xs:attribute name="rid" type="xs:string"/>
+            <xs:attribute name="fmt" type="xs:NOTATION"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:schema>""")
+    with pytest.raises(ValueError,
+                       match="only against a subtype with an "
+                             "enumeration facet"):
+        compile_plan(spec)
+
+
+def test_notation_requires_public_or_system():
+    with pytest.raises(ValueError,
+                       match="'public' or a 'system' attribute"):
+        _imp(f'<xs:schema {XS}><xs:notation name="n"/>'
+             '<xs:element name="row"><xs:complexType>'
+             '<xs:attribute name="rid" type="xs:string"/>'
+             '</xs:complexType></xs:element></xs:schema>')
+
+
 # ----------------------------------------- reference schemas as-is
 
 def test_reference_issue_362_crossed_imports():

@@ -105,10 +105,16 @@ NORMALIZED_STRING = r"[^\t\r\n]*"
 # no lookahead (XSD regexes have none)
 TOKEN = r"([^\s]+( [^\s]+)*)?"
 
+# xs:QName / xs:NOTATION lexical space: NCName with at most one
+# prefix separator (builtins.py:139-152; the VALUE-space prefix
+# binding check lives in the compiler against TableSpec.namespaces)
+QNAME = rf"{NCNAME}(:{NCNAME})?"
+
 NAME_TYPES = {
     "language": LANGUAGE, "Name": NAME, "NCName": NCNAME,
     "NMTOKEN": NMTOKEN, "ID": NCNAME, "IDREF": NCNAME, "ENTITY": NCNAME,
     "normalizedString": NORMALIZED_STRING, "token": TOKEN,
+    "QName": QNAME, "NOTATION": QNAME,
 }
 
 ALL.update(NAME_TYPES)
@@ -124,7 +130,8 @@ def python_lexical(kind: str):
     already engine-portable."""
     if kind not in ALL:
         return None
-    if kind in ("Name", "NCName", "NMTOKEN", "ID", "IDREF", "ENTITY"):
+    if kind in ("Name", "NCName", "NMTOKEN", "ID", "IDREF", "ENTITY",
+                "QName", "NOTATION"):
         from .xsd_regex import _NAME_CHAR, _NAME_START
         start_nc = _NAME_START.lstrip(":")     # \i minus ':'
         char_nc = _NAME_CHAR.lstrip(":")       # \c minus ':'
@@ -132,5 +139,8 @@ def python_lexical(kind: str):
             return f"[{_NAME_START}][{_NAME_CHAR}]*"
         if kind == "NMTOKEN":
             return f"[{_NAME_CHAR}]+"
-        return f"[{start_nc}][{char_nc}]*"     # NCName/ID/IDREF/ENTITY
+        ncname = f"[{start_nc}][{char_nc}]*"
+        if kind in ("QName", "NOTATION"):
+            return f"{ncname}(:{ncname})?"
+        return ncname                          # NCName/ID/IDREF/ENTITY
     return ALL[kind]

@@ -474,11 +474,23 @@ def _pattern_groups_ok(val_s: Column,
     return ok
 
 
-def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
-    """Compile one ColumnSpec -> (normalization expr or None, checks)."""
+def compile_column(cs: ColumnSpec,
+                   namespaces: Optional[dict] = None
+                   ) -> tuple[Optional[Column], list[RowCheck]]:
+    """Compile one ColumnSpec -> (normalization expr or None, checks).
+
+    namespaces: the spec's prefix->URI map (TableSpec.namespaces) —
+    only consulted by xsd:QName / xsd:NOTATION columns for prefix
+    binding and expanded-name enumeration."""
     _validate_column_spec(cs)
+    if cs.dtype == "xsd:NOTATION" and not cs.enum:
+        # reference attributes.py:246-252 wording
+        raise ValueError(
+            "cannot validate against xs:NOTATION directly, only "
+            "against a subtype with an enumeration facet")
     xsd_ordered: list[tuple[str, str, str]] = []   # (facet, literal, kind)
     xsd_lex_pattern: str | None = None
+    xsd_kind: str | None = None
     xsd_int_decode: str | None = None   # None | 'strict' | 'skip'
     xsd_binary_kind: str | None = None  # hexBinary | base64Binary
     if cs.dtype and cs.dtype.startswith("xsd:"):
@@ -787,7 +799,52 @@ def compile_column(cs: ColumnSpec) -> tuple[Optional[Column], list[RowCheck]]:
             f"value is not a valid xsd:{xsd_kind}",
             val_s.rlike(translate_xsd_pattern(xsd_lex_pattern)))
 
-    if cs.enum is not None:
+    if xsd_kind in ("QName", "NOTATION"):
+        # xs:QName / xs:NOTATION value space (builtins.py:139-152):
+        # beyond the lexical check above, a prefixed value is valid
+        # only when its prefix is bound in the spec's namespace map
+        # (TableSpec.namespaces — rows carry no in-scope xmlns, the
+        # SPEC's bindings are the document's); enumeration compares
+        # EXPANDED names, so 'p:x' equals 'q:x' whenever both prefixes
+        # bind the same URI. Direct xs:NOTATION use is rejected above
+        # like the reference (attributes.py:166-168).
+        nsmap = dict(namespaces or {})
+        lex_ok = val_s.rlike(translate_xsd_pattern(xsd_lex_pattern))
+        has_pfx = val_s.contains(":")
+        pfx = F.substring_index(val_s, ":", 1)
+        bound_keys = sorted(k for k in nsmap if k)
+        bound = pfx.isin(*bound_keys) if bound_keys else F.lit(False)
+        pfx_ok = ~has_pfx | bound
+        add("qnamePrefix",
+            "the QName prefix is not bound in the spec's namespace "
+            f"map (bound prefixes: {bound_keys})",
+            ~lex_ok | pfx_ok)
+        if cs.enum is not None:
+            def _expand_lit(q) -> str:
+                q = " ".join(str(q).split())
+                if ":" in q:
+                    p, loc = q.split(":", 1)
+                    if p not in nsmap:
+                        raise ValueError(
+                            f"prefix {p!r} not found in namespace map")
+                    return "{%s}%s" % (nsmap[p], loc)
+                d = nsmap.get("")
+                return "{%s}%s" % (d, q) if d else q
+            targets = [_expand_lit(v) for v in cs.enum]
+            local = F.substring_index(val_s, ":", -1)
+            exp = None
+            for p in bound_keys:
+                e = F.concat(F.lit("{%s}" % nsmap[p]), local)
+                exp = F.when(pfx == p, e) if exp is None \
+                    else exp.when(pfx == p, e)
+            unpfx = F.concat(F.lit("{%s}" % nsmap[""]), val_s) \
+                if nsmap.get("") else val_s
+            tail = F.when(~has_pfx, unpfx).otherwise(F.lit(None))
+            exp_col = exp.otherwise(tail) if exp is not None else tail
+            add("enumeration", f"value not in enumeration {cs.enum}",
+                ~lex_ok | ~pfx_ok | exp_col.isin(*targets))
+
+    if cs.enum is not None and xsd_kind not in ("QName", "NOTATION"):
         if any(isinstance(v, int) and not -2**63 <= v < 2**63
                for v in cs.enum):
             # isin boxes literals directly and can't carry >long values
@@ -1342,10 +1399,12 @@ def compile_plan(spec: TableSpec) -> ValidationPlan:
                 base_fields.update(length=None, min_length=None,
                                    max_length=None)
             base = ColumnSpec(**base_fields)
-            norm, checks = compile_column(base)
+            norm, checks = compile_column(
+                base, namespaces=getattr(spec, "namespaces", None))
             checks.extend(compile_item_checks(cs))
         else:
-            norm, checks = compile_column(cs)
+            norm, checks = compile_column(
+                cs, namespaces=getattr(spec, "namespaces", None))
         if norm is not None:
             plan.normalizations[cs.name] = norm
         plan.row_checks.extend(checks)
@@ -1354,7 +1413,8 @@ def compile_plan(spec: TableSpec) -> ValidationPlan:
         # holds (xsi:type / type alternatives, elements.py:654-684)
         cond = F.coalesce(F.expr(c.when), F.lit(False))
         for cs in c.columns:
-            _norm, cchecks = compile_column(cs)
+            _norm, cchecks = compile_column(
+                cs, namespaces=getattr(spec, "namespaces", None))
             for chk in cchecks:
                 plan.row_checks.append(RowCheck(
                     constraint=f"cond:{c.name}:{chk.constraint}",

@@ -157,7 +157,7 @@ for _k in ("byte", "short", "int", "long", "unsignedByte", "unsignedShort",
 _BUILTIN_LISTS = {"NMTOKENS": "xsd:NMTOKEN", "IDREFS": "xsd:IDREF",
                   "ENTITIES": "xsd:ENTITY"}
 
-_UNSUPPORTED_TOP = ("redefine", "override", "notation")
+_UNSUPPORTED_TOP = ("redefine", "override")
 
 _XML_NS = "http://www.w3.org/XML/1998/namespace"
 
@@ -336,11 +336,17 @@ def _assemble_schema_set(xsd: str,
                            peek.get("targetNamespace") or ""))
     merged: list = []          # sub-document components, load order
 
+    main_nsmap: dict = {}
+
     def load(text, base_dir, adopt_tns, expected_ns):
         root, scopes = _parse_schema_doc(text)
         if root is None or root.tag != f"{_N}schema":
             _err(f"root element is {getattr(root, 'tag', None)!r}, "
                  "expected xs:schema")
+        if adopt_tns is None and expected_ns is None:
+            # the MAIN document's root bindings become the spec's
+            # namespace map (TableSpec.namespaces) for QName values
+            main_nsmap.update(scopes.get(id(root), {}))
         tns = root.get("targetNamespace") or ""
         default_ns = ""
         if adopt_tns is not None:            # include context
@@ -417,7 +423,8 @@ def _assemble_schema_set(xsd: str,
 
     main_root = load(main_text, main_base, None, None)
     main_root.extend(merged)
-    return main_root, main_root.get("targetNamespace") or ""
+    return (main_root, main_root.get("targetNamespace") or "",
+            main_nsmap)
 
 _FACET_INT = {"length": "length", "minLength": "min_length",
               "maxLength": "max_length", "totalDigits": "total_digits",
@@ -452,8 +459,11 @@ def _builtin_kw(local: str) -> Optional[dict]:
     if local in _BUILTIN_DTYPES:
         return {"dtype": _BUILTIN_DTYPES[local]}
     if local in ("QName", "NOTATION"):
-        _err(f"xs:{local} needs in-scope namespace bindings a row does "
-             "not have (reference: qnames resolved during decode)")
+        # round 6: value prefixes resolve against the SPEC's namespace
+        # map (TableSpec.namespaces, filled from the schema document's
+        # root bindings) — the reference resolves against the schema's
+        # in-scope map the same way
+        return {"dtype": f"xsd:{local}"}
     return None
 
 
@@ -1203,7 +1213,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     (or unqualified in a no-namespace schema when no user type of
     that name exists).
     """
-    root, target_ns = _assemble_schema_set(xsd, locations)
+    root, target_ns, root_nsmap = _assemble_schema_set(xsd, locations)
     target_ns = target_ns or None
 
     for child in root:
@@ -1212,6 +1222,21 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             _err(f"xs:{_local(child.tag)} is not supported — flatten "
                  "the schema first (the reference resolves these "
                  "during schema build)")
+
+    # xs:notation declarations (notations.py:19-50): global only, and
+    # a 'public' or 'system' attribute is required; their QNames are
+    # the value space of xs:NOTATION subtypes (builtins.py:146-152)
+    notations: dict[str, object] = {}
+    for n in root.findall(f"{_N}notation"):
+        if n.get("name") is None:
+            _err("a notation must have a 'name' attribute")
+        if n.get("public") is None and n.get("system") is None:
+            _err("a notation must have a 'public' or a 'system' "
+                 "attribute")
+        notations[n.get("name")] = n
+    for holder in root.iter(f"{_N}notation"):
+        if holder not in set(notations.values()):
+            _err("a notation declaration must be global")
 
     named: dict[str, dict] = {}
     anon: dict[str, dict] = {}
@@ -1594,9 +1619,26 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             _err("pass key_column= (no single single-field xs:key to "
                  "infer it from)")
 
+    # NOTATION enumeration values must name declared notations
+    # (facets.py:652 wording); resolved against the main document's
+    # root bindings like any QName value
+    def _notation_enum_ok(dtype, enum):
+        if dtype != "xsd:NOTATION" or not enum:
+            return
+        for v in enum:
+            key = _canon(" ".join(str(v).split()), root_nsmap)
+            if key not in notations:
+                _err(f"value {v!r} must match a notation declaration")
+    for kw in list(named.values()) + list(anon.values()):
+        if isinstance(kw, dict):
+            _notation_enum_ok(kw.get("dtype"), kw.get("enum"))
+    for c in columns:
+        _notation_enum_ok(c.dtype, c.enum)
+
     return TableSpec(
         name=table_name, key_column=key_column, columns=columns,
         simple_types={n: _kw_to_colspec(n, kw)
                       for n, kw in {**named, **anon}.items()},
         uniques=uniques, keyrefs=keyrefs, asserts=asserts,
-        conditionals=conditionals, content_models=content_models)
+        conditionals=conditionals, content_models=content_models,
+        namespaces=dict(root_nsmap))

@@ -377,6 +377,12 @@ class TableSpec:
     # declarations, xsd_globals.py types map): referenced by
     # ColumnSpec.base; validated + flattened at compile time
     simple_types: dict[str, "ColumnSpec"] = field(default_factory=dict)
+    # prefix -> URI bindings of the schema document ('' = default):
+    # rows carry no in-scope xmlns, so xsd:QName / xsd:NOTATION
+    # columns resolve value prefixes against THESE (the reference
+    # resolves against the schema's namespace map the same way,
+    # builtins.py:139-152 qname_validator)
+    namespaces: dict[str, str] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), default=str, indent=1, sort_keys=True)
@@ -425,6 +431,7 @@ class TableSpec:
             drift=DriftSpec(**d["drift"]) if d.get("drift") else None,
             part_key=d.get("part_key"),
             allow_extra_columns=d.get("allow_extra_columns", True),
+            namespaces=dict(d.get("namespaces", {})),
         )
 
     @staticmethod
