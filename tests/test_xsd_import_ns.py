@@ -551,6 +551,115 @@ def test_notation_requires_public_or_system():
              '</xs:complexType></xs:element></xs:schema>')
 
 
+# ------------------------------------------------- redefine / override
+
+_BASE_LIB = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema"
+           targetNamespace="urn:m" xmlns="urn:m">
+  <xs:simpleType name="size">
+    <xs:restriction base="xs:int">
+      <xs:maxInclusive value="100"/>
+    </xs:restriction>
+  </xs:simpleType>
+</xs:schema>"""
+
+
+def _redef_main(body):
+    return (f'<xs:schema {XS} targetNamespace="urn:m" xmlns="urn:m">'
+            f"{body}"
+            '<xs:element name="row"><xs:complexType>'
+            '<xs:attribute name="rid" type="xs:string"/>'
+            '<xs:attribute name="s" type="size"/>'
+            '</xs:complexType></xs:element></xs:schema>')
+
+
+def test_redefine_simpletype_chains_onto_original(tmp_path, spark):
+    """xs:redefine: the redefining restriction derives from the
+    ORIGINAL definition (self-reference), so both the original's and
+    the redefinition's facets apply (xsd_globals redefinition
+    semantics)."""
+    from xmlschema_spark import validate
+
+    (tmp_path / "lib.xsd").write_text(_BASE_LIB)
+    (tmp_path / "m.xsd").write_text(_redef_main(
+        '<xs:redefine schemaLocation="lib.xsd">'
+        '<xs:simpleType name="size">'
+        '<xs:restriction base="size"><xs:minInclusive value="10"/>'
+        '</xs:restriction></xs:simpleType></xs:redefine>'))
+    spec = _imp(str(tmp_path / "m.xsd"))
+    assert "{urn:m}size__redefined" in spec.simple_types
+    df = spark.createDataFrame(
+        [("a", "50"), ("b", "5"), ("c", "500")], "rid string, s string")
+    got = sorted((r.row_key, r.constraint) for r in
+                 validate(df, spec).violations.collect())
+    assert got == [("b", "facet:minInclusive:s"),   # redefinition
+                   ("c", "facet:maxInclusive:s")]   # original kept
+
+
+def test_redefine_without_self_reference_rejected(tmp_path):
+    (tmp_path / "lib.xsd").write_text(_BASE_LIB)
+    (tmp_path / "m.xsd").write_text(_redef_main(
+        '<xs:redefine schemaLocation="lib.xsd">'
+        '<xs:simpleType name="size">'
+        '<xs:restriction base="xs:int"><xs:minInclusive value="10"/>'
+        '</xs:restriction></xs:simpleType></xs:redefine>'))
+    with pytest.raises(ValueError,
+                       match="wrong redefinition without "
+                             "self-reference"):
+        _imp(str(tmp_path / "m.xsd"))
+
+
+def test_override_replaces_component(tmp_path, spark):
+    """xs:override: the overriding component REPLACES the original
+    outright — no self-reference, no chaining."""
+    from xmlschema_spark import validate
+
+    (tmp_path / "lib.xsd").write_text(_BASE_LIB)
+    (tmp_path / "m.xsd").write_text(_redef_main(
+        '<xs:override schemaLocation="lib.xsd">'
+        '<xs:simpleType name="size">'
+        '<xs:restriction base="xs:int"><xs:minInclusive value="10"/>'
+        '</xs:restriction></xs:simpleType></xs:override>'))
+    spec = _imp(str(tmp_path / "m.xsd"))
+    assert "{urn:m}size__redefined" not in spec.simple_types
+    df = spark.createDataFrame(
+        [("a", "500"), ("b", "5")], "rid string, s string")
+    got = sorted((r.row_key, r.constraint) for r in
+                 validate(df, spec).violations.collect())
+    # the original's maxInclusive is GONE; only the override applies
+    assert got == [("b", "facet:minInclusive:s")]
+
+
+def test_redefine_same_schema_rejected(tmp_path):
+    p = tmp_path / "self.xsd"
+    p.write_text(
+        f'<xs:schema {XS}>'
+        f'<xs:redefine schemaLocation="{p}"/>'
+        '<xs:element name="row"><xs:complexType>'
+        '<xs:attribute name="rid" type="xs:string"/>'
+        '</xs:complexType></xs:element></xs:schema>')
+    with pytest.raises(ValueError,
+                       match="can't redefine the same schema"):
+        _imp(str(p))
+
+
+def test_redefine_load_failure_wording(tmp_path):
+    (tmp_path / "m.xsd").write_text(_redef_main(
+        '<xs:redefine schemaLocation="missing.xsd"/>'))
+    with pytest.raises(ValueError, match="can't redefine schema"):
+        _imp(str(tmp_path / "m.xsd"))
+
+
+def test_redefined_target_missing_rejected(tmp_path):
+    (tmp_path / "lib.xsd").write_text(_BASE_LIB)
+    (tmp_path / "m.xsd").write_text(_redef_main(
+        '<xs:redefine schemaLocation="lib.xsd">'
+        '<xs:simpleType name="nope">'
+        '<xs:restriction base="nope"/></xs:simpleType></xs:redefine>'))
+    with pytest.raises(ValueError, match="not found in 'lib.xsd'"):
+        _imp(str(tmp_path / "m.xsd"))
+
+
 # ----------------------------------------- reference schemas as-is
 
 def test_reference_issue_362_crossed_imports():

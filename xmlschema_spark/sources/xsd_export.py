@@ -253,6 +253,21 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
 
     lines = [_HEADER]
 
+    # namespace-qualified specs (Clark '{uri}name' keys from the
+    # namespace-aware importer) have no single-document rendering —
+    # the exporter emits one no-namespace document (round 6). The
+    # xs/xml bindings every imported spec carries are exportable noise,
+    # not a namespace dependency.
+    _STD_NS = ("http://www.w3.org/2001/XMLSchema",
+               "http://www.w3.org/XML/1998/namespace")
+    if any(n.startswith("{") for n in (spec.simple_types or {})) \
+            or any(u not in _STD_NS
+                   for u in (getattr(spec, "namespaces", None)
+                             or {}).values()):
+        unexportable("namespace-qualified components (multi-namespace "
+                     "schema set; the exporter renders one "
+                     "no-namespace document)")
+
     # ---- global simple types
     for name, st in (spec.simple_types or {}).items():
         lines.append(f'  <xs:simpleType name={quoteattr(name)}>')

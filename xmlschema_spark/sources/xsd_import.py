@@ -107,11 +107,20 @@ Mapping (reference parity anchors):
     Mixed-ness propagates down complexContent EXTENSIONS; emptiable
     mixed (attributes only) stays a bare string value column.
 
-Out of scope (raises ValueError naming the construct): xs:redefine /
-xs:override, xs:notation, QName/NOTATION types, and multi-step
-identity field paths. The reference resolves these during schema
-build; flattening them is schema-authoring work the importer will not
-guess at.
+  xs:redefine / xs:override (round 6; loaders.py:118-167) -> the
+    target document loads with include semantics; override children
+    REPLACE same-named components, redefine children DERIVE from the
+    original (renamed '<key>__redefined', self-references repointed —
+    'wrong redefinition without self-reference' parity when a type
+    redefinition never references itself). xs:notation declarations
+    register as the xs:NOTATION value space; xs:QName / xs:NOTATION
+    columns resolve value prefixes against TableSpec.namespaces (the
+    main document's root bindings).
+
+Out of scope (raises ValueError naming the construct): multi-step
+identity field paths and anything else the walk rejects by name. The
+reference resolves those during schema build; flattening them is
+schema-authoring work the importer will not guess at.
 """
 
 from __future__ import annotations
@@ -156,8 +165,6 @@ for _k in ("byte", "short", "int", "long", "unsignedByte", "unsignedShort",
 # (simple_types.py:58-76 list types)
 _BUILTIN_LISTS = {"NMTOKENS": "xsd:NMTOKEN", "IDREFS": "xsd:IDREF",
                   "ENTITIES": "xsd:ENTITY"}
-
-_UNSUPPORTED_TOP = ("redefine", "override")
 
 _XML_NS = "http://www.w3.org/XML/1998/namespace"
 
@@ -338,7 +345,7 @@ def _assemble_schema_set(xsd: str,
 
     main_nsmap: dict = {}
 
-    def load(text, base_dir, adopt_tns, expected_ns):
+    def load(text, base_dir, adopt_tns, expected_ns, doc_path=None):
         root, scopes = _parse_schema_doc(text)
         if root is None or root.tag != f"{_N}schema":
             _err(f"root element is {getattr(root, 'tag', None)!r}, "
@@ -366,6 +373,91 @@ def _assemble_schema_set(xsd: str,
                 default_ns = expected_ns     # adopted import
             tns = expected_ns
 
+        def _process_redefine(decl, kind):
+            """xs:redefine / xs:override (loaders.py:118-167 load,
+            xsd_globals.py redefinition checks). Both load the target
+            document with include semantics; override children REPLACE
+            the same-named components outright; redefine children
+            DERIVE from them — the original is renamed '<key>__redefined'
+            and the redefining component's self-references repoint at
+            it ('wrong redefinition without self-reference' when a
+            simple/complexType redefinition never references itself,
+            simple_types.py:1313)."""
+            root.remove(decl)
+            loc = decl.get("schemaLocation")
+            if loc is None:
+                _err(f"xs:{kind} requires a schemaLocation attribute")
+            try:
+                sub_text, sub_base, sub_path = _read_schema_source(
+                    loc, base_dir, f"{kind} schema")
+            except ValueError as e:
+                _err(f"can't {kind} schema {loc!r}: {e}")
+            if sub_path is not None and sub_path == doc_path:
+                _err(f"can't {kind} the same schema {loc!r}")
+            if (sub_path, tns) in seen_docs:
+                _err(f"can't {kind} schema {loc!r}: it is already "
+                     "loaded via another include/import — redefining "
+                     "an independently-included document is not "
+                     "supported")
+            if sub_path is not None:
+                seen_docs.add((sub_path, tns))
+            sub = load(sub_text, sub_base, tns, None, sub_path)
+            sub_comps = [c for c in sub if isinstance(c.tag, str)]
+            children = [c for c in decl if isinstance(c.tag, str)
+                        and _local(c.tag) != "annotation"]
+            if kind == "override":
+                repl = {(_local(c.tag), _key_in_ns(c.get("name"), tns))
+                        for c in children if c.get("name")}
+                sub_comps = [c for c in sub_comps
+                             if (_local(c.tag), c.get("name"))
+                             not in repl]
+            else:
+                for child in children:
+                    cname = child.get("name")
+                    if cname is None:
+                        _err(f"xs:redefine child xs:{_local(child.tag)}"
+                             " requires a name")
+                    key = _key_in_ns(cname, tns)
+                    tgt = [c for c in sub_comps
+                           if _local(c.tag) == _local(child.tag)
+                           and c.get("name") == key]
+                    if not tgt:
+                        _err(f"redefined xs:{_local(child.tag)} "
+                             f"{cname!r} not found in {loc!r}")
+                    newkey = key + "__redefined"
+                    for t in tgt:
+                        t.set("name", newkey)
+                    found_self = False
+                    root_ns = scopes.get(id(root), {})
+                    for el in child.iter():
+                        ns = scopes.get(id(el), root_ns)
+                        for a in _QNAME_ATTRS:
+                            v = el.get(a)
+                            if v is not None and \
+                                    _canon(v, ns, default_ns) == key:
+                                el.set(a, newkey)
+                                found_self = True
+                        mt = el.get("memberTypes")
+                        if mt is not None:
+                            toks = []
+                            for q in mt.split():
+                                if _canon(q, ns, default_ns) == key:
+                                    toks.append(newkey)
+                                    found_self = True
+                                else:
+                                    toks.append(q)
+                            el.set("memberTypes", " ".join(toks))
+                    if not found_self and _local(child.tag) in (
+                            "simpleType", "complexType"):
+                        _err("wrong redefinition without "
+                             "self-reference")
+            merged.extend(sub_comps)
+            # the redefining/overriding components belong to THIS
+            # document: re-appended so its canonicalization pass
+            # resolves and registers them
+            for c in children:
+                root.append(c)
+
         for decl in list(root):
             kind = _local(decl.tag) if isinstance(decl.tag, str) else ""
             if kind == "include":
@@ -380,8 +472,10 @@ def _assemble_schema_set(xsd: str,
                     if (sub_path, tns) in seen_docs:
                         continue             # circular chains stop
                     seen_docs.add((sub_path, tns))
-                sub = load(sub_text, sub_base, tns, None)
+                sub = load(sub_text, sub_base, tns, None, sub_path)
                 merged.extend(c for c in sub if isinstance(c.tag, str))
+            elif kind in ("redefine", "override"):
+                _process_redefine(decl, kind)
             elif kind == "import":
                 root.remove(decl)
                 ns = (decl.get("namespace") or "").strip()
@@ -413,7 +507,8 @@ def _assemble_schema_set(xsd: str,
                     key = (sub_path, ns) if sub_path else (loc[:120], ns)
                     if key not in seen_docs:
                         seen_docs.add(key)
-                        sub = load(sub_text, sub_base, None, ns)
+                        sub = load(sub_text, sub_base, None, ns,
+                                   sub_path)
                         merged.extend(c for c in sub
                                       if isinstance(c.tag, str))
                     break            # a never-loaded ns fails lazily
@@ -421,7 +516,7 @@ def _assemble_schema_set(xsd: str,
         _canonicalize_doc(root, scopes, tns, default_ns)
         return root
 
-    main_root = load(main_text, main_base, None, None)
+    main_root = load(main_text, main_base, None, None, main_path)
     main_root.extend(merged)
     return (main_root, main_root.get("targetNamespace") or "",
             main_nsmap)
@@ -1215,13 +1310,6 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     """
     root, target_ns, root_nsmap = _assemble_schema_set(xsd, locations)
     target_ns = target_ns or None
-
-    for child in root:
-        if isinstance(child.tag, str) \
-                and _local(child.tag) in _UNSUPPORTED_TOP:
-            _err(f"xs:{_local(child.tag)} is not supported — flatten "
-                 "the schema first (the reference resolves these "
-                 "during schema build)")
 
     # xs:notation declarations (notations.py:19-50): global only, and
     # a 'public' or 'system' attribute is required; their QNames are
