@@ -26,10 +26,11 @@ HEADLINE = [
     "keyref_events_customer",
     "occurs_lineitem_per_order",
     "verdicts_lineitem",
-    # HLL profile (approx_count_distinct) — the plan to ship at 10^12
-    # rows; exact profile_lineitem stays registered as the oracle-parity
-    # query but its expand+multi-countDistinct plan is not the headline
-    "profile_lineitem_approx",
+    # single-pass HLL profile — the plan to ship at 10^12 rows: one
+    # partial-aggregate reduce for every profiled column, zero exact
+    # countDistinct (exact profile_lineitem and the tolerance-gated
+    # profile_lineitem_approx stay registered as oracle-parity queries)
+    "profile_lineitem_scale",
     "drift_events_halves",
     "lsh_candidate_pairs_documents",
     "qdigest_lineitem",

@@ -1308,6 +1308,62 @@ def profile_lineitem_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("col", "n", tol_ok.alias("approx_ok"))
 
 
+@register("profile_lineitem_scale", """
+  WITH a AS (
+    SELECT count(l_quantity) AS n_q,
+           CAST(count(*) - count(l_quantity) AS BIGINT) AS null_q,
+           ROUND(min(l_quantity), 6) AS min_q, ROUND(max(l_quantity), 6) AS max_q,
+           count(l_discount) AS n_d,
+           CAST(count(*) - count(l_discount) AS BIGINT) AS null_d,
+           ROUND(min(l_discount), 6) AS min_d, ROUND(max(l_discount), 6) AS max_d,
+           count(l_extendedprice) AS n_p,
+           CAST(count(*) - count(l_extendedprice) AS BIGINT) AS null_p,
+           ROUND(min(l_extendedprice), 6) AS min_p, ROUND(max(l_extendedprice), 6) AS max_p
+      FROM lineitem)
+  SELECT 'l_quantity' AS col, n_q AS n, null_q AS n_null,
+         min_q AS min_v, max_q AS max_v, TRUE AS approx_sane FROM a
+  UNION ALL
+  SELECT 'l_discount', n_d, null_d, min_d, max_d, TRUE FROM a
+  UNION ALL
+  SELECT 'l_extendedprice', n_p, null_p, min_p, max_p, TRUE FROM a
+""")
+def profile_lineitem_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 10^12-row profile plan: ONE pass over the table computing
+    count / null-count / min / max / HLL approx-distinct for every
+    profiled column in a single partial-aggregate reduce (no exact
+    countDistinct anywhere — Spark plans that as an Expand + per-column
+    shuffle, which is the wrong default at scale; the tolerance-gated
+    profile_lineitem_approx keeps HLL honest at test scale). The HLL
+    estimate itself is engine-specific, so the oracle hashes the
+    deterministic stats and a sanity bound on the estimate
+    (1 <= approx <= n)."""
+    df = _load(spark, sf_dir, "lineitem")
+    cols = ["l_quantity", "l_discount", "l_extendedprice"]
+    aggs = []
+    for c in cols:
+        aggs += [F.count(c).alias(f"n_{c}"),
+                 (F.count(F.lit(1)) - F.count(c)).alias(f"null_{c}"),
+                 F.round(F.min(c), 6).alias(f"min_{c}"),
+                 F.round(F.max(c), 6).alias(f"max_{c}"),
+                 F.approx_count_distinct(c, 0.02).alias(f"nd_{c}")]
+    one = df.agg(*aggs)
+    # unpivot the single row to one row per column (driver-free: stack
+    # is a codegen projection over the one aggregated row)
+    stack_args = ", ".join(
+        f"'{c}', n_{c}, null_{c}, CAST(min_{c} AS DOUBLE), "
+        f"CAST(max_{c} AS DOUBLE), nd_{c}" for c in cols)
+    return one.selectExpr(
+        f"stack({len(cols)}, {stack_args}) AS "
+        "(col, n, n_null, min_v, max_v, _nd)"
+    ).select("col", "n", "n_null", "min_v", "max_v",
+             # an HLL estimate may overshoot the true distinct count a
+             # little, never the row count by much; all-null column -> 0
+             (((F.col("n") == 0) & (F.col("_nd") == 0))
+              | ((F.col("_nd") >= 1)
+                 & (F.col("_nd") <= F.col("n") * 1.5 + 100))
+              ).alias("approx_sane"))
+
+
 @register("quantile_sketch_rank_check", """
   WITH qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS quantile)
   SELECT 'l_extendedprice' AS col, CAST(quantile AS DOUBLE) AS quantile,
