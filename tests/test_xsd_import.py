@@ -347,12 +347,15 @@ def test_identity_constraints(spark):
          <xs:field xpath="@rid"/></xs:unique>
          </xs:element></xs:schema>''',
      "does not resolve to the row element"),
+    # multi-step identity fields like 'a/b' are SUPPORTED since round 6
+    # (nested-record selectors, tests/test_xsd_import_records.py);
+    # descendant-axis fields stay rejected:
     (f'''<xs:schema {XS}><xs:element name="t">
          <xs:complexType><xs:attribute name="rid"/></xs:complexType>
          <xs:unique name="u"><xs:selector xpath="."/>
-         <xs:field xpath="a/b"/></xs:unique>
+         <xs:field xpath=".//b"/></xs:unique>
          </xs:element></xs:schema>''',
-     "single '@attr' or 'child' step"),
+     "only child/attribute steps"),
     (f'''<xs:schema {XS}><xs:element name="a">
          <xs:complexType><xs:attribute name="x"/></xs:complexType>
          </xs:element><xs:element name="b">

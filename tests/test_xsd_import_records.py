@@ -1,0 +1,223 @@
+"""XSD importer: record-shaped complex children -> struct columns.
+
+A single-occurrence complex child whose type is attributes + an
+all-simple (or recursively record-shaped) sequence maps to a struct
+column with dotted nested-field ColumnSpecs instead of requiring a
+tags_column content model (reference: complex children decode to
+nested dicts, complex_types.py content mapping + the converters'
+default layout). Multi-step identity fields ('owner/@id',
+identities.py:70-96) map to selector strings over those structs."""
+
+import os
+
+import pytest
+
+from xmlschema_spark import validate
+from xmlschema_spark.sources.xsd_import import spec_from_xsd
+
+XS = 'xmlns:xs="http://www.w3.org/2001/XMLSchema"'
+
+
+def _imp(text, tmp_path=None, **kw):
+    if tmp_path is not None:
+        p = tmp_path / "s.xsd"
+        p.write_text(text)
+        return spec_from_xsd(str(p), **kw)
+    return spec_from_xsd(text, **kw)
+
+
+def _row_schema(body, attrs='<xs:attribute name="rid" type="xs:string" '
+                            'use="required"/>'):
+    return (f'<xs:schema {XS}><xs:element name="row"><xs:complexType>'
+            f'<xs:sequence>{body}</xs:sequence>{attrs}'
+            '</xs:complexType></xs:element></xs:schema>')
+
+
+OWNER = """
+<xs:element name="owner" minOccurs="0">
+  <xs:complexType>
+    <xs:sequence>
+      <xs:element name="quota" type="xs:int" minOccurs="0"/>
+    </xs:sequence>
+    <xs:attribute name="name" type="xs:string" use="required"/>
+  </xs:complexType>
+</xs:element>"""
+
+
+def test_record_child_maps_to_struct_columns():
+    spec = _imp(_row_schema(OWNER), key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["owner.name"].parent == "owner"
+    assert not by_name["owner.name"].nullable
+    assert by_name["owner.quota"].dtype == "xsd:int"
+    assert by_name["owner.quota"].parent == "owner"
+
+
+def test_record_validation_end_to_end(spark):
+    spec = _imp(_row_schema(OWNER), key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", ("alice", "5")), ("r2", (None, "7")), ("r3", None),
+         ("r4", ("bob", "99999999999"))],
+        "rid string, owner struct<name string, quota string>")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    # r3: absent optional record -> no violations at all
+    assert ("r2", "required:owner.name") in got
+    assert any(k == "r4" and c.startswith("facet:") for k, c in got)
+    assert not any(k == "r3" for k, c in got)
+
+
+def test_required_record_emits_presence_assert(spark):
+    spec = _imp(_row_schema(OWNER.replace('minOccurs="0"', "", 1)),
+                key_column="rid")
+    assert any(a.name == "required_owner" for a in spec.asserts)
+    df = spark.createDataFrame(
+        [("r1", ("alice", "1")), ("r2", None)],
+        "rid string, owner struct<name string, quota string>")
+    got = {(r.row_key, r.constraint)
+           for r in validate(df, spec).violations.collect()}
+    assert ("r2", "assert:required_owner") in got
+
+
+def test_nested_record_in_record(spark):
+    spec = _imp(_row_schema("""
+<xs:element name="meta" minOccurs="0">
+  <xs:complexType>
+    <xs:sequence>
+      <xs:element name="owner">
+        <xs:complexType>
+          <xs:attribute name="id" type="xs:int" use="required"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:sequence>
+  </xs:complexType>
+</xs:element>"""), key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["meta.owner.id"].parent == "meta.owner"
+    # inner record required WITHIN an optional outer: guarded assert
+    req = [a for a in spec.asserts if a.name == "required_meta.owner"]
+    assert req and req[0].expr.startswith("meta IS NULL OR ")
+    df = spark.createDataFrame(
+        [("r1", ((("7"),),)), ("r2", None), ("r3", (None,))],
+        "rid string, meta struct<owner struct<id string>>")
+    got = {(r.row_key, r.constraint)
+           for r in validate(df, spec).violations.collect()}
+    assert got == {("r3", "assert:required_meta.owner")}
+
+
+def test_simple_content_record_value_field():
+    spec = _imp(_row_schema("""
+<xs:element name="price">
+  <xs:complexType>
+    <xs:simpleContent>
+      <xs:extension base="xs:decimal">
+        <xs:attribute name="currency" type="xs:string" use="required"/>
+      </xs:extension>
+    </xs:simpleContent>
+  </xs:complexType>
+</xs:element>"""), key_column="rid")
+    names = {c.name for c in spec.columns}
+    assert "price.value" in names and "price.currency" in names
+
+
+def test_repeated_simple_child_in_record_is_array_field():
+    spec = _imp(_row_schema("""
+<xs:element name="box" minOccurs="0">
+  <xs:complexType>
+    <xs:sequence>
+      <xs:element name="tag" type="xs:string" maxOccurs="3"/>
+    </xs:sequence>
+  </xs:complexType>
+</xs:element>"""), key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["box.tag"].dtype == "array<string>"
+    assert by_name["box.tag"].max_length == 3
+
+
+def test_repeated_record_falls_back_to_tags_requirement():
+    with pytest.raises(ValueError, match="tags_column"):
+        _imp(_row_schema(OWNER.replace('minOccurs="0"',
+                                       'minOccurs="0" maxOccurs="4"')),
+             key_column="rid")
+
+
+def test_mixed_record_falls_back_to_tags_requirement():
+    with pytest.raises(ValueError, match="tags_column"):
+        _imp(_row_schema(OWNER.replace("<xs:complexType>",
+                                       '<xs:complexType mixed="true">',
+                                       1)),
+             key_column="rid")
+
+
+def test_explicit_tags_column_keeps_content_model_path():
+    spec = _imp(_row_schema(OWNER), key_column="rid",
+                tags_column="tags")
+    assert spec.content_models
+    assert not any("." in c.name for c in spec.columns)
+
+
+def test_multi_step_identity_field(spark):
+    spec = _imp(_row_schema(
+        OWNER,
+        attrs='<xs:attribute name="rid" type="xs:string"/>').replace(
+        "</xs:complexType></xs:element>",
+        '</xs:complexType>'
+        '<xs:unique name="uq"><xs:selector xpath="."/>'
+        '<xs:field xpath="owner/@name"/></xs:unique></xs:element>'),
+        key_column="rid")
+    assert spec.uniques[0].columns == ["owner/@name"]
+    df = spark.createDataFrame(
+        [("a", ("x", "1")), ("b", ("x", "2")), ("c", ("y", "3")),
+         ("d", None)],
+        "rid string, owner struct<name string, quota string>")
+    got = sorted(r.row_key for r in
+                 validate(df, spec).violations.collect())
+    assert got == ["a", "b"]
+
+
+def test_multi_step_key_not_inferred_as_key_column():
+    with pytest.raises(ValueError, match="pass key_column="):
+        _imp(_row_schema(
+            OWNER,
+            attrs='<xs:attribute name="rid" type="xs:string"/>').replace(
+            "</xs:complexType></xs:element>",
+            '</xs:complexType>'
+            '<xs:key name="k"><xs:selector xpath="."/>'
+            '<xs:field xpath="owner/@name"/></xs:key></xs:element>'))
+
+
+def test_nested_default_applied(spark):
+    from xmlschema_spark.runner import apply_defaults
+    spec = _imp(_row_schema(OWNER.replace(
+        'type="xs:int" minOccurs="0"',
+        'type="xs:int" minOccurs="0" default="42"')), key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", ("alice", None)), ("r2", None)],
+        "rid string, owner struct<name string, quota string>")
+    out = {r.rid: r.owner for r in apply_defaults(df, spec).collect()}
+    assert out["r1"].quota == "42"
+    assert out["r2"] is None
+
+
+def test_prohibited_attr_inside_record(spark):
+    spec = _imp(_row_schema("""
+<xs:element name="owner" minOccurs="0">
+  <xs:complexType>
+    <xs:attribute name="name" type="xs:string"/>
+    <xs:attribute name="secret" type="xs:string" use="prohibited"/>
+  </xs:complexType>
+</xs:element>"""), key_column="rid")
+    assert any(a.name == "prohibited_owner.secret" for a in spec.asserts)
+    df = spark.createDataFrame(
+        [("r1", ("a", None)), ("r2", ("b", "x"))],
+        "rid string, owner struct<name string, secret string>")
+    got = {(r.row_key, r.constraint)
+           for r in validate(df, spec).violations.collect()}
+    assert got == {("r2", "assert:prohibited_owner.secret")}
+
+
+def test_nested_export_guarded():
+    from xmlschema_spark.sources.xsd_export import spec_to_xsd
+    spec = _imp(_row_schema(OWNER), key_column="rid")
+    with pytest.raises(ValueError, match="nested-record column"):
+        spec_to_xsd(spec)

@@ -125,7 +125,10 @@ ASSERT_FUNCTIONS = set("""
  levenshtein soundex
  """.split())
 
-_IDENT_RE = re.compile(r"\b([A-Za-z_][A-Za-z_0-9]*)\b\s*(\()?")
+# dotted tails ride along so nested-record references ('owner.quota')
+# check as one name against the declared dotted columns
+_IDENT_RE = re.compile(
+    r"\b([A-Za-z_][A-Za-z_0-9]*(?:\.[A-Za-z_][A-Za-z_0-9]*)*)\b\s*(\()?")
 
 
 def check_assert_vocabulary(expr: str, known_cols: set[str],
@@ -228,6 +231,12 @@ def _spec_known_columns(spec: TableSpec) -> set[str]:
     if spec.part_key:
         known.add(spec.part_key)
     known.update(c.name for c in spec.columns)
+    # nested-record columns: every dotted prefix is addressable too
+    # ('owner.quota' declares 'owner' and 'owner.quota')
+    for c in spec.columns:
+        parts = c.name.split(".")
+        for i in range(1, len(parts)):
+            known.add(".".join(parts[:i]))
     for cond in spec.conditionals:
         known.update(c.name for c in cond.columns)
     for u in spec.uniques:
@@ -695,10 +704,15 @@ def compile_column(cs: ColumnSpec,
         ))
 
     if not cs.nullable:
+        # nested-field column: required only where the parent struct is
+        # itself present — an absent optional record (minOccurs=0) makes
+        # all its fields absent without violating (ColumnSpec.parent)
+        req_ok = present if cs.parent is None \
+            else F.col(cs.parent).isNull() | present
         checks.append(RowCheck(
             constraint=f"required:{cs.name}",
             reason=f"missing required value for '{cs.name}'",
-            valid=present,
+            valid=req_ok,
             value_col=val_s,
         ))
 

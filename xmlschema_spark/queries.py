@@ -1364,6 +1364,71 @@ def profile_lineitem_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
               ).alias("approx_sane"))
 
 
+_NESTED_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="event">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="meta" minOccurs="0">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="k" minOccurs="0">
+                <xs:simpleType>
+                  <xs:restriction base="xs:int">
+                    <xs:maxInclusive value="75"/>
+                  </xs:restriction>
+                </xs:simpleType>
+              </xs:element>
+            </xs:sequence>
+            <xs:attribute name="etype" type="xs:string" use="required"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+      <xs:attribute name="event_id" type="xs:long" use="required"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+@register("nested_record_events", """
+  WITH ev AS (
+    SELECT event_id,
+           (event_id % 7 != 0) AS has_meta,
+           CASE WHEN event_type = 'purchase' THEN NULL
+                ELSE event_type END AS etype,
+           json_extract_string(props, '$.k') AS k
+      FROM events)
+  SELECT CAST(event_id AS VARCHAR) AS row_key,
+         'required:meta.etype' AS constraint,
+         '' AS value   -- engine renders a NULL offending value as ''
+    FROM ev WHERE has_meta AND etype IS NULL
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:maxInclusive:meta.k', k
+    FROM ev WHERE has_meta AND CAST(k AS INT) > 75
+""")
+def nested_record_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-record validation over a STRUCT column: the XSD importer
+    maps a record-shaped complex child (complex_types.py content
+    mapping) to dotted nested-field ColumnSpecs ('meta.etype',
+    'meta.k'); required fields are guarded by parent presence
+    (an absent optional record violates nothing) and facets compile
+    against the nested projection — struct-field pruning reaches the
+    parquet ReadSchema, so at 100 TB unreferenced record branches are
+    never read."""
+    from .sources.xsd_import import spec_from_xsd
+    df = _load(spark, sf_dir, "events")
+    nested = df.select(
+        "event_id",
+        F.when(F.col("event_id") % 7 != 0, F.struct(
+            F.when(F.col("event_type") != "purchase",
+                   F.col("event_type")).alias("etype"),
+            F.get_json_object("props", "$.k").alias("k"),
+        )).alias("meta"))
+    spec = spec_from_xsd(_NESTED_XSD, key_column="event_id")
+    return row_violations(nested, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")
+
+
 @register("quantile_sketch_rank_check", """
   WITH qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS quantile)
   SELECT 'l_extendedprice' AS col, CAST(quantile AS DOUBLE) AS quantile,

@@ -55,11 +55,30 @@ class ValidationResult:
             self._cached = None
 
 
+def _has_column(df: DataFrame, name: str) -> bool:
+    """True when `name` resolves against df — a top-level column, or a
+    dotted path descending struct fields (nested-record ColumnSpecs)."""
+    from pyspark.sql.types import StructType
+    schema = df.schema
+    for step in name.split("."):
+        if not isinstance(schema, StructType):
+            return False
+        hit = next((f for f in schema.fields if f.name == step), None)
+        if hit is None:
+            return False
+        schema = hit.dataType
+    return True
+
+
 def schema_violations(df: DataFrame, spec: TableSpec) -> DataFrame:
     """Structural check: declared columns must exist; undeclared columns
     are violations unless the wildcard allows them (xs:any/anyAttribute
     namespace wildcards, reference: wildcards.py:33-99 — schema-evolution
-    tolerance is a compile-time column allowlist)."""
+    tolerance is a compile-time column allowlist). A dotted declared
+    name ('meta.owner') checks the nested struct path; its top-level
+    prefix counts as declared for the unexpected-column check (the
+    wildcard allowlist stays top-level — nested extra fields inside a
+    declared record are the record type's business, not the table's)."""
     import pyspark.sql.functions as _F
     spark = df.sparkSession
     declared = {c.name for c in spec.columns} | {spec.key_column}
@@ -67,9 +86,11 @@ def schema_violations(df: DataFrame, spec: TableSpec) -> DataFrame:
         declared |= set(u.columns)
     if spec.part_key:
         declared.add(spec.part_key)
+    declared |= {c.split(".", 1)[0] for c in declared}
     actual = set(df.columns)
     rows = []
-    for c in sorted({c.name for c in spec.columns} - actual):
+    for c in sorted(n for n in {c.name for c in spec.columns}
+                    if not _has_column(df, n)):
         rows.append(("<schema>", 0, f"schema:missing:{c}",
                      f"declared column '{c}' absent from table", c, 1))
     if not spec.allow_extra_columns:
@@ -86,11 +107,30 @@ def apply_defaults(df: DataFrame, spec: TableSpec) -> DataFrame:
     value fill at elements.py:771-772; attributes.py:243-262; filler
     hooks schemas.py:1497-1513)."""
     import pyspark.sql.functions as _F
+
+    def _fill(cs):
+        # engine pseudo-dtypes (xsd:int, xsd:gYear, ...) validate the
+        # LEXICAL form over a string column — the fill literal stays the
+        # lexical string; real Spark types cast so the fill matches the
+        # column's type
+        lit = _F.lit(cs.default)
+        return lit if (cs.dtype or "").startswith("xsd:") \
+            else lit.cast(cs.dtype)
+
     for cs in spec.columns:
-        if cs.default is not None and cs.name in df.columns:
+        if cs.default is None:
+            continue
+        if cs.name in df.columns:
             df = df.withColumn(
-                cs.name, _F.coalesce(_F.col(cs.name),
-                                     _F.lit(cs.default).cast(cs.dtype)))
+                cs.name, _F.coalesce(_F.col(cs.name), _fill(cs)))
+        elif cs.parent is not None and _has_column(df, cs.name):
+            # nested-record field: fill inside the struct. withField on
+            # a NULL struct stays NULL — an absent optional record gets
+            # no defaults, matching the reference filling attribute
+            # defaults only on elements that exist (attributes.py:243).
+            top, rest = cs.name.split(".", 1)
+            df = df.withColumn(top, _F.col(top).withField(
+                rest, _F.coalesce(_F.col(cs.name), _fill(cs))))
     return df
 
 
@@ -106,7 +146,7 @@ def violation_parts(df: DataFrame, plan: ValidationPlan,
     spec = plan.spec
     refs = refs or {}
     declared = {c.name for c in spec.columns}
-    missing = declared - set(df.columns)
+    missing = {n for n in declared if not _has_column(df, n)}
     if missing:
         raise KeyError(
             f"declared columns missing from table: {sorted(missing)} "

@@ -276,6 +276,11 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         lines.append("  </xs:simpleType>")
 
     # ---- engine-specific constructs
+    for c in spec.columns:
+        if getattr(c, "parent", None) is not None or "." in c.name:
+            unexportable(f"nested-record column {c.name!r} (struct "
+                         "fields re-render as child elements the "
+                         "exporter does not reconstruct yet)")
     for a in spec.asserts:
         unexportable(f"table assert {a.name!r} (SQL expression)")
     for c in spec.conditionals:

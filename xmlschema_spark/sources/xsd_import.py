@@ -117,10 +117,26 @@ Mapping (reference parity anchors):
     columns resolve value prefixes against TableSpec.namespaces (the
     main document's root bindings).
 
-Out of scope (raises ValueError naming the construct): multi-step
-identity field paths and anything else the walk rejects by name. The
-reference resolves those during schema build; flattening them is
-schema-authoring work the importer will not guess at.
+  record-shaped complex children (round 6) -> STRUCT columns: a
+    single-occurrence complex child whose type is attributes + an
+    all-simple (or recursively record-shaped) sequence maps to dotted
+    nested-field ColumnSpecs ('owner.name', parent='owner') instead of
+    requiring tags_column (the reference decodes complex children as
+    nested dicts — complex_types.py content mapping + the converters'
+    default layout). Required fields are guarded by parent presence
+    (minOccurs=0 absence violates nothing); a required record child
+    emits a presence assert; simpleContent text becomes a
+    value_column field. Mixed/choice/wildcard/repeated/recursive
+    children stay on the content-model path. Identity constraint
+    fields may be multi-step paths ('owner/@id',
+    identities.py:70-96) — they compile to nested-field selectors
+    (functions/selectors.py). Passing tags_column= explicitly keeps
+    the whole content on the content-model path.
+
+Out of scope (raises ValueError naming the construct): anything else
+the walk rejects by name. The reference resolves those during schema
+build; flattening them is schema-authoring work the importer will not
+guess at.
 """
 
 from __future__ import annotations
@@ -1253,15 +1269,39 @@ def _selector_target(xpath: str) -> Optional[str]:
 
 
 def _field_column(xpath: str) -> str:
+    """Identity field xpath -> column name. A single '@attr' / 'child'
+    step is the plain column; a multi-step path ('meta/owner/@id',
+    identities.py:70-96 restricted-XPath fields) becomes a selector
+    string the engine compiles to a nested struct-field projection
+    (functions/selectors.py) — record-shaped children store those
+    steps as struct fields."""
     p = xpath.strip()
-    if p.startswith("@"):
-        p = p[1:]
-    p = _strip_prefix(p)
-    if not re.match(r"^[A-Za-z_][\w.-]*$", p):
-        _err(f"identity field {xpath!r} must be a single '@attr' or "
-             "'child' step (multi-step field paths need document "
-             "structure a row does not have)")
-    return p
+    if "//" in p:
+        _err(f"identity field {xpath!r}: only child/attribute steps "
+             "are supported (no descendant axis, predicates, or "
+             "wildcards — the reference's restricted-XPath fields, "
+             "identities.py:70-96)")
+    if p.startswith("./"):
+        p = p[2:]
+    steps = [s for s in p.split("/") if s]
+    if not steps:
+        _err(f"identity field {xpath!r}: only child/attribute steps "
+             "are supported (no descendant axis, predicates, or "
+             "wildcards — the reference's restricted-XPath fields, "
+             "identities.py:70-96)")
+    cleaned = []
+    for i, s in enumerate(steps):
+        at = s.startswith("@")
+        name = _strip_prefix(s[1:] if at else s)
+        if at and i != len(steps) - 1:
+            _err(f"identity field {xpath!r}: attribute step must be "
+                 "last")
+        if not re.match(r"^[A-Za-z_][\w.-]*$", name):
+            _err(f"identity field {xpath!r}: invalid step {s!r}")
+        cleaned.append(("@" + name) if at else name)
+    if len(cleaned) == 1:
+        return cleaned[0].lstrip("@")
+    return "/".join(cleaned)
 
 
 # ------------------------------------------------------------------- main
@@ -1449,7 +1489,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     content_models: list[ContentModelSpec] = []
     open_content = None
 
-    def _column_from_simple(name, el, lo, hi):
+    def _column_from_simple(name, el, lo, hi, out=None):
         t = el.get("type")
         if t is not None:
             kw = dict(_resolve_type(t, named))
@@ -1474,7 +1514,137 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             kw["fixed"] = el.get("fixed")
         if el.get("default") is not None:
             kw["default"] = el.get("default")
-        columns.append(_kw_to_colspec(name, kw))
+        (columns if out is None else out).append(_kw_to_colspec(name, kw))
+
+    class _NotRecord(Exception):
+        """Child element is not record-shaped — fall back to the
+        content-model (tags_column) path."""
+
+    def _record_ct(el):
+        """Resolve a child element to its complexType, or raise
+        _NotRecord (simple-typed, unresolvable, or no type)."""
+        tgt = el
+        if el.get("ref") is not None:
+            tgt = global_elements.get(el.get("ref"))
+            if tgt is None:
+                raise _NotRecord
+        t = tgt.get("type")
+        if t is not None:
+            if _is_simple_type_ref(t, named) or t not in complex_types:
+                raise _NotRecord
+            return complex_types[t]
+        inline = [c for c in tgt if _local(c.tag) == "complexType"]
+        if not inline:
+            raise _NotRecord
+        return inline[0]
+
+    def _record_columns(prefix, rct, optional, out_cols, out_asserts,
+                        visiting):
+        """Map a record-shaped complexType onto dotted ColumnSpecs under
+        struct column `prefix` (complex child elements as struct
+        columns — the reference decodes them as nested dicts,
+        complex_types.py content + converters default layout; here the
+        row stores the record as a struct and facets compile against
+        the nested projection, pruned to the parquet ReadSchema).
+
+        Record shape = attributes + a non-repeated all-simple/record
+        sequence (+ optional simpleContent text -> a `value_column`
+        field). Mixed content, wildcards, choice, repeated groups, and
+        recursive types raise _NotRecord — those stay on the
+        tags_column content-model path."""
+        if id(rct) in visiting:
+            raise _NotRecord                 # recursive element type
+        visiting = visiting | {id(rct)}
+        rflat = _flatten_ct(rct, env)
+        if rflat["mixed"] or rflat["oc_nodes"]:
+            raise _NotRecord
+        guard = None if not optional else prefix
+
+        def _field(name, kw, required):
+            kw = dict(kw)
+            kw["nullable"] = not required
+            out_cols.append(_kw_to_colspec(f"{prefix}.{name}",
+                                           {**kw, "parent": prefix}))
+
+        for name, a in rflat["attrs"].items():
+            t = a.get("type")
+            if t is not None:
+                kw = dict(_resolve_type(t, named))
+            else:
+                inline = [c for c in a if _local(c.tag) == "simpleType"]
+                kw = _parse_simple_type(inline[0],
+                                        f"{prefix}.{name}__type",
+                                        named, anon) if inline else {}
+            if a.get("fixed") is not None:
+                kw["fixed"] = a.get("fixed")
+            if a.get("default") is not None:
+                kw["default"] = a.get("default")
+            _field(name, kw, a.get("use", "optional") == "required")
+        for name in sorted(rflat["prohibited"]):
+            out_asserts.append(AssertSpec(
+                name=f"prohibited_{prefix}.{name}",
+                expr=f"{prefix}.{name} IS NULL",
+                columns=[f"{prefix}.{name}"]))
+        if rflat["value_kw"] is not None:
+            kw = dict(rflat["value_kw"])
+            _field(value_column, kw, not kw.get("nullable", True))
+        rgroup = rflat["content"]
+        if rgroup is not None and len(rgroup) > 0:
+            if rflat["value_kw"] is not None:
+                raise _NotRecord             # simpleContent has no group
+            kids = _flat_children(rgroup) \
+                if _local(rgroup.tag) != "choice" else None
+            if (kids is None or _occ(rgroup, "minOccurs", 1) != 1
+                    or _occ(rgroup, "maxOccurs", 1) != 1):
+                raise _NotRecord
+            for e in kids:
+                lo = _occ(e, "minOccurs", 1)
+                hi = _occ(e, "maxOccurs", 1)
+                tgt, nm = e, e.get("name")
+                if e.get("ref") is not None:
+                    tgt = global_elements.get(e.get("ref"))
+                    if tgt is None:
+                        raise _NotRecord
+                    nm = _localname(e.get("ref"))
+                if _element_is_simple(e, named, global_elements):
+                    t = tgt.get("type")
+                    if t is not None:
+                        kw = dict(_resolve_type(t, named))
+                    else:
+                        inl = [c for c in tgt
+                               if _local(c.tag) == "simpleType"]
+                        kw = _parse_simple_type(
+                            inl[0], f"{prefix}.{nm}__type",
+                            named, anon) if inl else {}
+                    if hi is None or hi > 1:
+                        item = dict(kw)
+                        kw = {"dtype": "array<string>",
+                              "item": item or {"dtype": "string"}}
+                        if lo > 0:
+                            kw["min_length"] = lo
+                        if hi is not None:
+                            kw["max_length"] = hi
+                        _field(nm, kw, False)
+                    else:
+                        if tgt.get("fixed") is not None:
+                            kw["fixed"] = tgt.get("fixed")
+                        if tgt.get("default") is not None:
+                            kw["default"] = tgt.get("default")
+                        _field(nm, kw, lo > 0)
+                else:
+                    if hi is None or hi > 1:
+                        raise _NotRecord     # repeated record: array of
+                    sub_ct = _record_ct(e)   # struct is tags territory
+                    sub_path = f"{prefix}.{nm}"
+                    if lo > 0:
+                        pre = f"{prefix} IS NULL OR " if optional else ""
+                        out_asserts.append(AssertSpec(
+                            name=f"required_{sub_path}",
+                            expr=f"{pre}{sub_path} IS NOT NULL",
+                            columns=[sub_path, prefix]))
+                    _record_columns(sub_path, sub_ct,
+                                    optional or lo == 0,
+                                    out_cols, out_asserts, visiting)
 
     # ---- flatten the row type (derivation chains, group /
     # attributeGroup refs) into effective attributes + content
@@ -1533,32 +1703,60 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     if group is not None and len(group) > 0:
         elements = _flat_children(group) \
             if _local(group.tag) != "choice" else None
-        all_simple = (elements is not None
+        flat_shape = (elements is not None
                       # a repeated TOP group means the whole child
                       # sequence repeats — not a flat row shape
                       and _occ(group, "minOccurs", 1) == 1
                       and _occ(group, "maxOccurs", 1) == 1
-                      and all(_element_is_simple(e, named,
-                                                 global_elements)
-                              for e in elements)
                       and tags_column is None)
-        if all_simple:
-            # flat row shape: each child element is a column (a ref
-            # takes its TYPE from the global declaration, its occurs
-            # from the reference particle — elements.py ref parse)
-            for e in elements:
-                lo, hi = _occ(e, "minOccurs", 1), _occ(e, "maxOccurs", 1)
-                tgt, nm = e, e.get("name")
-                if e.get("ref") is not None:
-                    if e.get("default") is not None \
-                            or e.get("fixed") is not None:
-                        _err(f"element reference "
-                             f"{_localname(e.get('ref'))!r} cannot "
-                             "carry a default/fixed value constraint")
-                    tgt = global_elements[e.get("ref")]
-                    nm = _localname(e.get("ref"))
-                _column_from_simple(nm, tgt, lo, hi)
-        else:
+        mapped_flat = False
+        if flat_shape:
+            # flat row shape: each simple child element is a column (a
+            # ref takes its TYPE from the global declaration, its occurs
+            # from the reference particle — elements.py ref parse); a
+            # single-occurrence record-shaped complex child becomes a
+            # STRUCT column with dotted nested-field ColumnSpecs. Any
+            # non-record complex child falls back to the content-model
+            # path below (atomic: columns/asserts only extend on full
+            # success).
+            new_cols: list[ColumnSpec] = []
+            new_asserts: list[AssertSpec] = []
+            try:
+                for e in elements:
+                    lo = _occ(e, "minOccurs", 1)
+                    hi = _occ(e, "maxOccurs", 1)
+                    tgt, nm = e, e.get("name")
+                    if e.get("ref") is not None:
+                        if e.get("default") is not None \
+                                or e.get("fixed") is not None:
+                            _err(f"element reference "
+                                 f"{_localname(e.get('ref'))!r} cannot "
+                                 "carry a default/fixed value "
+                                 "constraint")
+                        tgt = global_elements.get(e.get("ref"))
+                        if tgt is None:
+                            raise _NotRecord
+                        nm = _localname(e.get("ref"))
+                    if _element_is_simple(e, named, global_elements):
+                        _column_from_simple(nm, tgt, lo, hi,
+                                            out=new_cols)
+                    else:
+                        if hi is None or hi > 1:
+                            raise _NotRecord
+                        rct = _record_ct(e)
+                        if lo > 0:
+                            new_asserts.append(AssertSpec(
+                                name=f"required_{nm}",
+                                expr=f"{nm} IS NOT NULL",
+                                columns=[nm]))
+                        _record_columns(nm, rct, lo == 0, new_cols,
+                                        new_asserts, frozenset())
+                columns.extend(new_cols)
+                asserts.extend(new_asserts)
+                mapped_flat = True
+            except _NotRecord:
+                mapped_flat = False
+        if not mapped_flat:
             if tags_column is None:
                 _err("the row element has structured content (complex "
                      "children, choice, or wildcards) — pass "
@@ -1700,7 +1898,10 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
 
     # ---- key column
     if key_column is None:
-        single = [u for u in uniques if u.is_key and len(u.columns) == 1]
+        # a multi-step (selector) key field cannot be the row-identity
+        # column — violation attribution needs a plain column
+        single = [u for u in uniques if u.is_key and len(u.columns) == 1
+                  and "/" not in u.columns[0]]
         if len(single) == 1:
             key_column = single[0].columns[0]
         else:

@@ -91,6 +91,15 @@ class ColumnSpec:
     # (facets.py:723-833). Populated by restriction flattening; may
     # also be set directly.
     pattern_groups: Optional[list[list[str]]] = None
+    # nested-field column: `name` is a dotted path inside the struct
+    # column `parent` (a record-shaped complex child element,
+    # complex_types.py content mapping). Facets compile to the same
+    # Catalyst predicates over the nested projection — Spark prunes
+    # unread struct branches down to the parquet ReadSchema. required
+    # (nullable=False) then means "present WHEREVER the parent struct
+    # is present": an absent optional record makes all its fields
+    # absent without violating (elements.py minOccurs=0 absence).
+    parent: Optional[str] = None
 
 
 @dataclass
