@@ -134,11 +134,41 @@ def test_repeated_simple_child_in_record_is_array_field():
     assert by_name["box.tag"].max_length == 3
 
 
-def test_repeated_record_falls_back_to_tags_requirement():
-    with pytest.raises(ValueError, match="tags_column"):
-        _imp(_row_schema(OWNER.replace('minOccurs="0"',
-                                       'minOccurs="0" maxOccurs="4"')),
-             key_column="rid")
+def test_repeated_record_maps_to_record_array():
+    spec = _imp(_row_schema(OWNER.replace('minOccurs="0"',
+                                          'minOccurs="1" maxOccurs="4"',
+                                          1)),
+                key_column="rid")
+    assert len(spec.record_arrays) == 1
+    ra = spec.record_arrays[0]
+    assert ra.name == "owner"
+    assert (ra.min_occurs, ra.max_occurs) == (1, 4)
+    by_name = {c.name: c for c in ra.fields}
+    assert not by_name["owner.name"].nullable
+    assert by_name["owner.quota"].dtype == "xsd:int"
+
+
+def test_record_array_validation_end_to_end(spark):
+    spec = _imp(_row_schema(OWNER.replace('minOccurs="0"',
+                                          'minOccurs="1" maxOccurs="2"',
+                                          1)),
+                key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", [("alice", "5")]),
+         ("r2", []),                              # below minOccurs
+         ("r3", [("a", "1"), ("b", "2"), ("c", "3")]),  # above max
+         ("r4", [("bob", "not-an-int")]),         # element facet
+         ("r5", [(None, "3")]),                   # required field in elem
+         ("r6", None)],                           # absent = 0 elements
+        "rid string, owner array<struct<name string, quota string>>")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert ("r2", "occurs:owner:min") in got
+    assert ("r3", "occurs:owner:max") in got
+    assert ("r5", "required:owner.name") in got
+    assert ("r6", "occurs:owner:min") in got
+    assert any(k == "r4" and c.startswith("facet:") for k, c in got)
+    assert not any(k == "r1" for k, c in got)
 
 
 def test_mixed_record_falls_back_to_tags_requirement():

@@ -231,10 +231,13 @@ def _spec_known_columns(spec: TableSpec) -> set[str]:
     if spec.part_key:
         known.add(spec.part_key)
     known.update(c.name for c in spec.columns)
+    for r in spec.record_arrays:
+        known.add(r.name)
+        known.update(f.name for f in r.fields)
     # nested-record columns: every dotted prefix is addressable too
     # ('owner.quota' declares 'owner' and 'owner.quota')
-    for c in spec.columns:
-        parts = c.name.split(".")
+    for c in list(known):
+        parts = c.split(".")
         for i in range(1, len(parts)):
             known.add(".".join(parts[:i]))
     for cond in spec.conditionals:
@@ -343,6 +346,11 @@ class ValidationPlan:
     spec: TableSpec
     row_checks: list[RowCheck] = field(default_factory=list)
     normalizations: dict[str, Column] = field(default_factory=dict)
+    # repeated-record children: (array column, compiled element plan) —
+    # the runner explodes the array (narrow, shuffle-free) and runs the
+    # element plan over it; size/occurs bounds live in row_checks
+    record_arrays: list[tuple[str, "ValidationPlan"]] = \
+        field(default_factory=list)
 
     @property
     def constraint_ids(self) -> list[str]:
@@ -1442,6 +1450,36 @@ def compile_plan(spec: TableSpec) -> ValidationPlan:
         # conditions, same shuffle-free pass as the facets above
         from .content_model import content_model_checks
         plan.row_checks.extend(content_model_checks(cmspec))
+    for ras in spec.record_arrays:
+        # repeated record child (array<struct>): particle occurs bound
+        # the array size on the parent row (groups.py occurrence
+        # checks); element facets compile to a SUB-plan the runner
+        # evaluates over the exploded array — explode is a narrow
+        # transformation, so per-element validation stays shuffle-free
+        n = F.coalesce(F.size(F.col(ras.name)), F.lit(0))
+        if ras.min_occurs > 0:
+            plan.row_checks.append(RowCheck(
+                constraint=f"occurs:{ras.name}:min",
+                reason=f"expected at least {ras.min_occurs} "
+                       f"occurrences of '{ras.name}'",
+                valid=n >= ras.min_occurs,
+                value_col=n.cast("string")))
+        if ras.max_occurs is not None:
+            plan.row_checks.append(RowCheck(
+                constraint=f"occurs:{ras.name}:max",
+                reason=f"expected at most {ras.max_occurs} "
+                       f"occurrences of '{ras.name}'",
+                valid=n <= ras.max_occurs,
+                value_col=n.cast("string")))
+        sub = TableSpec(
+            name=f"{spec.name}[{ras.name}]",
+            key_column=spec.key_column,
+            columns=list(ras.fields),
+            asserts=list(ras.asserts),
+            simple_types=dict(spec.simple_types),
+            namespaces=dict(spec.namespaces),
+            part_key=spec.part_key)
+        plan.record_arrays.append((ras.name, compile_plan(sub)))
     _validate_identity_specs(spec)
     known_cols = _spec_known_columns(spec)
     for a in spec.asserts:

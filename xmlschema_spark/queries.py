@@ -1429,6 +1429,84 @@ def nested_record_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_key", "constraint", "value")
 
 
+_RECARR_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="event">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="items" minOccurs="1" maxOccurs="2">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="k" minOccurs="0">
+                <xs:simpleType>
+                  <xs:restriction base="xs:int">
+                    <xs:maxInclusive value="75"/>
+                  </xs:restriction>
+                </xs:simpleType>
+              </xs:element>
+            </xs:sequence>
+            <xs:attribute name="tag" type="xs:string" use="required"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+      <xs:attribute name="event_id" type="xs:long" use="required"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+@register("record_array_events", """
+  WITH ev AS (
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k') AS k,
+           (event_id % 5 != 0) AS has_arr,
+           CASE WHEN event_id % 5 = 0 THEN 0
+                WHEN event_id % 7 = 0 THEN 3
+                WHEN event_id % 2 = 0 THEN 2
+                ELSE 1 END AS n_items
+      FROM events)
+  SELECT CAST(event_id AS VARCHAR) AS row_key,
+         'occurs:items:min' AS constraint, '0' AS value
+    FROM ev WHERE n_items < 1
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'occurs:items:max', '3'
+    FROM ev WHERE n_items > 2
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'required:items.tag', ''
+    FROM ev WHERE n_items >= 2 AND event_type = 'error'
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:maxInclusive:items.k', k
+    FROM ev WHERE has_arr AND CAST(k AS INT) > 75
+""")
+def record_array_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated record children as array<struct> (RecordArraySpec):
+    particle occurs bound the ARRAY SIZE on the parent row; element
+    facets run over an exploded projection — explode is a narrow
+    transformation, so per-element validation adds zero shuffles at
+    any scale. The XSD importer derives the whole spec from a
+    maxOccurs>1 complex child."""
+    from .sources.xsd_import import spec_from_xsd
+    from .runner import validate
+    df = _load(spark, sf_dir, "events")
+    base = F.struct(F.col("event_type").alias("tag"),
+                    F.get_json_object("props", "$.k").alias("k"))
+    second = F.struct(
+        F.when(F.col("event_type") != "error", F.lit("x")).alias("tag"),
+        F.lit("5").alias("k"))
+    third = F.struct(F.lit("y").alias("tag"), F.lit("0").alias("k"))
+    ev = df.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0,
+               F.lit(None).cast(
+                   "array<struct<tag string, k string>>"))
+         .when(F.col("event_id") % 7 == 0, F.array(base, second, third))
+         .when(F.col("event_id") % 2 == 0, F.array(base, second))
+         .otherwise(F.array(base)).alias("items"))
+    spec = spec_from_xsd(_RECARR_XSD, key_column="event_id")
+    return validate(ev, spec).violations \
+        .select("row_key", "constraint", "value")
+
+
 @register("quantile_sketch_rank_check", """
   WITH qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS quantile)
   SELECT 'l_extendedprice' AS col, CAST(quantile AS DOUBLE) AS quantile,

@@ -57,10 +57,14 @@ class ValidationResult:
 
 def _has_column(df: DataFrame, name: str) -> bool:
     """True when `name` resolves against df — a top-level column, or a
-    dotted path descending struct fields (nested-record ColumnSpecs)."""
-    from pyspark.sql.types import StructType
+    dotted path descending struct fields (nested-record ColumnSpecs);
+    array-of-struct steps look through to the element type (repeated
+    record children, RecordArraySpec fields)."""
+    from pyspark.sql.types import ArrayType, StructType
     schema = df.schema
     for step in name.split("."):
+        if isinstance(schema, ArrayType):
+            schema = schema.elementType
         if not isinstance(schema, StructType):
             return False
         hit = next((f for f in schema.fields if f.name == step), None)
@@ -82,6 +86,7 @@ def schema_violations(df: DataFrame, spec: TableSpec) -> DataFrame:
     import pyspark.sql.functions as _F
     spark = df.sparkSession
     declared = {c.name for c in spec.columns} | {spec.key_column}
+    declared |= {r.name for r in spec.record_arrays}
     for u in spec.uniques:
         declared |= set(u.columns)
     if spec.part_key:
@@ -89,8 +94,9 @@ def schema_violations(df: DataFrame, spec: TableSpec) -> DataFrame:
     declared |= {c.split(".", 1)[0] for c in declared}
     actual = set(df.columns)
     rows = []
-    for c in sorted(n for n in {c.name for c in spec.columns}
-                    if not _has_column(df, n)):
+    checked = {c.name for c in spec.columns}
+    checked |= {f.name for r in spec.record_arrays for f in r.fields}
+    for c in sorted(n for n in checked if not _has_column(df, n)):
         rows.append(("<schema>", 0, f"schema:missing:{c}",
                      f"declared column '{c}' absent from table", c, 1))
     if not spec.allow_extra_columns:
@@ -146,12 +152,26 @@ def violation_parts(df: DataFrame, plan: ValidationPlan,
     spec = plan.spec
     refs = refs or {}
     declared = {c.name for c in spec.columns}
+    declared |= {f.name for r in spec.record_arrays for f in r.fields}
     missing = {n for n in declared if not _has_column(df, n)}
     if missing:
         raise KeyError(
             f"declared columns missing from table: {sorted(missing)} "
             "(run schema_violations() for a report instead)")
     parts = [row_violations(df, plan)]
+    for name, sub in plan.record_arrays:
+        # repeated record child: explode the array (narrow — no shuffle,
+        # no data movement beyond the projection) into one row per
+        # element; the element struct keeps the array column's name so
+        # the sub-plan's dotted ColumnSpecs resolve unchanged. NULL /
+        # empty arrays yield no element rows (size bounds on the parent
+        # row cover absence).
+        import pyspark.sql.functions as _F
+        keep = [spec.key_column]
+        if spec.part_key and spec.part_key != spec.key_column:
+            keep.append(spec.part_key)
+        ex = df.select(*keep, _F.explode(_F.col(name)).alias(name))
+        parts.append(row_violations(ex, sub))
     for u in spec.uniques:
         parts.append(unique_violations(df, u, spec.key_column, spec.part_key))
     for k in spec.keyrefs:

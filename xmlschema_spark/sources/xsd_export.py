@@ -281,6 +281,10 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
             unexportable(f"nested-record column {c.name!r} (struct "
                          "fields re-render as child elements the "
                          "exporter does not reconstruct yet)")
+    for r in getattr(spec, "record_arrays", None) or []:
+        unexportable(f"record-array column {r.name!r} (repeated "
+                     "complex child; the exporter does not reconstruct "
+                     "element trees yet)")
     for a in spec.asserts:
         unexportable(f"table assert {a.name!r} (SQL expression)")
     for c in spec.conditionals:

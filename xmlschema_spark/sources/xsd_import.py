@@ -133,6 +133,14 @@ Mapping (reference parity anchors):
     (functions/selectors.py). Passing tags_column= explicitly keeps
     the whole content on the content-model path.
 
+  repeated record children (round 6) -> array<struct> columns
+    (RecordArraySpec): a maxOccurs>1 record-shaped child maps its
+    particle occurs to ARRAY-SIZE bounds on the parent row and its
+    fields to a compiled element sub-plan the runner evaluates over
+    the exploded array (explode is narrow — per-element validation
+    adds zero shuffles). The reference decodes such children as lists
+    of dicts (complex_types.py content, converters default layout).
+
 Out of scope (raises ValueError naming the construct): anything else
 the walk rejects by name. The reference resolves those during schema
 build; flattening them is schema-authoring work the importer will not
@@ -149,7 +157,8 @@ from xml.etree import ElementTree
 
 from ..specs import (AssertSpec, ColumnSpec, ConditionalSpec,
                      ContentModelSpec, KeyrefSpec, OpenContentSpec,
-                     ParticleSpec, TableSpec, UniqueSpec)
+                     ParticleSpec, RecordArraySpec, TableSpec,
+                     UniqueSpec)
 
 _XSD_NS = "http://www.w3.org/2001/XMLSchema"
 _N = "{%s}" % _XSD_NS
@@ -1487,6 +1496,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     columns: list[ColumnSpec] = []
     asserts: list[AssertSpec] = []
     content_models: list[ContentModelSpec] = []
+    record_arrays: list[RecordArraySpec] = []
     open_content = None
 
     def _column_from_simple(name, el, lo, hi, out=None):
@@ -1721,6 +1731,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             # success).
             new_cols: list[ColumnSpec] = []
             new_asserts: list[AssertSpec] = []
+            new_recarrs: list[RecordArraySpec] = []
             try:
                 for e in elements:
                     lo = _occ(e, "minOccurs", 1)
@@ -1740,9 +1751,20 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                     if _element_is_simple(e, named, global_elements):
                         _column_from_simple(nm, tgt, lo, hi,
                                             out=new_cols)
+                    elif hi is None or hi > 1:
+                        # repeated record child -> array<struct> column:
+                        # element fields compile to a sub-plan run over
+                        # the exploded array; the particle occurs bound
+                        # the array size (RecordArraySpec)
+                        rct = _record_ct(e)
+                        acols: list[ColumnSpec] = []
+                        aasserts: list[AssertSpec] = []
+                        _record_columns(nm, rct, True, acols, aasserts,
+                                        frozenset())
+                        new_recarrs.append(RecordArraySpec(
+                            name=nm, fields=acols, asserts=aasserts,
+                            min_occurs=lo, max_occurs=hi))
                     else:
-                        if hi is None or hi > 1:
-                            raise _NotRecord
                         rct = _record_ct(e)
                         if lo > 0:
                             new_asserts.append(AssertSpec(
@@ -1753,6 +1775,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                                         new_asserts, frozenset())
                 columns.extend(new_cols)
                 asserts.extend(new_asserts)
+                record_arrays.extend(new_recarrs)
                 mapped_flat = True
             except _NotRecord:
                 mapped_flat = False
@@ -1930,4 +1953,5 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                       for n, kw in {**named, **anon}.items()},
         uniques=uniques, keyrefs=keyrefs, asserts=asserts,
         conditionals=conditionals, content_models=content_models,
+        record_arrays=record_arrays,
         namespaces=dict(root_nsmap))

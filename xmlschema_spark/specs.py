@@ -103,6 +103,29 @@ class ColumnSpec:
 
 
 @dataclass
+class RecordArraySpec:
+    """Repeated record-shaped complex child -> an ``array<struct>``
+    column (reference: a maxOccurs>1 complex element decodes to a LIST
+    of dicts, complex_types.py content + converters default layout).
+
+    `fields` / `asserts` are ABSOLUTE dotted ColumnSpecs/AssertSpecs
+    ('tags.value', parent='tags' for array column 'tags'): validation
+    explodes the array — a narrow, shuffle-free transformation — into
+    one row per element where the element struct carries the array
+    column's name, so the same dotted-path facet compiler runs
+    unchanged per element. min/max_occurs bound the ARRAY SIZE on the
+    parent row (particle occurs -> length facets; an absent/NULL array
+    counts 0). Violations attribute to the parent row_key, one row per
+    offending element."""
+
+    name: str                                # the array<struct> column
+    fields: list[ColumnSpec] = field(default_factory=list)
+    asserts: list["AssertSpec"] = field(default_factory=list)
+    min_occurs: int = 0
+    max_occurs: Optional[int] = None
+
+
+@dataclass
 class UniqueSpec:
     """xs:unique / xs:key over a column tuple (identities.py:364-390).
 
@@ -378,6 +401,7 @@ class TableSpec:
     occurs: list[OccursSpec] = field(default_factory=list)
     conditionals: list[ConditionalSpec] = field(default_factory=list)
     content_models: list[ContentModelSpec] = field(default_factory=list)
+    record_arrays: list[RecordArraySpec] = field(default_factory=list)
     payload: Optional[PayloadSpec] = None
     drift: Optional[DriftSpec] = None
     part_key: Optional[str] = None        # data-derived partition column
@@ -436,6 +460,14 @@ class TableSpec:
                     else None,
                     xsd11=m.get("xsd11", False))
                 for m in d.get("content_models", [])],
+            record_arrays=[
+                RecordArraySpec(
+                    name=r["name"],
+                    fields=[col(c) for c in r.get("fields", [])],
+                    asserts=[AssertSpec(**a) for a in r.get("asserts", [])],
+                    min_occurs=r.get("min_occurs", 0),
+                    max_occurs=r.get("max_occurs"))
+                for r in d.get("record_arrays", [])],
             payload=PayloadSpec(**d["payload"]) if d.get("payload") else None,
             drift=DriftSpec(**d["drift"]) if d.get("drift") else None,
             part_key=d.get("part_key"),
