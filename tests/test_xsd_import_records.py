@@ -246,8 +246,64 @@ def test_prohibited_attr_inside_record(spark):
     assert got == {("r2", "assert:prohibited_owner.secret")}
 
 
-def test_nested_export_guarded():
+def _violations(spark, df, spec):
+    from xmlschema_spark import validate
+    return sorted((r.row_key, r.constraint, r.value)
+                  for r in validate(df, spec).violations.collect())
+
+
+def test_nested_record_export_round_trip(spark):
+    """Behavioral round-trip: export the record spec, re-import, and
+    the violations are identical (fields re-render as attributes — the
+    importer maps both attributes and simple children onto the same
+    dotted fields)."""
     from xmlschema_spark.sources.xsd_export import spec_to_xsd
     spec = _imp(_row_schema(OWNER), key_column="rid")
-    with pytest.raises(ValueError, match="nested-record column"):
-        spec_to_xsd(spec)
+    spec2 = _imp(spec_to_xsd(spec), key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", ("alice", "5")), ("r2", (None, "7")), ("r3", None),
+         ("r4", ("bob", "xx"))],
+        "rid string, owner struct<name string, quota string>")
+    assert _violations(spark, df, spec) == _violations(spark, df, spec2)
+
+
+def test_required_record_export_round_trip(spark):
+    from xmlschema_spark.sources.xsd_export import spec_to_xsd
+    spec = _imp(_row_schema(OWNER.replace('minOccurs="0"', "", 1)),
+                key_column="rid")
+    spec2 = _imp(spec_to_xsd(spec), key_column="rid")
+    assert any(a.name == "required_owner" for a in spec2.asserts)
+    df = spark.createDataFrame(
+        [("r1", ("alice", "1")), ("r2", None)],
+        "rid string, owner struct<name string, quota string>")
+    assert _violations(spark, df, spec) == _violations(spark, df, spec2)
+
+
+def test_record_array_export_round_trip(spark):
+    from xmlschema_spark.sources.xsd_export import spec_to_xsd
+    spec = _imp(_row_schema(OWNER.replace('minOccurs="0"',
+                                          'minOccurs="1" maxOccurs="2"',
+                                          1)),
+                key_column="rid")
+    spec2 = _imp(spec_to_xsd(spec), key_column="rid")
+    assert len(spec2.record_arrays) == 1
+    df = spark.createDataFrame(
+        [("r1", [("alice", "5")]), ("r2", []),
+         ("r3", [("a", "1"), ("b", "2"), ("c", "3")]),
+         ("r4", [(None, "bad")])],
+        "rid string, owner array<struct<name string, quota string>>")
+    assert _violations(spark, df, spec) == _violations(spark, df, spec2)
+
+
+def test_multi_step_identity_export_round_trip(spark):
+    from xmlschema_spark.sources.xsd_export import spec_to_xsd
+    spec = _imp(_row_schema(
+        OWNER,
+        attrs='<xs:attribute name="rid" type="xs:string"/>').replace(
+        "</xs:complexType></xs:element>",
+        '</xs:complexType>'
+        '<xs:unique name="uq"><xs:selector xpath="."/>'
+        '<xs:field xpath="owner/@name"/></xs:unique></xs:element>'),
+        key_column="rid")
+    spec2 = _imp(spec_to_xsd(spec), key_column="rid")
+    assert spec2.uniques[0].columns == ["owner/@name"]

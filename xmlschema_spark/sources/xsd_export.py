@@ -26,6 +26,19 @@ Mapping (mirror of the importer's, see xsd_import.py):
                                  declarations with substitutionGroup=
   uniques / keyrefs           -> xs:unique / xs:key / xs:keyref with
                                  selector '.' and '@field' steps
+                                 (multi-step selector columns keep
+                                 their own path as the field xpath)
+  nested-record columns       -> child <xs:element> per record path;
+                                 FIELDS re-render as attributes (the
+                                 importer maps attributes and simple
+                                 children onto the same dotted fields,
+                                 so the behavioral round-trip holds);
+                                 importer-generated required_/
+                                 prohibited_ asserts re-render as
+                                 minOccurs / use='prohibited'
+  record_arrays               -> repeated child <xs:element> with
+                                 min/maxOccurs from the array-size
+                                 bounds
 
 NOT exportable (SQL has no faithful XPath rendering; engine-specific
 operators have no XSD analog): AssertSpec / ColumnSpec.assertion
@@ -275,18 +288,66 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
                                        f"simpleType {name!r}"))
         lines.append("  </xs:simpleType>")
 
+    # ---- nested records: dotted columns / record arrays re-render as
+    # child elements with attribute fields (mirror of the importer's
+    # record mapping; the round-trip contract is BEHAVIORAL — re-import
+    # yields identical violations, so simple child elements the importer
+    # had mapped to fields come back as attributes with the same
+    # dotted column name, facets, and requiredness)
+    record_arrays = getattr(spec, "record_arrays", None) or []
+    dotted_cols = [c for c in spec.columns if "." in c.name]
+    rec_fields: dict[str, list[ColumnSpec]] = {}
+    rec_paths: set[str] = set()
+    for c in dotted_cols + [f for r in record_arrays for f in r.fields]:
+        parent = c.name.rsplit(".", 1)[0]
+        rec_fields.setdefault(parent, []).append(c)
+        parts = c.name.split(".")
+        for i in range(1, len(parts)):
+            rec_paths.add(".".join(parts[:i]))
+    rec_children: dict[str, list[str]] = {}
+    rec_roots: list[str] = []
+    for p in sorted(rec_paths):
+        if "." in p:
+            rec_children.setdefault(p.rsplit(".", 1)[0], []).append(p)
+        else:
+            rec_roots.append(p)
+    ras_names = {r.name for r in record_arrays}
+    rec_roots = [p for p in rec_roots if p not in ras_names]
+
+    # importer-generated record asserts: presence ('required_<path>')
+    # and prohibition ('prohibited_<path>') re-render as minOccurs /
+    # use='prohibited' instead of failing the assert-export guard
+    consumed_asserts: set[int] = set()
+    required_recs: set[str] = set()
+    prohibited_recs: dict[str, list[str]] = {}
+    for a in [*spec.asserts, *(x for r in record_arrays
+                               for x in r.asserts)]:
+        nm = getattr(a, "name", "") or ""
+        expr = (getattr(a, "expr", "") or "").strip()
+        if nm.startswith("required_"):
+            path = nm[len("required_"):]
+            if path in rec_paths and (
+                    expr == f"{path} IS NOT NULL"
+                    or expr.endswith(f"IS NULL OR {path} IS NOT NULL")):
+                required_recs.add(path)
+                consumed_asserts.add(id(a))
+        elif nm.startswith("prohibited_") and "." in nm:
+            path = nm[len("prohibited_"):]
+            parent, field = path.rsplit(".", 1)
+            if parent in rec_paths and expr == f"{path} IS NULL":
+                prohibited_recs.setdefault(parent, []).append(field)
+                consumed_asserts.add(id(a))
+
     # ---- engine-specific constructs
-    for c in spec.columns:
-        if getattr(c, "parent", None) is not None or "." in c.name:
-            unexportable(f"nested-record column {c.name!r} (struct "
-                         "fields re-render as child elements the "
-                         "exporter does not reconstruct yet)")
-    for r in getattr(spec, "record_arrays", None) or []:
-        unexportable(f"record-array column {r.name!r} (repeated "
-                     "complex child; the exporter does not reconstruct "
-                     "element trees yet)")
     for a in spec.asserts:
+        if id(a) in consumed_asserts:
+            continue
         unexportable(f"table assert {a.name!r} (SQL expression)")
+    for r in record_arrays:
+        for a in r.asserts:
+            if id(a) not in consumed_asserts:
+                unexportable(f"record-array {r.name!r} assert "
+                             f"{a.name!r} (SQL expression)")
     for c in spec.conditionals:
         unexportable(f"conditional spec {getattr(c, 'name', '')!r}")
     for o in spec.occurs:
@@ -306,70 +367,123 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         model_lines = _particle_lines(cm.model, "      ", heads)
         for extra in spec.content_models[1:]:
             unexportable(f"additional content model {extra.name!r}")
-    array_cols = [c for c in spec.columns
-                  if (c.dtype or "").startswith("array") and c.item
-                  and not c.lexical_list]
-    if array_cols and not model_lines:
-        seq = ["      <xs:sequence>"]
-        for c in array_cols:
-            occ = ""
-            lo = c.min_length if c.min_length is not None else 0
-            occ += f' minOccurs="{lo}"'
-            occ += (f' maxOccurs="{c.max_length}"'
-                    if c.max_length is not None
-                    else ' maxOccurs="unbounded"')
-            if _needs_inline(c.item):
-                seq.append(f'        <xs:element name='
-                           f'{quoteattr(c.name)}{occ}>')
-                seq.append("          <xs:simpleType>")
-                seq.extend(_simple_type_body(
-                    c.item, "            ", report, lossy,
-                    f"column {c.name!r} item"))
-                seq.append("          </xs:simpleType>")
-                seq.append("        </xs:element>")
-            else:
-                base = c.item.base or _xs_base(c.item.dtype)
-                seq.append(f'        <xs:element name='
-                           f'{quoteattr(c.name)} '
-                           f'type={quoteattr(base)}{occ}/>')
-        seq.append("      </xs:sequence>")
-        model_lines = seq
-    elif array_cols:
-        for c in array_cols:
-            unexportable(f"array column {c.name!r} alongside an "
-                         "explicit content model")
-    body.extend(model_lines)
-
-    for c in spec.columns:
-        if c in array_cols:
-            continue
-        attrs = f"name={quoteattr(c.name)}"
-        if not c.nullable:
+    def _attr_lines(c: ColumnSpec, attr_name: str, pad: str,
+                    prohibited: bool = False) -> list[str]:
+        attrs = f"name={quoteattr(attr_name)}"
+        if prohibited:
+            attrs += ' use="prohibited"'
+        elif not c.nullable:
             attrs += ' use="required"'
         if c.fixed is not None:
             attrs += f" fixed={quoteattr(_fmt(c.fixed))}"
         if c.default is not None:
             attrs += f" default={quoteattr(_fmt(c.default))}"
         if _needs_inline(c):
-            body.append(f"      <xs:attribute {attrs}>")
-            body.append("        <xs:simpleType>")
-            body.extend(_simple_type_body(c, "          ", report,
-                                          lossy, f"column {c.name!r}"))
-            body.append("        </xs:simpleType>")
-            body.append("      </xs:attribute>")
-        else:
-            t = c.base or _xs_base(c.dtype)
-            body.append(f"      <xs:attribute {attrs} "
-                        f"type={quoteattr(t)}/>")
+            return [f"{pad}<xs:attribute {attrs}>",
+                    f"{pad}  <xs:simpleType>",
+                    *_simple_type_body(c, pad + "    ", report, lossy,
+                                       f"column {c.name!r}"),
+                    f"{pad}  </xs:simpleType>",
+                    f"{pad}</xs:attribute>"]
+        t = c.base or _xs_base(c.dtype)
+        return [f"{pad}<xs:attribute {attrs} type={quoteattr(t)}/>"]
+
+    def _array_el_lines(c: ColumnSpec, el_name: str,
+                        pad: str) -> list[str]:
+        lo = c.min_length if c.min_length is not None else 0
+        occ = f' minOccurs="{lo}"'
+        occ += (f' maxOccurs="{c.max_length}"'
+                if c.max_length is not None else ' maxOccurs="unbounded"')
+        if _needs_inline(c.item):
+            return [f'{pad}<xs:element name={quoteattr(el_name)}{occ}>',
+                    f"{pad}  <xs:simpleType>",
+                    *_simple_type_body(c.item, pad + "    ", report,
+                                       lossy, f"column {c.name!r} item"),
+                    f"{pad}  </xs:simpleType>",
+                    f"{pad}</xs:element>"]
+        base = c.item.base or _xs_base(c.item.dtype)
+        return [f'{pad}<xs:element name={quoteattr(el_name)} '
+                f'type={quoteattr(base)}{occ}/>']
+
+    def _record_el_lines(path: str, occ: str, pad: str) -> list[str]:
+        """A record path re-renders as a child element whose FIELDS are
+        attributes (repeated simple fields as elements, nested record
+        paths as elements) — the importer maps both attributes and
+        simple children onto the same dotted fields, so the behavioral
+        round-trip (identical violations on re-import) holds either
+        way."""
+        el_name = path.rsplit(".", 1)[-1]
+        out = [f'{pad}<xs:element name={quoteattr(el_name)}{occ}>',
+               f"{pad}  <xs:complexType>"]
+        kids: list[str] = []
+        attr_out: list[str] = []
+        for c in rec_fields.get(path, []):
+            fname = c.name.rsplit(".", 1)[-1]
+            if (c.dtype or "").startswith("array") and c.item \
+                    and not c.lexical_list:
+                kids.extend(_array_el_lines(c, fname, pad + "      "))
+            else:
+                attr_out.extend(_attr_lines(c, fname, pad + "    "))
+        for child in rec_children.get(path, []):
+            c_occ = "" if child in required_recs else ' minOccurs="0"'
+            kids.extend(_record_el_lines(child, c_occ, pad + "      "))
+        if kids:
+            out.append(f"{pad}    <xs:sequence>")
+            out.extend(kids)
+            out.append(f"{pad}    </xs:sequence>")
+        out.extend(attr_out)
+        for fname in sorted(prohibited_recs.get(path, [])):
+            out.extend(_attr_lines(ColumnSpec(name=fname), fname,
+                                   pad + "    ", prohibited=True))
+        out.append(f"{pad}  </xs:complexType>")
+        out.append(f"{pad}</xs:element>")
+        return out
+
+    array_cols = [c for c in spec.columns
+                  if (c.dtype or "").startswith("array") and c.item
+                  and not c.lexical_list and "." not in c.name]
+    seq_items: list[str] = []
+    for c in array_cols:
+        seq_items.extend(_array_el_lines(c, c.name, "        "))
+    for root in rec_roots:
+        occ = "" if root in required_recs else ' minOccurs="0"'
+        seq_items.extend(_record_el_lines(root, occ, "        "))
+    for r in record_arrays:
+        occ = f' minOccurs="{r.min_occurs}"'
+        occ += (f' maxOccurs="{r.max_occurs}"'
+                if r.max_occurs is not None else ' maxOccurs="unbounded"')
+        seq_items.extend(_record_el_lines(r.name, occ, "        "))
+    if seq_items and not model_lines:
+        model_lines = ["      <xs:sequence>", *seq_items,
+                       "      </xs:sequence>"]
+    elif seq_items:
+        for c in array_cols:
+            unexportable(f"array column {c.name!r} alongside an "
+                         "explicit content model")
+        for p in [*rec_roots, *(r.name for r in record_arrays)]:
+            unexportable(f"record column {p!r} alongside an "
+                         "explicit content model")
+    body.extend(model_lines)
+
+    for c in spec.columns:
+        if c in array_cols or "." in c.name:
+            continue
+        body.extend(_attr_lines(c, c.name, "      "))
     body.append("    </xs:complexType>")
 
     # ---- identity constraints
+    def _field_xpath(col: str) -> str:
+        # multi-step selector columns ('owner/@name') already ARE the
+        # XSD field xpath; plain columns are attribute steps
+        return col if "/" in col else "@" + col
+
     for u in spec.uniques:
         tag = "key" if u.is_key else "unique"
         body.append(f'    <xs:{tag} name={quoteattr(u.name)}>')
         body.append('      <xs:selector xpath="."/>')
         for col in u.columns:
-            body.append(f'      <xs:field xpath={quoteattr("@" + col)}/>')
+            body.append(f'      <xs:field '
+                        f'xpath={quoteattr(_field_xpath(col))}/>')
         body.append(f"    </xs:{tag}>")
     key_names = {u.name for u in spec.uniques}
     for kr in spec.keyrefs:
@@ -390,7 +504,8 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
                     f'refer={quoteattr(refer)}>')
         body.append('      <xs:selector xpath="."/>')
         for col in kr.columns:
-            body.append(f'      <xs:field xpath={quoteattr("@" + col)}/>')
+            body.append(f'      <xs:field '
+                        f'xpath={quoteattr(_field_xpath(col))}/>')
         body.append("    </xs:keyref>")
 
     lines.append(f'  <xs:element name={quoteattr(spec.name)}>')
