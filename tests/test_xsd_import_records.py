@@ -295,6 +295,126 @@ def test_record_array_export_round_trip(spark):
     assert _violations(spark, df, spec) == _violations(spark, df, spec2)
 
 
+NESTED_ARR = """
+<xs:element name="meta" minOccurs="0">
+  <xs:complexType>
+    <xs:sequence>
+      <xs:element name="sub" minOccurs="1" maxOccurs="2">
+        <xs:complexType>
+          <xs:attribute name="v" type="xs:int" use="required"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:sequence>
+  </xs:complexType>
+</xs:element>"""
+
+
+def test_nested_array_in_single_record(spark):
+    """A repeated record inside a single record -> a dotted
+    RecordArraySpec ('meta.sub') exploded straight from the top frame;
+    occurs bounds are guarded by the parent record's presence."""
+    spec = _imp(_row_schema(NESTED_ARR), key_column="rid")
+    assert [r.name for r in spec.record_arrays] == ["meta.sub"]
+    df = spark.createDataFrame(
+        [("r1", ([("1",)],)),
+         ("r2", ([],)),                       # present meta, 0 subs
+         ("r3", None),                        # absent meta: no checks
+         ("r4", ([("1",), ("2",), ("3",)],)),  # above max
+         ("r5", ([("x",)],))],                # element facet
+        "rid string, meta struct<sub array<struct<v string>>>")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert ("r2", "occurs:meta.sub:min") in got
+    assert ("r4", "occurs:meta.sub:max") in got
+    assert any(k == "r5" and c.startswith("facet:") for k, c in got)
+    assert not any(k in ("r1", "r3") for k, c in got)
+
+
+def test_nested_array_inside_record_array(spark):
+    """An array inside array ELEMENTS recurses: explode level 1, then
+    level 2 — every level narrow/shuffle-free."""
+    spec = _imp(_row_schema("""
+<xs:element name="items" maxOccurs="unbounded">
+  <xs:complexType>
+    <xs:sequence>
+      <xs:element name="tag" minOccurs="1" maxOccurs="2">
+        <xs:complexType>
+          <xs:attribute name="t" type="xs:string" use="required"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:sequence>
+  </xs:complexType>
+</xs:element>"""), key_column="rid")
+    ras = spec.record_arrays[0]
+    assert ras.name == "items" and [n.name for n in ras.nested] \
+        == ["items.tag"]
+    df = spark.createDataFrame(
+        [("r1", [([("a",)],)]),
+         ("r2", [([],)]),                    # element with 0 tags
+         ("r3", [([(None,)],)])],            # tag.t missing
+        "rid string, items array<struct<tag array<struct<t string>>>>")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert got == [("r2", "occurs:items.tag:min"),
+                   ("r3", "required:items.tag.t")]
+
+
+def test_reference_collection_imports_as_nested_tables(spark):
+    """The reference's flagship example schema
+    (examples/collection/collection.xsd) imports WITHOUT tags_column:
+    the repeated 'object' child becomes a record array whose elements
+    carry the author record and the characters/person nested array."""
+    from xmlschema_spark.sources.xsd_import import spec_from_xsd
+    spec = spec_from_xsd(
+        "/root/reference/tests/test_cases/examples/collection/"
+        "collection.xsd", element="collection", key_column="rid")
+    assert [r.name for r in spec.record_arrays] == ["object"]
+    ras = spec.record_arrays[0]
+    names = {c.name for c in ras.fields}
+    assert {"object.position", "object.title", "object.year",
+            "object.author.name", "object.author.id",
+            "object.id", "object.available"} <= names
+    assert [n.name for n in ras.nested] == ["object.characters.person"]
+    person = ("Joan Miró", "1893-04-20", "1983-12-25", "painter", "JM")
+    obj = ("1", "The Umbrellas", "1886",
+           ("Pierre-Auguste Renoir", "1841-02-25", "1919-12-03",
+            "painter", "PAR"),
+           "10000.00", "b0836217462", "true", ([person],))
+    bad = ("x", "Untitled", "bad-year",
+           (None, "1893-04-20", None, None, "JM2"),  # author.name missing
+           None, "b0836217463", "true", (([],)))     # 0 persons
+    df = spark.createDataFrame(
+        [("r1", [obj]), ("r2", [bad]), ("r3", [])],
+        "rid string, object array<struct<"
+        "position string, title string, year string,"
+        "author struct<name string, born string, dead string,"
+        "              qualification string, id string>,"
+        "estimation string, id string, available string,"
+        "characters struct<person array<struct<"
+        "  name string, born string, dead string,"
+        "  qualification string, id string>>>>>")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert ("r2", "required:object.author.name") in got
+    assert ("r2", "occurs:object.characters.person:min") in got
+    assert ("r3", "occurs:object:min") in got
+    assert any(k == "r2" and "object.position" in c for k, c in got)
+    assert any(k == "r2" and "object.year" in c for k, c in got)
+    assert not any(k == "r1" for k, c in got)
+
+
+def test_nested_array_export_round_trip(spark):
+    from xmlschema_spark.sources.xsd_export import spec_to_xsd
+    spec = _imp(_row_schema(NESTED_ARR), key_column="rid")
+    spec2 = _imp(spec_to_xsd(spec), key_column="rid")
+    assert [r.name for r in spec2.record_arrays] == ["meta.sub"]
+    df = spark.createDataFrame(
+        [("r1", ([("1",)],)), ("r2", ([],)), ("r3", None),
+         ("r4", ([("1",), ("2",), ("3",)],))],
+        "rid string, meta struct<sub array<struct<v string>>>")
+    assert _violations(spark, df, spec) == _violations(spark, df, spec2)
+
+
 def test_multi_step_identity_export_round_trip(spark):
     from xmlschema_spark.sources.xsd_export import spec_to_xsd
     spec = _imp(_row_schema(

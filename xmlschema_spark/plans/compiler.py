@@ -231,9 +231,12 @@ def _spec_known_columns(spec: TableSpec) -> set[str]:
     if spec.part_key:
         known.add(spec.part_key)
     known.update(c.name for c in spec.columns)
-    for r in spec.record_arrays:
-        known.add(r.name)
-        known.update(f.name for f in r.fields)
+    def _walk_ras(rs):
+        for r in rs:
+            known.add(r.name)
+            known.update(f.name for f in r.fields)
+            _walk_ras(r.nested)
+    _walk_ras(spec.record_arrays)
     # nested-record columns: every dotted prefix is addressable too
     # ('owner.quota' declares 'owner' and 'owner.quota')
     for c in list(known):
@@ -1457,25 +1460,31 @@ def compile_plan(spec: TableSpec) -> ValidationPlan:
         # evaluates over the exploded array — explode is a narrow
         # transformation, so per-element validation stays shuffle-free
         n = F.coalesce(F.size(F.col(ras.name)), F.lit(0))
+        # a dotted array name ('meta.sub' — repeated child of a RECORD)
+        # only bounds its occurs where the parent record exists: an
+        # absent optional record means the child particle never applies
+        guard = F.lit(False) if "." not in ras.name \
+            else F.col(ras.name.rsplit(".", 1)[0]).isNull()
         if ras.min_occurs > 0:
             plan.row_checks.append(RowCheck(
                 constraint=f"occurs:{ras.name}:min",
                 reason=f"expected at least {ras.min_occurs} "
                        f"occurrences of '{ras.name}'",
-                valid=n >= ras.min_occurs,
+                valid=guard | (n >= ras.min_occurs),
                 value_col=n.cast("string")))
         if ras.max_occurs is not None:
             plan.row_checks.append(RowCheck(
                 constraint=f"occurs:{ras.name}:max",
                 reason=f"expected at most {ras.max_occurs} "
                        f"occurrences of '{ras.name}'",
-                valid=n <= ras.max_occurs,
+                valid=guard | (n <= ras.max_occurs),
                 value_col=n.cast("string")))
         sub = TableSpec(
             name=f"{spec.name}[{ras.name}]",
             key_column=spec.key_column,
             columns=list(ras.fields),
             asserts=list(ras.asserts),
+            record_arrays=list(ras.nested),
             simple_types=dict(spec.simple_types),
             namespaces=dict(spec.namespaces),
             part_key=spec.part_key)

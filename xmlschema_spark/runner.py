@@ -55,6 +55,14 @@ class ValidationResult:
             self._cached = None
 
 
+def _all_record_arrays(spec: TableSpec):
+    def walk(rs):
+        for r in rs:
+            yield r
+            yield from walk(r.nested)
+    yield from walk(spec.record_arrays)
+
+
 def _has_column(df: DataFrame, name: str) -> bool:
     """True when `name` resolves against df — a top-level column, or a
     dotted path descending struct fields (nested-record ColumnSpecs);
@@ -86,7 +94,7 @@ def schema_violations(df: DataFrame, spec: TableSpec) -> DataFrame:
     import pyspark.sql.functions as _F
     spark = df.sparkSession
     declared = {c.name for c in spec.columns} | {spec.key_column}
-    declared |= {r.name for r in spec.record_arrays}
+    declared |= {r.name for r in _all_record_arrays(spec)}
     for u in spec.uniques:
         declared |= set(u.columns)
     if spec.part_key:
@@ -95,7 +103,8 @@ def schema_violations(df: DataFrame, spec: TableSpec) -> DataFrame:
     actual = set(df.columns)
     rows = []
     checked = {c.name for c in spec.columns}
-    checked |= {f.name for r in spec.record_arrays for f in r.fields}
+    checked |= {f.name for r in _all_record_arrays(spec)
+                for f in r.fields}
     for c in sorted(n for n in checked if not _has_column(df, n)):
         rows.append(("<schema>", 0, f"schema:missing:{c}",
                      f"declared column '{c}' absent from table", c, 1))
@@ -140,6 +149,33 @@ def apply_defaults(df: DataFrame, spec: TableSpec) -> DataFrame:
     return df
 
 
+def _record_array_parts(df: DataFrame, plan, spec: TableSpec) -> list:
+    """Violation frames for repeated record children: explode each
+    array (narrow — no shuffle, no data movement beyond the projection)
+    into one row per element; the element struct keeps the array
+    column's dotted path so the sub-plan's ColumnSpecs resolve
+    unchanged. A dotted name ('meta.sub') explodes the nested array
+    directly and REBUILDS the struct shell around the element; arrays
+    nested inside array ELEMENTS recurse on the exploded frame — every
+    level stays shuffle-free. NULL / empty arrays yield no element rows
+    (size bounds on the parent row cover absence)."""
+    import pyspark.sql.functions as _F
+    out = []
+    keep = [spec.key_column]
+    if spec.part_key and spec.part_key != spec.key_column:
+        keep.append(spec.part_key)
+    for name, sub in plan.record_arrays:
+        segs = name.split(".")
+        ex = df.select(*keep, _F.explode(_F.col(name)).alias("_el"))
+        shell = _F.col("_el")
+        for seg in reversed(segs[1:]):
+            shell = _F.struct(shell.alias(seg))
+        ex = ex.select(*keep, shell.alias(segs[0]))
+        out.append(row_violations(ex, sub))
+        out.extend(_record_array_parts(ex, sub, sub.spec))
+    return out
+
+
 def violation_parts(df: DataFrame, plan: ValidationPlan,
                     refs: dict[str, DataFrame] | None = None,
                     include_payload: bool = True,
@@ -152,26 +188,15 @@ def violation_parts(df: DataFrame, plan: ValidationPlan,
     spec = plan.spec
     refs = refs or {}
     declared = {c.name for c in spec.columns}
-    declared |= {f.name for r in spec.record_arrays for f in r.fields}
+    declared |= {f.name for r in _all_record_arrays(spec)
+                 for f in r.fields}
     missing = {n for n in declared if not _has_column(df, n)}
     if missing:
         raise KeyError(
             f"declared columns missing from table: {sorted(missing)} "
             "(run schema_violations() for a report instead)")
     parts = [row_violations(df, plan)]
-    for name, sub in plan.record_arrays:
-        # repeated record child: explode the array (narrow — no shuffle,
-        # no data movement beyond the projection) into one row per
-        # element; the element struct keeps the array column's name so
-        # the sub-plan's dotted ColumnSpecs resolve unchanged. NULL /
-        # empty arrays yield no element rows (size bounds on the parent
-        # row cover absence).
-        import pyspark.sql.functions as _F
-        keep = [spec.key_column]
-        if spec.part_key and spec.part_key != spec.key_column:
-            keep.append(spec.part_key)
-        ex = df.select(*keep, _F.explode(_F.col(name)).alias(name))
-        parts.append(row_violations(ex, sub))
+    parts.extend(_record_array_parts(df, plan, spec))
     for u in spec.uniques:
         parts.append(unique_violations(df, u, spec.key_column, spec.part_key))
     for k in spec.keyrefs:

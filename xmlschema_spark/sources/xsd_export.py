@@ -295,10 +295,18 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
     # had mapped to fields come back as attributes with the same
     # dotted column name, facets, and requiredness)
     record_arrays = getattr(spec, "record_arrays", None) or []
+
+    def _all_ras(rs):
+        for r in rs:
+            yield r
+            yield from _all_ras(getattr(r, "nested", None) or [])
+
+    ras_by_path = {r.name: r for r in _all_ras(record_arrays)}
     dotted_cols = [c for c in spec.columns if "." in c.name]
     rec_fields: dict[str, list[ColumnSpec]] = {}
-    rec_paths: set[str] = set()
-    for c in dotted_cols + [f for r in record_arrays for f in r.fields]:
+    rec_paths: set[str] = set(ras_by_path)
+    for c in dotted_cols + [f for r in ras_by_path.values()
+                            for f in r.fields]:
         parent = c.name.rsplit(".", 1)[0]
         rec_fields.setdefault(parent, []).append(c)
         parts = c.name.split(".")
@@ -311,8 +319,7 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
             rec_children.setdefault(p.rsplit(".", 1)[0], []).append(p)
         else:
             rec_roots.append(p)
-    ras_names = {r.name for r in record_arrays}
-    rec_roots = [p for p in rec_roots if p not in ras_names]
+    rec_roots = [p for p in rec_roots if p not in ras_by_path]
 
     # importer-generated record asserts: presence ('required_<path>')
     # and prohibition ('prohibited_<path>') re-render as minOccurs /
@@ -320,7 +327,7 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
     consumed_asserts: set[int] = set()
     required_recs: set[str] = set()
     prohibited_recs: dict[str, list[str]] = {}
-    for a in [*spec.asserts, *(x for r in record_arrays
+    for a in [*spec.asserts, *(x for r in ras_by_path.values()
                                for x in r.asserts)]:
         nm = getattr(a, "name", "") or ""
         expr = (getattr(a, "expr", "") or "").strip()
@@ -343,7 +350,7 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         if id(a) in consumed_asserts:
             continue
         unexportable(f"table assert {a.name!r} (SQL expression)")
-    for r in record_arrays:
+    for r in ras_by_path.values():
         for a in r.asserts:
             if id(a) not in consumed_asserts:
                 unexportable(f"record-array {r.name!r} assert "
@@ -425,7 +432,15 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
             else:
                 attr_out.extend(_attr_lines(c, fname, pad + "    "))
         for child in rec_children.get(path, []):
-            c_occ = "" if child in required_recs else ' minOccurs="0"'
+            cr = ras_by_path.get(child)
+            if cr is not None:
+                c_occ = f' minOccurs="{cr.min_occurs}"'
+                c_occ += (f' maxOccurs="{cr.max_occurs}"'
+                          if cr.max_occurs is not None
+                          else ' maxOccurs="unbounded"')
+            else:
+                c_occ = "" if child in required_recs \
+                    else ' minOccurs="0"'
             kids.extend(_record_el_lines(child, c_occ, pad + "      "))
         if kids:
             out.append(f"{pad}    <xs:sequence>")
@@ -449,6 +464,8 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         occ = "" if root in required_recs else ' minOccurs="0"'
         seq_items.extend(_record_el_lines(root, occ, "        "))
     for r in record_arrays:
+        if "." in r.name:
+            continue      # nested under a record root — rendered there
         occ = f' minOccurs="{r.min_occurs}"'
         occ += (f' maxOccurs="{r.max_occurs}"'
                 if r.max_occurs is not None else ' maxOccurs="unbounded"')

@@ -1549,7 +1549,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         return inline[0]
 
     def _record_columns(prefix, rct, optional, out_cols, out_asserts,
-                        visiting):
+                        visiting, out_ras=None):
         """Map a record-shaped complexType onto dotted ColumnSpecs under
         struct column `prefix` (complex child elements as struct
         columns — the reference decodes them as nested dicts,
@@ -1641,10 +1641,23 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                         if tgt.get("default") is not None:
                             kw["default"] = tgt.get("default")
                         _field(nm, kw, lo > 0)
+                elif hi is None or hi > 1:
+                    # repeated record child INSIDE a record: a nested
+                    # array<struct> — validated by a further explode
+                    # (RecordArraySpec.nested / dotted names)
+                    if out_ras is None:
+                        raise _NotRecord
+                    sub_ct = _record_ct(e)
+                    sub_path = f"{prefix}.{nm}"
+                    child = RecordArraySpec(name=sub_path,
+                                            min_occurs=lo,
+                                            max_occurs=hi)
+                    _record_columns(sub_path, sub_ct, True,
+                                    child.fields, child.asserts,
+                                    visiting, child.nested)
+                    out_ras.append(child)
                 else:
-                    if hi is None or hi > 1:
-                        raise _NotRecord     # repeated record: array of
-                    sub_ct = _record_ct(e)   # struct is tags territory
+                    sub_ct = _record_ct(e)
                     sub_path = f"{prefix}.{nm}"
                     if lo > 0:
                         pre = f"{prefix} IS NULL OR " if optional else ""
@@ -1654,7 +1667,8 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                             columns=[sub_path, prefix]))
                     _record_columns(sub_path, sub_ct,
                                     optional or lo == 0,
-                                    out_cols, out_asserts, visiting)
+                                    out_cols, out_asserts, visiting,
+                                    out_ras)
 
     # ---- flatten the row type (derivation chains, group /
     # attributeGroup refs) into effective attributes + content
@@ -1757,13 +1771,12 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                         # the exploded array; the particle occurs bound
                         # the array size (RecordArraySpec)
                         rct = _record_ct(e)
-                        acols: list[ColumnSpec] = []
-                        aasserts: list[AssertSpec] = []
-                        _record_columns(nm, rct, True, acols, aasserts,
-                                        frozenset())
-                        new_recarrs.append(RecordArraySpec(
-                            name=nm, fields=acols, asserts=aasserts,
-                            min_occurs=lo, max_occurs=hi))
+                        ras = RecordArraySpec(name=nm, min_occurs=lo,
+                                              max_occurs=hi)
+                        _record_columns(nm, rct, True, ras.fields,
+                                        ras.asserts, frozenset(),
+                                        ras.nested)
+                        new_recarrs.append(ras)
                     else:
                         rct = _record_ct(e)
                         if lo > 0:
@@ -1772,7 +1785,8 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                                 expr=f"{nm} IS NOT NULL",
                                 columns=[nm]))
                         _record_columns(nm, rct, lo == 0, new_cols,
-                                        new_asserts, frozenset())
+                                        new_asserts, frozenset(),
+                                        new_recarrs)
                 columns.extend(new_cols)
                 asserts.extend(new_asserts)
                 record_arrays.extend(new_recarrs)

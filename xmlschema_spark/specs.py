@@ -123,6 +123,14 @@ class RecordArraySpec:
     asserts: list["AssertSpec"] = field(default_factory=list)
     min_occurs: int = 0
     max_occurs: Optional[int] = None
+    # repeated record children OF THIS ARRAY'S ELEMENTS (arrays nested
+    # inside array elements): validated by a further explode of the
+    # element frame — still narrow, still shuffle-free. A dotted `name`
+    # ('meta.sub' — an array inside a single record) explodes from the
+    # top frame directly; its occurs bounds are guarded by parent-struct
+    # presence (absent parent record = the child particle never
+    # applies).
+    nested: list["RecordArraySpec"] = field(default_factory=list)
 
 
 @dataclass
@@ -388,6 +396,16 @@ class ContentModelSpec:
     xsd11: bool = False
 
 
+def _ras_from_dict(r: dict, col) -> "RecordArraySpec":
+    return RecordArraySpec(
+        name=r["name"],
+        fields=[col(c) for c in r.get("fields", [])],
+        asserts=[AssertSpec(**a) for a in r.get("asserts", [])],
+        min_occurs=r.get("min_occurs", 0),
+        max_occurs=r.get("max_occurs"),
+        nested=[_ras_from_dict(n, col) for n in r.get("nested", [])])
+
+
 @dataclass
 class TableSpec:
     """Top-level spec — the analog of a compiled XMLSchema instance."""
@@ -460,14 +478,8 @@ class TableSpec:
                     else None,
                     xsd11=m.get("xsd11", False))
                 for m in d.get("content_models", [])],
-            record_arrays=[
-                RecordArraySpec(
-                    name=r["name"],
-                    fields=[col(c) for c in r.get("fields", [])],
-                    asserts=[AssertSpec(**a) for a in r.get("asserts", [])],
-                    min_occurs=r.get("min_occurs", 0),
-                    max_occurs=r.get("max_occurs"))
-                for r in d.get("record_arrays", [])],
+            record_arrays=[_ras_from_dict(r, col)
+                           for r in d.get("record_arrays", [])],
             payload=PayloadSpec(**d["payload"]) if d.get("payload") else None,
             drift=DriftSpec(**d["drift"]) if d.get("drift") else None,
             part_key=d.get("part_key"),
