@@ -130,3 +130,51 @@ def test_qdigest_single_exchange_with_partial_agg(spark, sf_dir):
     assert "FlatMapGroupsInPandas" in plan or "ArrowEvalPython" in plan
     exchanges = plan.count("Exchange")
     assert exchanges <= 2, plan[:2000]
+
+
+def test_nested_record_prunes_struct_branches(spark, tmp_path):
+    """Nested-record facets read ONLY the referenced struct branch: the
+    parquet ReadSchema must contain owner.quota and neither owner.name
+    nor owner.blob — at 100 TB the unreferenced record fields are never
+    decoded (ColumnSpec.parent / dotted-name compilation)."""
+    from xmlschema_spark.specs import ColumnSpec, TableSpec
+    d = str(tmp_path / "t")
+    spark.createDataFrame(
+        [("r1", ("a", "1", "zzz"))],
+        "rid string, owner struct<name string, quota string, blob string>"
+    ).write.mode("overwrite").parquet(d)
+    spec = TableSpec(name="t", key_column="rid",
+                     columns=[ColumnSpec("owner.quota", "int",
+                                         min_inclusive=0,
+                                         parent="owner")])
+    p = _plan(row_violations(spark.read.parquet(d), compile_plan(spec)))
+    m = re.search(r"ReadSchema: ([^\s,]+(?:,[^\s]+)*)", p)
+    assert m and "quota" in m.group(0), p[:1500]
+    assert "name" not in m.group(0) and "blob" not in m.group(0), \
+        m.group(0)
+    assert "Exchange" not in p, p[:1500]
+
+
+def test_record_array_explode_shuffle_free(spark, tmp_path):
+    """Record-array element validation = scan -> Generate(explode) ->
+    codegen checks: ZERO Exchange at any scale (explode is narrow)."""
+    from xmlschema_spark.runner import _record_array_parts
+    from xmlschema_spark.specs import (ColumnSpec, RecordArraySpec,
+                                       TableSpec)
+    d = str(tmp_path / "t2")
+    spark.createDataFrame(
+        [("r1", [("x", "1")])],
+        "rid string, items array<struct<tag string, k string>>"
+    ).write.mode("overwrite").parquet(d)
+    spec = TableSpec(
+        name="t", key_column="rid", columns=[],
+        record_arrays=[RecordArraySpec(
+            name="items", min_occurs=1,
+            fields=[ColumnSpec("items.k", "int", min_inclusive=0,
+                               parent="items")])])
+    plan = compile_plan(spec)
+    parts = _record_array_parts(spark.read.parquet(d), plan, spec)
+    assert len(parts) == 1
+    p = _plan(parts[0])
+    assert "Exchange" not in p, p[:1500]
+    assert "Generate explode" in p, p[:1500]
