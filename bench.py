@@ -36,6 +36,9 @@ HEADLINE = [
     "qdigest_lineitem",
     "qdigest_events_value",
     "content_model_documents",
+    # round 6: repeated-record validation — recursive narrow explodes,
+    # zero shuffles (plan test); tracks the nested-record engine's cost
+    "record_array_events",
     "text_quality_documents",
     "ann_topk_bruteforce",
     "embedding_near_dups_vectorized",
