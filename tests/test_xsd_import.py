@@ -849,20 +849,30 @@ def test_element_ref_flat_column(spark):
     assert set(got) == {("r2", "facet:maxInclusive:score")}
 
 
-def test_repeated_top_sequence_not_flat():
+def test_repeated_top_sequence_maps_to_arrays():
     """A TOP sequence with maxOccurs>1 repeats the whole child list —
-    that is a content model, not a flat row (words.xsd shape)."""
-    with pytest.raises(ValueError, match="pass tags_column="):
-        spec_from_xsd(f"""
-        <xs:schema {XS}>
-          <xs:element name="words">
-            <xs:complexType>
-              <xs:sequence maxOccurs="unbounded">
-                <xs:element name="word" type="xs:string"/>
-              </xs:sequence>
-            </xs:complexType>
-          </xs:element>
-        </xs:schema>""", key_column="rid")
+    each child maps to an ARRAY column whose size carries the
+    repetition count (words.xsd shape; round 7 — previously this
+    required tags_column). Children occurring exactly once per
+    repetition are count drivers: a coupling assert ties their sizes
+    together and to the group occurs."""
+    spec = spec_from_xsd(f"""
+    <xs:schema {XS}>
+      <xs:element name="words">
+        <xs:complexType>
+          <xs:sequence minOccurs="1" maxOccurs="unbounded">
+            <xs:element name="word" type="xs:string"/>
+          </xs:sequence>
+          <xs:attribute name="rid" type="xs:string" use="required"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["word"].dtype == "array<string>"
+    assert by_name["word"].min_length == 1
+    assert by_name["word"].max_length is None
+    assert not by_name["word"].nullable
+    assert any(a.name.startswith("group_occurs") for a in spec.asserts)
 
 
 def test_default_attributes_apply_and_optout(spark):

@@ -171,12 +171,19 @@ def test_record_array_validation_end_to_end(spark):
     assert not any(k == "r1" for k, c in got)
 
 
-def test_mixed_record_falls_back_to_tags_requirement():
-    with pytest.raises(ValueError, match="tags_column"):
-        _imp(_row_schema(OWNER.replace("<xs:complexType>",
-                                       '<xs:complexType mixed="true">',
-                                       1)),
-             key_column="rid")
+def test_mixed_record_maps_value_field():
+    """mixed='true' on a record type: the interleaved character data
+    becomes the record's nullable value-column text field (the
+    reference decodes mixed text as untyped character data,
+    complex_types.py content_type) — no tags_column fallback."""
+    spec = _imp(_row_schema(OWNER.replace("<xs:complexType>",
+                                          '<xs:complexType mixed="true">',
+                                          1)),
+                key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["owner.value"].dtype == "string"
+    assert by_name["owner.value"].nullable
+    assert by_name["owner.quota"].dtype == "xsd:int"
 
 
 def test_explicit_tags_column_keeps_content_model_path():
@@ -427,3 +434,322 @@ def test_multi_step_identity_export_round_trip(spark):
         key_column="rid")
     spec2 = _imp(spec_to_xsd(spec), key_column="rid")
     assert spec2.uniques[0].columns == ["owner/@name"]
+
+
+# ---------------------------------------------------------------- round 7:
+# choice / mixed / repeated-group content INSIDE record types (and at the
+# row level) validate WITHOUT the tags_column fallback — the particle tree
+# walks into fields + occurrence-count asserts (groups.py:953-1094 decodes
+# these shapes uniformly; the tabular projection drops interleaving order).
+
+CHOICE_BOX = """
+<xs:element name="box" minOccurs="0">
+  <xs:complexType>
+    <xs:choice%s>
+      <xs:element name="num">
+        <xs:simpleType>
+          <xs:restriction base="xs:int">
+            <xs:maxInclusive value="75"/>
+          </xs:restriction>
+        </xs:simpleType>
+      </xs:element>
+      <xs:element name="txt" type="xs:string"/>
+    </xs:choice>
+  </xs:complexType>
+</xs:element>"""
+
+
+def test_choice_in_record_fields_nullable():
+    spec = _imp(_row_schema(CHOICE_BOX % ""), key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["box.num"].nullable
+    assert str(by_name["box.num"].max_inclusive) == "75"
+    assert by_name["box.txt"].nullable
+    ch = [a for a in spec.asserts if a.name.startswith("choice_box")]
+    assert len(ch) == 1
+
+
+def test_choice_in_record_exactly_one(spark):
+    spec = _imp(_row_schema(CHOICE_BOX % ""), key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", ("5", None)),        # num selected — ok
+         ("r2", (None, "hello")),    # txt selected — ok
+         ("r3", ("5", "hello")),     # BOTH — violates choice
+         ("r4", (None, None)),       # NEITHER — violates choice
+         ("r5", None),               # absent optional record — ok
+         ("r6", ("99", None))],      # branch facet still applies
+        "rid string, box struct<num string, txt string>")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert ("r3", "assert:choice_box") in got
+    assert ("r4", "assert:choice_box") in got
+    assert ("r6", "facet:maxInclusive:box.num") in got
+    assert not any(k in ("r1", "r2", "r5") for k, _ in got)
+
+
+def test_optional_choice_at_most_one(spark):
+    spec = _imp(_row_schema(CHOICE_BOX % ' minOccurs="0"'),
+                key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", (None, None)),       # no selection — ok (minOccurs=0)
+         ("r2", ("5", "x"))],        # both — still exclusive
+        "rid string, box struct<num string, txt string>")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert got == [("r2", "assert:choice_box")]
+
+
+def test_repeated_choice_in_record_maps_arrays(spark):
+    """mixed-content.xsd shape as a record child: mixed='true' +
+    <choice maxOccurs='unbounded'> — branches become arrays, the
+    summed count enforces the choice minOccurs, interleaved text is
+    the value field."""
+    spec = _imp(_row_schema("""
+<xs:element name="data" minOccurs="0">
+  <xs:complexType mixed="true">
+    <xs:choice maxOccurs="unbounded">
+      <xs:element name="decimal_value" type="xs:decimal"/>
+      <xs:element name="string_value" type="xs:string"/>
+    </xs:choice>
+  </xs:complexType>
+</xs:element>"""), key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["data.decimal_value"].dtype == "array<string>"
+    assert by_name["data.value"].nullable          # mixed text field
+    df = spark.createDataFrame(
+        [("r1", (["1.5", "2"], [], "text between")),   # ok
+         ("r2", ([], [], None)),                       # 0 selections < 1
+         ("r3", (["x"], ["a"], None))],                # decode violation
+        "rid string, data struct<decimal_value array<string>, "
+        "string_value array<string>, value string>")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert ("r2", "assert:choice_data") in got
+    assert any(k == "r3" and "decimal_value" in c for k, c in got)
+    assert not any(k == "r1" for k, _ in got)
+
+
+def test_reference_mixed_content_schema_imports_flat(spark):
+    """The reference's features/decoder/mixed-content.xsd — a mixed
+    complexType over a repeated choice — imports WITHOUT tags_column
+    (round 7; previously raised 'pass tags_column=')."""
+    spec = _imp("/root/reference/tests/test_cases/features/decoder/"
+                "mixed-content.xsd", key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["decimal_value"].dtype == "array<string>"
+    assert by_name["value"].nullable
+    assert {"string_value", "boolean_value", "date_and_time",
+            "interval", "hexbin"} <= set(by_name)
+    ch = [a for a in spec.asserts if a.name.startswith("choice_row")]
+    assert len(ch) == 1
+
+
+def test_repeated_group_in_record_coupling(spark):
+    """A repeated sequence group inside a record: the exactly-once
+    child is the count DRIVER; optional children are bounded by the
+    driver count; the driver count carries the group occurs."""
+    spec = _imp(_row_schema("""
+<xs:element name="box">
+  <xs:complexType>
+    <xs:sequence minOccurs="1" maxOccurs="3">
+      <xs:element name="a" type="xs:int"/>
+      <xs:element name="b" type="xs:string" minOccurs="0"/>
+    </xs:sequence>
+  </xs:complexType>
+</xs:element>"""), key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["box.a"].dtype == "array<string>"
+    assert by_name["box.a"].min_length == 1
+    assert by_name["box.a"].max_length == 3
+    df = spark.createDataFrame(
+        [("r1", (["1", "2"], ["x"])),     # 2 reps, 1 optional b — ok
+         ("r2", (["1"], ["x", "y"])),     # b count 2 > a count 1
+         ("r3", (["1", "2", "3", "4"], [])),   # 4 reps > maxOccurs 3
+         ("r4", ([], []))],               # 0 reps < minOccurs 1
+        "rid string, box struct<a array<string>, b array<string>>")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert ("r2", "assert:group_occurs_box") in got
+    assert ("r3", "facet:maxLength:box.a") in got
+    assert ("r4", "facet:minLength:box.a") in got
+    assert not any(k == "r1" for k, _ in got)
+
+
+def test_choice_with_record_branch(spark):
+    """A choice whose branch is itself record-shaped: the branch maps
+    to a nullable STRUCT field and participates in the selection
+    count via IS NOT NULL."""
+    spec = _imp(_row_schema("""
+<xs:element name="pay">
+  <xs:complexType>
+    <xs:choice>
+      <xs:element name="cash" type="xs:decimal"/>
+      <xs:element name="card">
+        <xs:complexType>
+          <xs:sequence>
+            <xs:element name="pan" type="xs:string"/>
+          </xs:sequence>
+          <xs:attribute name="scheme" type="xs:string" use="required"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:choice>
+  </xs:complexType>
+</xs:element>"""), key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["pay.card.scheme"].parent == "pay.card"
+    df = spark.createDataFrame(
+        [("r1", ("9.99", None)),
+         ("r2", (None, ("visa", "4111"))),
+         ("r3", ("9.99", ("visa", "4111"))),   # both branches
+         ("r4", (None, None)),                 # neither
+         ("r5", (None, (None, "4111")))],      # branch field required
+        "rid string, pay struct<cash string, "
+        "card struct<scheme string, pan string>>")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert ("r3", "assert:choice_pay") in got
+    assert ("r4", "assert:choice_pay") in got
+    assert ("r5", "required:pay.card.scheme") in got
+    assert not any(k in ("r1", "r2") for k, _ in got)
+
+
+def test_top_level_choice_without_tags(spark):
+    """Choice as the ROW element's own content model also maps flat
+    (plain columns + selection assert) when no tags_column is given."""
+    spec = _imp(f"""
+    <xs:schema {XS}>
+      <xs:element name="row">
+        <xs:complexType>
+          <xs:choice>
+            <xs:element name="num" type="xs:int"/>
+            <xs:element name="txt" type="xs:string"/>
+          </xs:choice>
+          <xs:attribute name="rid" type="xs:string" use="required"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:schema>""", key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", "5", None), ("r2", None, "x"), ("r3", "5", "x"),
+         ("r4", None, None)],
+        "rid string, num string, txt string")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert got == [("r3", "assert:choice_row"),
+                   ("r4", "assert:choice_row")]
+
+
+def test_nested_choice_inlines_as_alternatives():
+    """A single-occurrence choice nested in a choice flattens to one
+    alternative set (models.py nested-choice matching)."""
+    spec = _imp(_row_schema("""
+<xs:element name="box">
+  <xs:complexType>
+    <xs:choice>
+      <xs:element name="a" type="xs:string"/>
+      <xs:choice>
+        <xs:element name="b" type="xs:string"/>
+        <xs:element name="c" type="xs:string"/>
+      </xs:choice>
+    </xs:choice>
+  </xs:complexType>
+</xs:element>"""), key_column="rid")
+    ch = [a for a in spec.asserts if a.name.startswith("choice_box")]
+    assert len(ch) == 1
+    assert "box.a" in ch[0].expr and "box.c" in ch[0].expr
+
+
+# ---------------------------------------------------------------- round 7:
+# xs:anyAttribute INSIDE record types (wildcards.py:164+,
+# attributes.py:659-712): extra struct fields beyond the declared ones
+# are governed by the wildcard's namespace constraint + processContents.
+
+def _wc_schema(any_attr):
+    return _row_schema(f"""
+<xs:element name="box" minOccurs="0">
+  <xs:complexType>
+    <xs:attribute name="tag" type="xs:string" use="required"/>
+    {any_attr}
+  </xs:complexType>
+</xs:element>""")
+
+
+def test_any_attribute_strict_rejects_undeclared(spark):
+    """processContents='strict' (also the XSD default): an extra
+    nested field has no declaration to validate against — violation."""
+    spec = _imp(_wc_schema('<xs:anyAttribute processContents="strict"/>'),
+                key_column="rid")
+    assert spec.attr_wildcards and spec.attr_wildcards[0].path == "box"
+    df = spark.createDataFrame(
+        [("r1", ("a", "x"))],
+        "rid string, box struct<tag string, extra string>")
+    got = {r.constraint for r in validate(df, spec).violations.collect()}
+    assert "wildcard:strict:box.extra" in got
+
+
+def test_any_attribute_skip_admits_undeclared(spark):
+    spec = _imp(_wc_schema('<xs:anyAttribute processContents="skip"/>'),
+                key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", ("a", "x"))],
+        "rid string, box struct<tag string, extra string>")
+    assert validate(df, spec).violations.count() == 0
+
+
+def test_any_attribute_lax_admits_undeclared(spark):
+    spec = _imp(_wc_schema('<xs:anyAttribute processContents="lax"/>'),
+                key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", ("a", "x"))],
+        "rid string, box struct<tag string, extra string>")
+    assert validate(df, spec).violations.count() == 0
+
+
+def test_any_attribute_namespace_constraint(spark):
+    """##other excludes both the (absent) target namespace and
+    NO-namespace fields: a plain extra field violates the namespace
+    constraint even under processContents='skip'."""
+    spec = _imp(_wc_schema(
+        '<xs:anyAttribute namespace="##other" '
+        'processContents="skip"/>'), key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", ("a", "x", "y"))],
+        "rid string, box struct<tag string, extra string, "
+        "`{urn:x}ext` string>")
+    got = {r.constraint for r in validate(df, spec).violations.collect()}
+    assert "wildcard:namespace:box.extra" in got
+    assert not any("{urn:x}ext" in c for c in got)   # qualified admitted
+
+
+def test_no_wildcard_keeps_schema_evolution_tolerance(spark):
+    """A record WITHOUT anyAttribute keeps the engine's default
+    tolerance for extra nested fields (same as allow_extra_columns)."""
+    spec = _imp(_wc_schema(""), key_column="rid")
+    assert not spec.attr_wildcards
+    df = spark.createDataFrame(
+        [("r1", ("a", "x"))],
+        "rid string, box struct<tag string, extra string>")
+    assert validate(df, spec).violations.count() == 0
+
+
+def test_any_attribute_export_round_trip(spark):
+    """Behavioral round-trip: import -> export -> re-import preserves
+    the record's attribute wildcard (same verdicts on a frame with an
+    undeclared nested field)."""
+    from xmlschema_spark.sources.xsd_export import spec_to_xsd
+    spec = _imp(_wc_schema(
+        '<xs:anyAttribute processContents="strict"/>'), key_column="rid")
+    text = spec_to_xsd(spec)
+    assert "anyAttribute" in text
+    spec2 = _imp(text, key_column="rid")
+    assert spec2.attr_wildcards
+    w = spec2.attr_wildcards[0]
+    assert (w.path, w.process) == ("box", "strict")
+    df = spark.createDataFrame(
+        [("r1", ("a", "x"))],
+        "rid string, box struct<tag string, extra string>")
+    v1 = sorted((r.row_key, r.constraint)
+                for r in validate(df, spec).violations.collect())
+    v2 = sorted((r.row_key, r.constraint)
+                for r in validate(df, spec2).violations.collect())
+    assert v1 == v2
+    assert ("<schema>", "wildcard:strict:box.extra") in v1

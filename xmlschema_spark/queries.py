@@ -1507,6 +1507,147 @@ def record_array_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_key", "constraint", "value")
 
 
+_CHOICE_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="event">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="box" minOccurs="0">
+          <xs:complexType>
+            <xs:choice>
+              <xs:element name="num">
+                <xs:simpleType>
+                  <xs:restriction base="xs:int">
+                    <xs:maxInclusive value="75"/>
+                  </xs:restriction>
+                </xs:simpleType>
+              </xs:element>
+              <xs:element name="txt" type="xs:string"/>
+            </xs:choice>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+      <xs:attribute name="event_id" type="xs:long" use="required"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+@register("record_choice_events", """
+  WITH ev AS (
+    SELECT event_id,
+           (event_id % 7 != 0) AS has_box,
+           CASE WHEN event_id % 3 = 0
+                THEN json_extract_string(props, '$.k') END AS num,
+           CASE WHEN event_id % 3 = 1 OR event_id % 5 = 0
+                THEN event_type END AS txt
+      FROM events)
+  SELECT CAST(event_id AS VARCHAR) AS row_key,
+         'assert:choice_box' AS constraint, '' AS value
+    FROM ev WHERE has_box AND
+         ((num IS NOT NULL AND txt IS NOT NULL)
+          OR (num IS NULL AND txt IS NULL))
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:maxInclusive:box.num', num
+    FROM ev WHERE has_box AND CAST(num AS INT) > 75
+""")
+def record_choice_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHOICE content inside a record type (round 7): the XSD importer
+    maps each branch to a nullable struct field and compiles the
+    choice occurs to a selection-count assert (exactly one branch
+    non-null here) — no tags_column fallback, and branch element
+    facets still apply to the selected value (reference decodes
+    choice children uniformly, groups.py:953-1094). The whole check
+    stays one shuffle-free codegen pass over the struct projection."""
+    from .sources.xsd_import import spec_from_xsd
+    df = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    nested = df.select(
+        "event_id",
+        F.when(eid % 7 != 0, F.struct(
+            F.when(eid % 3 == 0,
+                   F.get_json_object("props", "$.k")).alias("num"),
+            F.when((eid % 3 == 1) | (eid % 5 == 0),
+                   F.col("event_type")).alias("txt"),
+        )).alias("box"))
+    spec = spec_from_xsd(_CHOICE_XSD, key_column="event_id")
+    return row_violations(nested, compile_plan(spec)) \
+        .select("row_key", "constraint", "value")
+
+
+_GROUP_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="event">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="grp" minOccurs="0">
+          <xs:complexType>
+            <xs:sequence minOccurs="1" maxOccurs="3">
+              <xs:element name="a" type="xs:int"/>
+              <xs:element name="b" type="xs:string" minOccurs="0"/>
+            </xs:sequence>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+      <xs:attribute name="event_id" type="xs:long" use="required"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+@register("record_group_events", """
+  WITH ev AS (
+    SELECT event_id,
+           (event_id % 7 != 0) AS has_grp,
+           CASE WHEN event_id % 5 = 0 THEN 0
+                WHEN event_id % 13 = 0 THEN 4
+                ELSE 1 + event_id % 3 END AS a_cnt
+      FROM events),
+  ev2 AS (
+    SELECT *, CASE WHEN event_id % 11 = 0 THEN a_cnt + 1
+                   ELSE least(a_cnt, 1) END AS b_cnt FROM ev)
+  SELECT CAST(event_id AS VARCHAR) AS row_key,
+         'facet:minLength:grp.a' AS constraint
+    FROM ev2 WHERE has_grp AND a_cnt < 1
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:maxLength:grp.a'
+    FROM ev2 WHERE has_grp AND a_cnt > 3
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:maxLength:grp.b'
+    FROM ev2 WHERE has_grp AND b_cnt > 3
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'assert:group_occurs_grp'
+    FROM ev2 WHERE has_grp
+     AND NOT (a_cnt >= 1 AND a_cnt <= 3 AND b_cnt <= 1 * a_cnt)
+""")
+def record_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPEATED sequence group inside a record type (round 7): each
+    child maps to an array field whose size carries the per-name
+    occurrence count; the exactly-once child 'a' is the repetition-
+    count DRIVER and a group-coupling assert ties the optional child's
+    count to it (b <= a) and bounds the repetitions (1..3) — the
+    occurs algebra of groups.py projected onto counts, evaluated as
+    one codegen expression with zero data movement."""
+    from .sources.xsd_import import spec_from_xsd
+    df = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    a_cnt = (F.when(eid % 5 == 0, F.lit(0))
+              .when(eid % 13 == 0, F.lit(4))
+              .otherwise((eid % 3 + 1)).cast("int"))
+    b_cnt = (F.when(eid % 11 == 0, a_cnt + 1)
+              .otherwise(F.least(a_cnt, F.lit(1)))).cast("int")
+    base = F.array(*[F.lit(str(i)) for i in range(1, 6)])
+    nested = df.select(
+        "event_id",
+        F.when(eid % 7 != 0, F.struct(
+            F.slice(base, 1, a_cnt).alias("a"),
+            F.slice(base, 1, b_cnt).alias("b"),
+        )).alias("grp"))
+    spec = spec_from_xsd(_GROUP_XSD, key_column="event_id")
+    return row_violations(nested, compile_plan(spec)) \
+        .select("row_key", "constraint")
+
+
 @register("quantile_sketch_rank_check", """
   WITH qs AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS quantile)
   SELECT 'l_extendedprice' AS col, CAST(quantile AS DOUBLE) AS quantile,

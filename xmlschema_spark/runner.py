@@ -112,9 +112,96 @@ def schema_violations(df: DataFrame, spec: TableSpec) -> DataFrame:
         for c in sorted(actual - declared):
             rows.append(("<schema>", 0, f"schema:unexpected:{c}",
                          f"undeclared column '{c}' present (no wildcard)", c, 1))
+    rows.extend(_attr_wildcard_rows(df, spec))
     return spark.createDataFrame(
         rows, "row_key string, part_key bigint, constraint string, "
               "reason string, value string, occurs bigint")
+
+
+def _attr_wildcard_rows(df: DataFrame, spec: TableSpec) -> list:
+    """xs:anyAttribute inside record types (AttrWildcardSpec;
+    wildcards.py:164+, attributes.py:659-712): EXTRA fields of the
+    struct at each wildcard's path are checked against the wildcard's
+    namespace constraint + processContents. Struct schemas are static,
+    so this is a metadata-only check — zero data movement."""
+    if not spec.attr_wildcards:
+        return []
+    declared_nested = {c.name for c in spec.columns}
+    for r in _all_record_arrays(spec):
+        declared_nested.add(r.name)
+        declared_nested |= {f.name for f in r.fields}
+    rows = []
+    for w in spec.attr_wildcards:
+        fields = _struct_fields_at(df, w.path)
+        if fields is None:
+            continue          # absent struct: schema:missing covers it
+        dot = w.path + "."
+        known = {n[len(dot):].split(".", 1)[0]
+                 for n in declared_nested if n.startswith(dot)}
+        for f in sorted(set(fields) - known):
+            fq = f"{w.path}.{f}"
+            if not _wildcard_admits(f, w):
+                rows.append((
+                    "<schema>", 0, f"wildcard:namespace:{fq}",
+                    f"nested field '{fq}' is outside the attribute "
+                    f"wildcard's namespace constraint "
+                    f"{w.namespace}", f, 1))
+            elif w.process == "strict":
+                rows.append((
+                    "<schema>", 0, f"wildcard:strict:{fq}",
+                    f"nested field '{fq}' matches the attribute "
+                    "wildcard but has no declaration "
+                    "(processContents='strict')", f, 1))
+            # skip / lax admit the extra field (a tabular extra has
+            # no declaration for lax to validate against)
+    return rows
+
+
+def _struct_fields_at(df: DataFrame, path: str):
+    """Field names of the struct column at dotted `path`, looking
+    through array-of-struct steps; None when the path doesn't resolve
+    to a struct."""
+    from pyspark.sql.types import ArrayType, StructType
+    schema = df.schema
+    for step in path.split("."):
+        if isinstance(schema, ArrayType):
+            schema = schema.elementType
+        if not isinstance(schema, StructType):
+            return None
+        hit = next((f for f in schema.fields if f.name == step), None)
+        if hit is None:
+            return None
+        schema = hit.dataType
+    if isinstance(schema, ArrayType):
+        schema = schema.elementType
+    return [f.name for f in schema.fields] \
+        if isinstance(schema, StructType) else None
+
+
+def _wildcard_admits(field_name: str, w) -> bool:
+    """Does `field_name` match the wildcard's namespace constraint?
+    A Clark-form name '{uri}local' carries namespace `uri`; a plain
+    name carries none (the reference's wildcard matching,
+    wildcards.py:99-162: ##other excludes both the target namespace
+    and ABSENT namespaces)."""
+    uri = field_name[1:field_name.index("}")] \
+        if field_name.startswith("{") and "}" in field_name else None
+    tgt = w.target_ns or None
+    for tok in (w.namespace or ["##any"]):
+        if tok == "##any":
+            return True
+        if tok == "##other":
+            if uri is not None and uri != tgt:
+                return True
+        elif tok in ("##local", ""):
+            if uri is None:
+                return True
+        elif tok == "##targetNamespace":
+            if uri == tgt:
+                return True
+        elif uri == tok:
+            return True
+    return False
 
 
 def apply_defaults(df: DataFrame, spec: TableSpec) -> DataFrame:
@@ -196,6 +283,14 @@ def violation_parts(df: DataFrame, plan: ValidationPlan,
             f"declared columns missing from table: {sorted(missing)} "
             "(run schema_violations() for a report instead)")
     parts = [row_violations(df, plan)]
+    wc_rows = _attr_wildcard_rows(df, spec)
+    if wc_rows:
+        # nested attribute-wildcard verdicts are schema-level (struct
+        # fields are static metadata): a tiny local frame, no scan
+        parts.append(df.sparkSession.createDataFrame(
+            wc_rows,
+            "row_key string, part_key bigint, constraint string, "
+            "reason string, value string, occurs bigint"))
     parts.extend(_record_array_parts(df, plan, spec))
     for u in spec.uniques:
         parts.append(unique_violations(df, u, spec.key_column, spec.part_key))

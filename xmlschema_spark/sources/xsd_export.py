@@ -302,6 +302,9 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
             yield from _all_ras(getattr(r, "nested", None) or [])
 
     ras_by_path = {r.name: r for r in _all_ras(record_arrays)}
+    wc_by_path: dict[str, list] = {}
+    for w in getattr(spec, "attr_wildcards", None) or []:
+        wc_by_path.setdefault(w.path, []).append(w)
     dotted_cols = [c for c in spec.columns if "." in c.name]
     rec_fields: dict[str, list[ColumnSpec]] = {}
     rec_paths: set[str] = set(ras_by_path)
@@ -320,6 +323,10 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         else:
             rec_roots.append(p)
     rec_roots = [p for p in rec_roots if p not in ras_by_path]
+    for p in wc_by_path:
+        if p not in rec_paths:
+            unexportable(f"attribute wildcard on unknown record "
+                         f"path {p!r}")
 
     # importer-generated record asserts: presence ('required_<path>')
     # and prohibition ('prohibited_<path>') re-render as minOccurs /
@@ -450,6 +457,14 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         for fname in sorted(prohibited_recs.get(path, [])):
             out.extend(_attr_lines(ColumnSpec(name=fname), fname,
                                    pad + "    ", prohibited=True))
+        for w in wc_by_path.get(path, []):
+            # xs:anyAttribute re-renders with its namespace constraint
+            # + processContents (AttrWildcardSpec, wildcards.py:164+)
+            ns = " ".join(w.namespace or ["##any"])
+            attrs = "" if ns == "##any" \
+                else f" namespace={quoteattr(ns)}"
+            out.append(f"{pad}    <xs:anyAttribute{attrs} "
+                       f"processContents={quoteattr(w.process)}/>")
         out.append(f"{pad}  </xs:complexType>")
         out.append(f"{pad}</xs:element>")
         return out

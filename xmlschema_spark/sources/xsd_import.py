@@ -155,10 +155,10 @@ import re
 from typing import Optional
 from xml.etree import ElementTree
 
-from ..specs import (AssertSpec, ColumnSpec, ConditionalSpec,
-                     ContentModelSpec, KeyrefSpec, OpenContentSpec,
-                     ParticleSpec, RecordArraySpec, TableSpec,
-                     UniqueSpec)
+from ..specs import (AssertSpec, AttrWildcardSpec, ColumnSpec,
+                     ConditionalSpec, ContentModelSpec, KeyrefSpec,
+                     OpenContentSpec, ParticleSpec, RecordArraySpec,
+                     TableSpec, UniqueSpec)
 
 _XSD_NS = "http://www.w3.org/2001/XMLSchema"
 _N = "{%s}" % _XSD_NS
@@ -911,6 +911,25 @@ def _resolve_attr_ref(c, global_attrs: dict):
     return node
 
 
+def _attr_wildcard(node, attr_groups: dict, stack: tuple = ()):
+    """The xs:anyAttribute node under `node` (directly or spliced in
+    through attributeGroup refs), or None (XsdAnyAttribute parse,
+    wildcards.py:164+; a complexType takes at most one complete
+    attribute wildcard)."""
+    for c in node:
+        tag = _local(c.tag)
+        if tag == "anyAttribute":
+            return c
+        if tag == "attributeGroup":
+            ref = c.get("ref")
+            if ref and ref in attr_groups and ref not in stack:
+                hit = _attr_wildcard(attr_groups[ref], attr_groups,
+                                     stack + (ref,))
+                if hit is not None:
+                    return hit
+    return None
+
+
 def _attr_entries(node, attr_groups: dict, stack: tuple = (),
                   global_attrs: Optional[dict] = None) -> list:
     """Attribute declaration nodes under `node` in document order,
@@ -970,30 +989,6 @@ def _is_simple_type_ref(q: str, named: dict) -> bool:
     else:
         local = q
     return local in _BUILTIN_DTYPES or local in _BUILTIN_LISTS
-
-
-def _flat_children(node) -> Optional[list]:
-    """Element children of a model group, looking through NESTED
-    sequence/all groups with occurs 1/1 (the implicit sequence a
-    flattened extension produces). None = not a flat shape (choice,
-    wildcard, or a repeated nested group)."""
-    out: list = []
-    for c in node:
-        tag = _local(c.tag)
-        if tag == "annotation":
-            continue
-        if tag == "element":
-            out.append(c)
-        elif (tag in ("sequence", "all")
-              and _occ(c, "minOccurs", 1) == 1
-              and _occ(c, "maxOccurs", 1) == 1):
-            sub = _flat_children(c)
-            if sub is None:
-                return None
-            out.extend(sub)
-        else:
-            return None
-    return out
 
 
 def _merge_attrs(base: dict, own_nodes: list, mode: str):
@@ -1081,6 +1076,7 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
                                    global_attrs=env.get("global_attrs"))
     own_asserts = ct.findall(f"{_N}assert")
     own_oc = [c for c in ct if _local(c.tag) == "openContent"]
+    own_wc = _attr_wildcard(ct, attr_groups)
 
     deriv = [c for c in ct
              if _local(c.tag) in ("simpleContent", "complexContent")]
@@ -1092,7 +1088,7 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
                 # value (beside the content model, if any)
                 "value_kw": {"dtype": "string"} if mixed else None,
                 "asserts": own_asserts, "oc_nodes": own_oc,
-                "mixed": mixed}
+                "mixed": mixed, "attr_wc": own_wc}
 
     d = deriv[0]
     simple = _local(d.tag) == "simpleContent"
@@ -1111,6 +1107,10 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
                                    global_attrs=env.get("global_attrs"))
     der_asserts = der.findall(f"{_N}assert")
     der_oc = [c for c in der if _local(c.tag) == "openContent"]
+    # complete attribute wildcard (wildcards.py union/restriction
+    # rules, simplified): an EXTENSION keeps the base's wildcard when
+    # it declares none; a RESTRICTION's wildcard is its own only
+    der_wc = _attr_wildcard(der, attr_groups) or own_wc
 
     def _base_ct():
         if base_q in stack or base_q == ct.get("name"):
@@ -1173,7 +1173,10 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
         return {"attrs": attrs, "prohibited": prohibited,
                 "content": None, "value_kw": value_kw,
                 "asserts": (base_asserts + own_asserts + der_asserts),
-                "oc_nodes": der_oc or own_oc, "mixed": False}
+                "oc_nodes": der_oc or own_oc, "mixed": False,
+                "attr_wc": (der_wc if mode == "extension"
+                            else _attr_wildcard(der, attr_groups)
+                            or own_wc)}
 
     # ---- complexContent
     base = _base_ct()
@@ -1215,7 +1218,8 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
                     "content": None,
                     "value_kw": dict(base["value_kw"]),
                     "asserts": asserts, "oc_nodes": oc_nodes,
-                    "mixed": False}
+                    "mixed": False,
+                    "attr_wc": der_wc or base.get("attr_wc")}
         _err(f"base {base_q!r} is simple or has a simple content")
 
     if mode == "restriction":
@@ -1262,7 +1266,10 @@ def _flatten_ct(ct, env: dict, stack: tuple = ()) -> dict:
             "content": content,
             "value_kw": {"dtype": "string"} if eff_mixed else None,
             "asserts": asserts, "oc_nodes": oc_nodes,
-            "mixed": eff_mixed}
+            "mixed": eff_mixed,
+            "attr_wc": (der_wc or base.get("attr_wc")
+                        if mode == "extension"
+                        else _attr_wildcard(der, attr_groups))}
 
 
 # -------------------------------------------------------------- identity
@@ -1497,34 +1504,8 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     asserts: list[AssertSpec] = []
     content_models: list[ContentModelSpec] = []
     record_arrays: list[RecordArraySpec] = []
+    attr_wildcards: list[AttrWildcardSpec] = []
     open_content = None
-
-    def _column_from_simple(name, el, lo, hi, out=None):
-        t = el.get("type")
-        if t is not None:
-            kw = dict(_resolve_type(t, named))
-        else:
-            inline = [c for c in el if _local(c.tag) == "simpleType"]
-            kw = _parse_simple_type(inline[0], f"{name}__type",
-                                    named, anon) if inline else {}
-        if hi is None or hi > 1:
-            # repeated simple element -> array column; the array size
-            # IS the occurs count (min/maxOccurs -> min/max_length)
-            item = dict(kw)
-            kw = {"dtype": "array<string>",
-                  "item": item or {"dtype": "string"}}
-            if lo > 0:
-                kw["min_length"] = lo
-            if hi is not None:
-                kw["max_length"] = hi
-            kw["nullable"] = lo == 0
-        else:
-            kw["nullable"] = lo == 0
-        if el.get("fixed") is not None:
-            kw["fixed"] = el.get("fixed")
-        if el.get("default") is not None:
-            kw["default"] = el.get("default")
-        (columns if out is None else out).append(_kw_to_colspec(name, kw))
 
     class _NotRecord(Exception):
         """Child element is not record-shaped — fall back to the
@@ -1557,18 +1538,49 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         row stores the record as a struct and facets compile against
         the nested projection, pruned to the parquet ReadSchema).
 
-        Record shape = attributes + a non-repeated all-simple/record
-        sequence (+ optional simpleContent text -> a `value_column`
-        field). Mixed content, wildcards, choice, repeated groups, and
-        recursive types raise _NotRecord — those stay on the
-        tags_column content-model path."""
+        Record shape = attributes + a content model of element
+        particles (+ optional simpleContent/mixed text -> a
+        `value_column` field). The full particle tree is walked
+        (groups.py:953-1094 decodes these uniformly):
+
+          * nested sequence / all groups — occurrence multipliers
+            compose down the tree;
+          * REPEATED groups (maxOccurs>1) — each child maps to an
+            array field bounded by the composed occurs; children with
+            exactly-one occurs per repetition become count DRIVERS and
+            a group-coupling assert ties all driver counts together
+            (and bounds the optional children by the repetition count);
+          * CHOICE groups — every branch maps to a nullable field and
+            a selection-count assert enforces the choice occurs
+            (exactly-one / at-most-one / bounded repeated selection);
+          * MIXED content — the interleaved character data is the
+            nullable `value_column` text field beside the child fields
+            (the reference decodes mixed text as untyped character
+            data, complex_types.py content_type).
+
+        What still falls back to the tags_column content-model path
+        (_NotRecord): element wildcards / openContent, recursive
+        types, duplicate child names, and non-element choice branches
+        — order-sensitive shapes a static struct cannot carry."""
         if id(rct) in visiting:
             raise _NotRecord                 # recursive element type
         visiting = visiting | {id(rct)}
         rflat = _flatten_ct(rct, env)
-        if rflat["mixed"] or rflat["oc_nodes"]:
+        if rflat["oc_nodes"]:
             raise _NotRecord
-        guard = None if not optional else prefix
+        if rflat.get("attr_wc") is not None:
+            # xs:anyAttribute inside the record type: extra struct
+            # fields are governed by the wildcard's namespace
+            # constraint + processContents (strict is the XSD default)
+            # — checked against the static DataFrame schema by
+            # runner.schema_violations (AttrWildcardSpec)
+            wc = rflat["attr_wc"]
+            attr_wildcards.append(AttrWildcardSpec(
+                path=prefix,
+                process=wc.get("processContents", "strict"),
+                namespace=(wc.get("namespace") or "##any").split(),
+                target_ns=target_ns))
+        emitted: set = set()
 
         def _field(name, kw, required):
             kw = dict(kw)
@@ -1589,6 +1601,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 kw["fixed"] = a.get("fixed")
             if a.get("default") is not None:
                 kw["default"] = a.get("default")
+            emitted.add(name)
             _field(name, kw, a.get("use", "optional") == "required")
         for name in sorted(rflat["prohibited"]):
             out_asserts.append(AssertSpec(
@@ -1597,78 +1610,250 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 columns=[f"{prefix}.{name}"]))
         if rflat["value_kw"] is not None:
             kw = dict(rflat["value_kw"])
+            emitted.add(value_column)
             _field(value_column, kw, not kw.get("nullable", True))
+
         rgroup = rflat["content"]
         if rgroup is not None and len(rgroup) > 0:
-            if rflat["value_kw"] is not None:
+            if rflat["value_kw"] is not None and not rflat["mixed"]:
                 raise _NotRecord             # simpleContent has no group
-            kids = _flat_children(rgroup) \
-                if _local(rgroup.tag) != "choice" else None
-            if (kids is None or _occ(rgroup, "minOccurs", 1) != 1
-                    or _occ(rgroup, "maxOccurs", 1) != 1):
-                raise _NotRecord
-            for e in kids:
-                lo = _occ(e, "minOccurs", 1)
-                hi = _occ(e, "maxOccurs", 1)
-                tgt, nm = e, e.get("name")
-                if e.get("ref") is not None:
-                    tgt = global_elements.get(e.get("ref"))
-                    if tgt is None:
-                        raise _NotRecord
-                    nm = _localname(e.get("ref"))
-                if _element_is_simple(e, named, global_elements):
-                    t = tgt.get("type")
-                    if t is not None:
-                        kw = dict(_resolve_type(t, named))
-                    else:
-                        inl = [c for c in tgt
-                               if _local(c.tag) == "simpleType"]
-                        kw = _parse_simple_type(
-                            inl[0], f"{prefix}.{nm}__type",
-                            named, anon) if inl else {}
-                    if hi is None or hi > 1:
-                        item = dict(kw)
-                        kw = {"dtype": "array<string>",
-                              "item": item or {"dtype": "string"}}
-                        if lo > 0:
-                            kw["min_length"] = lo
-                        if hi is not None:
-                            kw["max_length"] = hi
-                        _field(nm, kw, False)
-                    else:
-                        if tgt.get("fixed") is not None:
-                            kw["fixed"] = tgt.get("fixed")
-                        if tgt.get("default") is not None:
-                            kw["default"] = tgt.get("default")
-                        _field(nm, kw, lo > 0)
-                elif hi is None or hi > 1:
-                    # repeated record child INSIDE a record: a nested
-                    # array<struct> — validated by a further explode
-                    # (RecordArraySpec.nested / dotted names)
-                    if out_ras is None:
-                        raise _NotRecord
-                    sub_ct = _record_ct(e)
-                    sub_path = f"{prefix}.{nm}"
-                    child = RecordArraySpec(name=sub_path,
-                                            min_occurs=lo,
-                                            max_occurs=hi)
-                    _record_columns(sub_path, sub_ct, True,
-                                    child.fields, child.asserts,
-                                    visiting, child.nested)
-                    out_ras.append(child)
+            _walk_content(prefix, rgroup, optional, out_cols,
+                          out_asserts, out_ras, visiting, emitted)
+
+    def _walk_content(prefix, rgroup, optional, out_cols, out_asserts,
+                      out_ras, visiting, emitted):
+        """Walk a content-model particle tree into fields + occurrence
+        asserts (see _record_columns). prefix=None = the ROW element's
+        own content (plain column names, no parent guard); otherwise
+        fields are dotted under struct column `prefix`."""
+        pre = (f"{prefix} IS NULL OR "
+               if optional and prefix is not None else "")
+        guard_cols = [prefix] if (optional and prefix is not None) \
+            else []
+        label = prefix if prefix is not None else "row"
+
+        def _field(name, kw, required):
+            kw = dict(kw)
+            kw["nullable"] = not required
+            if prefix is None:
+                out_cols.append(_kw_to_colspec(name, kw))
+            else:
+                out_cols.append(_kw_to_colspec(f"{prefix}.{name}",
+                                               {**kw, "parent": prefix}))
+
+        def _mul(a, b):
+            return None if (a is None or b is None) else a * b
+
+        def _emit_element(e, e_lo, e_hi):
+            """Emit the field for element `e` with EFFECTIVE (already
+            multiplied) occurs bounds. Returns (count_sql, path) —
+            count_sql evaluates to the element's occurrence count on
+            the row (0/1 for scalars, array size for repeated)."""
+            tgt, nm = e, e.get("name")
+            if e.get("ref") is not None:
+                if e.get("default") is not None \
+                        or e.get("fixed") is not None:
+                    _err(f"element reference "
+                         f"{_localname(e.get('ref'))!r} cannot carry "
+                         "a default/fixed value constraint")
+                tgt = global_elements.get(e.get("ref"))
+                if tgt is None:
+                    raise _NotRecord
+                nm = _localname(e.get("ref"))
+            if nm in emitted:
+                raise _NotRecord         # duplicate child name
+            emitted.add(nm)
+            path = nm if prefix is None else f"{prefix}.{nm}"
+            repeated = e_hi is None or e_hi > 1
+            if _element_is_simple(e, named, global_elements):
+                t = tgt.get("type")
+                if t is not None:
+                    kw = dict(_resolve_type(t, named))
                 else:
-                    sub_ct = _record_ct(e)
-                    sub_path = f"{prefix}.{nm}"
-                    if lo > 0:
-                        pre = f"{prefix} IS NULL OR " if optional else ""
-                        out_asserts.append(AssertSpec(
-                            name=f"required_{sub_path}",
-                            expr=f"{pre}{sub_path} IS NOT NULL",
-                            columns=[sub_path, prefix]))
-                    _record_columns(sub_path, sub_ct,
-                                    optional or lo == 0,
-                                    out_cols, out_asserts, visiting,
-                                    out_ras)
+                    inl = [c for c in tgt
+                           if _local(c.tag) == "simpleType"]
+                    kw = _parse_simple_type(
+                        inl[0], f"{path}__type",
+                        named, anon) if inl else {}
+                if repeated:
+                    item = dict(kw)
+                    kw = {"dtype": "array<string>",
+                          "item": item or {"dtype": "string"}}
+                    if e_lo > 0:
+                        kw["min_length"] = e_lo
+                    if e_hi is not None:
+                        kw["max_length"] = e_hi
+                    # a NULL array is 0 occurrences: minOccurs>0 makes
+                    # the array itself required (guarded by parent
+                    # presence for nested fields, ColumnSpec.parent)
+                    _field(nm, kw, e_lo > 0)
+                else:
+                    if tgt.get("fixed") is not None:
+                        kw["fixed"] = tgt.get("fixed")
+                    if tgt.get("default") is not None:
+                        kw["default"] = tgt.get("default")
+                    _field(nm, kw, e_lo > 0)
+            elif repeated:
+                # repeated record child: a nested array<struct> —
+                # validated by a further explode
+                # (RecordArraySpec.nested / dotted names)
+                if out_ras is None:
+                    raise _NotRecord
+                sub_ct = _record_ct(e)
+                child = RecordArraySpec(name=path, min_occurs=e_lo,
+                                        max_occurs=e_hi)
+                _record_columns(path, sub_ct, True,
+                                child.fields, child.asserts,
+                                visiting, child.nested)
+                out_ras.append(child)
+            else:
+                sub_ct = _record_ct(e)
+                if e_lo > 0:
+                    out_asserts.append(AssertSpec(
+                        name=f"required_{path}",
+                        expr=f"{pre}{path} IS NOT NULL",
+                        columns=[path] + guard_cols))
+                _record_columns(path, sub_ct,
+                                optional or e_lo == 0,
+                                out_cols, out_asserts, visiting,
+                                out_ras)
+            cnt = (f"(CASE WHEN {path} IS NULL THEN 0 "
+                   f"ELSE size({path}) END)" if repeated else
+                   f"(CASE WHEN {path} IS NOT NULL THEN 1 ELSE 0 END)")
+            return cnt, path
+
+        def _aname(base):
+            n = base
+            i = 2
+            while any(a.name == n for a in out_asserts):
+                n = f"{base}_{i}"
+                i += 1
+            return n
+
+        def _emit_choice(cnode, g_lo, g_hi):
+            """xs:choice with effective occurs (g_lo, g_hi): every
+            branch maps to a NULLABLE field; a selection-count assert
+            enforces the choice occurs (ModelVisitor's choice
+            matching, models.py:177-330, projected onto counts — the
+            tabular row drops interleaving order, as documented for
+            the flat mapping)."""
+            branches = []            # (count_sql, lo, hi, path)
+
+            def _branches(node, s_lo, s_hi):
+                for b in node:
+                    btag = _local(b.tag)
+                    if btag == "annotation":
+                        continue
+                    lo = _mul(s_lo, _occ(b, "minOccurs", 1))
+                    hi = _mul(s_hi, _occ(b, "maxOccurs", 1))
+                    if btag == "element":
+                        cnt, path = _emit_element(b, 0, _mul(g_hi, hi))
+                        branches.append((cnt, lo, hi, path))
+                    elif (btag == "choice"
+                          and _occ(b, "minOccurs", 1) == 1
+                          and _occ(b, "maxOccurs", 1) == 1):
+                        # single-occurrence nested choice: selecting it
+                        # selects one of ITS branches — inline them as
+                        # alternatives of the outer choice
+                        _branches(b, s_lo, s_hi)
+                    else:
+                        raise _NotRecord
+            _branches(cnode, 1, 1)
+            if not branches:
+                return
+            total = " + ".join(c for c, *_ in branches)
+            cols = sorted({p for *_, p in branches}) + guard_cols
+            conds = []
+            if all(lo == hi == 1 for _, lo, hi, _ in branches):
+                # each selection contributes exactly one occurrence:
+                # the summed count IS the selection count
+                if g_lo > 0:
+                    conds.append(f"({total}) >= {g_lo}")
+                if g_hi is not None:
+                    conds.append(f"({total}) <= {g_hi}")
+            elif g_hi == 1:
+                # single selection: branches are mutually exclusive,
+                # the selected branch honors its own occurs
+                sel = " + ".join(f"(CASE WHEN {c} > 0 THEN 1 ELSE 0 "
+                                 "END)" for c, *_ in branches)
+                conds.append(f"({sel}) <= 1")
+                if g_lo > 0:
+                    conds.append(f"({sel}) >= 1")
+                for c, lo, hi, _p in branches:
+                    if lo is not None and lo > 1:
+                        conds.append(f"({c} = 0 OR {c} >= {lo})")
+            else:
+                # repeated choice with non-unit branch occurs: sound
+                # count bounds (every selection contributes >=1 when
+                # all branch minima are >=1; per-branch maxima are on
+                # the array fields; total max = selections * widest)
+                if g_lo > 0 and all(lo and lo >= 1
+                                    for _, lo, _h, _p in branches):
+                    conds.append(f"({total}) >= {g_lo}")
+                his = [hi for _, _lo, hi, _p in branches]
+                if g_hi is not None and all(h is not None for h in his):
+                    conds.append(f"({total}) <= {g_hi * max(his)}")
+            if conds:
+                out_asserts.append(AssertSpec(
+                    name=_aname(f"choice_{label}"),
+                    expr=pre + "(" + " AND ".join(conds) + ")",
+                    columns=cols))
+
+        def _walk_group(gnode, m_lo, m_hi):
+            """Walk a sequence/all group under accumulated occurrence
+            multiplier (m_lo, m_hi); None = unbounded. Emits fields
+            for element children; for a REPEATED group, a coupling
+            assert ties together the counts of the children that occur
+            exactly once per repetition (drivers) and bounds the rest
+            by the repetition count (groups.py occurrence checks
+            projected onto per-name counts)."""
+            entries = []             # (count_sql, lo, hi, path)
+            for c in gnode:
+                ctag = _local(c.tag)
+                if ctag == "annotation":
+                    continue
+                lo = _occ(c, "minOccurs", 1)
+                hi = _occ(c, "maxOccurs", 1)
+                if ctag == "element":
+                    cnt, path = _emit_element(
+                        c, m_lo * lo, _mul(m_hi, hi))
+                    entries.append((cnt, lo, hi, path))
+                elif ctag in ("sequence", "all"):
+                    _walk_group(c, m_lo * lo, _mul(m_hi, hi))
+                elif ctag == "choice":
+                    _emit_choice(c, m_lo * lo, _mul(m_hi, hi))
+                else:
+                    raise _NotRecord     # xs:any wildcard etc.
+            if (m_lo, m_hi) == (1, 1):
+                return
+            drivers = [ent for ent in entries if ent[1] == ent[2] == 1]
+            if not drivers:
+                return       # field-level occurs bounds already hold
+            d0 = drivers[0][0]
+            conds = [f"{c} = {d0}" for c, *_ in drivers[1:]]
+            if m_lo > 0:
+                conds.append(f"{d0} >= {m_lo}")
+            if m_hi is not None:
+                conds.append(f"{d0} <= {m_hi}")
+            for c, lo, hi, _p in entries:
+                if lo == hi == 1:
+                    continue
+                if lo > 0:
+                    conds.append(f"{c} >= {lo} * {d0}")
+                if hi is not None:
+                    conds.append(f"{c} <= {hi} * {d0}")
+            cols = sorted({p for *_, p in entries}) + guard_cols
+            out_asserts.append(AssertSpec(
+                name=_aname(f"group_occurs_{label}"),
+                expr=pre + "(" + " AND ".join(conds) + ")",
+                columns=cols))
+
+        g_lo = _occ(rgroup, "minOccurs", 1)
+        g_hi = _occ(rgroup, "maxOccurs", 1)
+        if _local(rgroup.tag) == "choice":
+            _emit_choice(rgroup, g_lo, g_hi)
+        else:
+            _walk_group(rgroup, g_lo, g_hi)
 
     # ---- flatten the row type (derivation chains, group /
     # attributeGroup refs) into effective attributes + content
@@ -1725,73 +1910,34 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     group = flat["content"]
     oc_nodes = flat["oc_nodes"]
     if group is not None and len(group) > 0:
-        elements = _flat_children(group) \
-            if _local(group.tag) != "choice" else None
-        flat_shape = (elements is not None
-                      # a repeated TOP group means the whole child
-                      # sequence repeats — not a flat row shape
-                      and _occ(group, "minOccurs", 1) == 1
-                      and _occ(group, "maxOccurs", 1) == 1
-                      and tags_column is None)
         mapped_flat = False
-        if flat_shape:
-            # flat row shape: each simple child element is a column (a
-            # ref takes its TYPE from the global declaration, its occurs
-            # from the reference particle — elements.py ref parse); a
-            # single-occurrence record-shaped complex child becomes a
-            # STRUCT column with dotted nested-field ColumnSpecs. Any
-            # non-record complex child falls back to the content-model
-            # path below (atomic: columns/asserts only extend on full
-            # success).
+        if tags_column is None:
+            # flat row shape: the row type's particle tree walks into
+            # plain columns (a ref takes its TYPE from the global
+            # declaration, its occurs from the reference particle —
+            # elements.py ref parse); a single-occurrence record-shaped
+            # complex child becomes a STRUCT column with dotted
+            # nested-field ColumnSpecs, repeated children become
+            # array / array<struct> columns, choice and repeated
+            # groups compile to occurrence-count asserts (see
+            # _walk_content). Any non-flattenable shape (wildcards,
+            # recursion, duplicate names) falls back to the
+            # content-model path below (atomic: columns/asserts only
+            # extend on full success).
             new_cols: list[ColumnSpec] = []
             new_asserts: list[AssertSpec] = []
             new_recarrs: list[RecordArraySpec] = []
+            n_wc = len(attr_wildcards)
             try:
-                for e in elements:
-                    lo = _occ(e, "minOccurs", 1)
-                    hi = _occ(e, "maxOccurs", 1)
-                    tgt, nm = e, e.get("name")
-                    if e.get("ref") is not None:
-                        if e.get("default") is not None \
-                                or e.get("fixed") is not None:
-                            _err(f"element reference "
-                                 f"{_localname(e.get('ref'))!r} cannot "
-                                 "carry a default/fixed value "
-                                 "constraint")
-                        tgt = global_elements.get(e.get("ref"))
-                        if tgt is None:
-                            raise _NotRecord
-                        nm = _localname(e.get("ref"))
-                    if _element_is_simple(e, named, global_elements):
-                        _column_from_simple(nm, tgt, lo, hi,
-                                            out=new_cols)
-                    elif hi is None or hi > 1:
-                        # repeated record child -> array<struct> column:
-                        # element fields compile to a sub-plan run over
-                        # the exploded array; the particle occurs bound
-                        # the array size (RecordArraySpec)
-                        rct = _record_ct(e)
-                        ras = RecordArraySpec(name=nm, min_occurs=lo,
-                                              max_occurs=hi)
-                        _record_columns(nm, rct, True, ras.fields,
-                                        ras.asserts, frozenset(),
-                                        ras.nested)
-                        new_recarrs.append(ras)
-                    else:
-                        rct = _record_ct(e)
-                        if lo > 0:
-                            new_asserts.append(AssertSpec(
-                                name=f"required_{nm}",
-                                expr=f"{nm} IS NOT NULL",
-                                columns=[nm]))
-                        _record_columns(nm, rct, lo == 0, new_cols,
-                                        new_asserts, frozenset(),
-                                        new_recarrs)
+                _walk_content(None, group, False, new_cols,
+                              new_asserts, new_recarrs, frozenset(),
+                              {c.name for c in columns})
                 columns.extend(new_cols)
                 asserts.extend(new_asserts)
                 record_arrays.extend(new_recarrs)
                 mapped_flat = True
             except _NotRecord:
+                del attr_wildcards[n_wc:]     # roll back record emits
                 mapped_flat = False
         if not mapped_flat:
             if tags_column is None:
@@ -1967,5 +2113,5 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                       for n, kw in {**named, **anon}.items()},
         uniques=uniques, keyrefs=keyrefs, asserts=asserts,
         conditionals=conditionals, content_models=content_models,
-        record_arrays=record_arrays,
+        record_arrays=record_arrays, attr_wildcards=attr_wildcards,
         namespaces=dict(root_nsmap))

@@ -352,6 +352,36 @@ class OpenContentSpec:
 
 
 @dataclass
+class AttrWildcardSpec:
+    """xs:anyAttribute INSIDE a record type (XsdAnyAttribute,
+    wildcards.py:164+; attribute wildcard decode attributes.py:659-712):
+    governs EXTRA fields of the struct column at `path` beyond the
+    declared ones. Tabular projection of the reference's rules —
+    checked once against the DataFrame schema (struct fields are
+    static), not per row:
+
+      * a field whose name is in Clark form '{uri}local' carries that
+        namespace; a plain name carries none;
+      * the field must match the `namespace` constraint (##any /
+        ##other / ##local / ##targetNamespace / explicit URIs), else
+        it violates regardless of process mode;
+      * process='skip' or 'lax' admit matching extras (lax validates
+        only when a declaration exists — a tabular extra has none, so
+        it is admitted, schemas.py lax fallback);
+      * process='strict' (the XSD default) requires a resolvable
+        declaration — a tabular extra never has one, so it violates.
+
+    Records WITHOUT a wildcard keep the engine's schema-evolution
+    tolerance (extra nested fields ignored, same default as
+    TableSpec.allow_extra_columns)."""
+
+    path: str                              # the struct column (dotted ok)
+    process: str = "strict"                # skip | lax | strict
+    namespace: list[str] = field(default_factory=lambda: ["##any"])
+    target_ns: Optional[str] = None        # resolves ##other/##targetNamespace
+
+
+@dataclass
 class ContentModelSpec:
     """Content-model validation for a NESTED document column — the
     tabular analog of complex-type content validation (the reference's
@@ -424,6 +454,9 @@ class TableSpec:
     drift: Optional[DriftSpec] = None
     part_key: Optional[str] = None        # data-derived partition column
     allow_extra_columns: bool = True      # xs:any wildcard (wildcards.py:33-99)
+    # per-record attribute wildcards (xs:anyAttribute inside record
+    # types) — absolute struct paths, incl. paths inside record arrays
+    attr_wildcards: list[AttrWildcardSpec] = field(default_factory=list)
     # named reusable simple types (the schema's global simpleType
     # declarations, xsd_globals.py types map): referenced by
     # ColumnSpec.base; validated + flattened at compile time
@@ -484,6 +517,8 @@ class TableSpec:
             drift=DriftSpec(**d["drift"]) if d.get("drift") else None,
             part_key=d.get("part_key"),
             allow_extra_columns=d.get("allow_extra_columns", True),
+            attr_wildcards=[AttrWildcardSpec(**w)
+                            for w in d.get("attr_wildcards", [])],
             namespaces=dict(d.get("namespaces", {})),
         )
 
