@@ -178,3 +178,27 @@ def test_record_array_explode_shuffle_free(spark, tmp_path):
     p = _plan(parts[0])
     assert "Exchange" not in p, p[:1500]
     assert "Generate explode" in p, p[:1500]
+
+
+def test_drift_multi_column_two_scans(spark, sf_dir):
+    """Multi-column drift must cost TWO data scans regardless of how
+    many columns are profiled (round 7): all k*n_bins histogram
+    counters fold into one aggregation per side; KL assembly joins two
+    1-row frames. A per-column histogram loop would show 2k scans —
+    the difference between 2 and 2k full passes at 10^12 rows."""
+    from xmlschema_spark.operators.drift import drift_report
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cur = li.where(F.col("l_orderkey") % 2 == 0)
+    ref = li.where(F.col("l_orderkey") % 2 == 1)
+    bounds = {"l_quantity": (1.0, 50.0), "l_discount": (0.0, 0.1),
+              "l_extendedprice": (900.0, 110000.0)}
+    rep = drift_report(cur, ref,
+                       ["l_discount", "l_extendedprice", "l_quantity"],
+                       n_bins=32, bounds=bounds)
+    p = _plan(rep)
+    assert len(re.findall(r"FileScan parquet", p)) == 2, p
+    # and the scans prune to the three profiled columns (+ split key)
+    scans = re.findall(r"FileScan parquet \[([^\]]*)\]", p)
+    read_cols = {c.split("#")[0] for s in scans for c in s.split(",") if c}
+    assert read_cols == {"l_orderkey", "l_quantity", "l_discount",
+                         "l_extendedprice"}, read_cols

@@ -753,3 +753,145 @@ def test_any_attribute_export_round_trip(spark):
                 for r in validate(df, spec2).violations.collect())
     assert v1 == v2
     assert ("<schema>", "wildcard:strict:box.extra") in v1
+
+
+# ---------------------------------------------------------------- round 7:
+# selector-addressed identities over record-array elements
+# (FieldValueSelector inside repeated content, identities.py:461-544).
+
+REPEATED_ID = """
+<xs:element name="item" minOccurs="0" maxOccurs="unbounded">
+  <xs:complexType>
+    <xs:sequence>
+      <xs:element name="ref" type="xs:string" minOccurs="0"/>
+    </xs:sequence>
+    <xs:attribute name="id" type="xs:string" use="required"/>
+  </xs:complexType>
+</xs:element>"""
+
+
+def _identity_schema(constraints):
+    return (f'<xs:schema {XS}><xs:element name="row"><xs:complexType>'
+            f'<xs:sequence>{REPEATED_ID}</xs:sequence>'
+            '<xs:attribute name="rid" type="xs:string" use="required"/>'
+            '<xs:attribute name="tag" type="xs:string"/>'
+            f'</xs:complexType>{constraints}</xs:element></xs:schema>')
+
+
+def test_unique_over_record_array_elements(spark):
+    """xs:unique whose selector targets a repeated record child: the
+    node set is the exploded elements; duplicated @id values across
+    ALL rows' elements violate (the table is the collection scope)."""
+    spec = _imp(_identity_schema(
+        '<xs:unique name="uq_item"><xs:selector xpath="item"/>'
+        '<xs:field xpath="@id"/></xs:unique>'), key_column="rid")
+    u = spec.uniques[0]
+    assert u.scope == "item" and u.columns == ["item/id"]
+    df = spark.createDataFrame(
+        [("r1", [("a", "i1"), ("b", "i2")], None),
+         ("r2", [("c", "i1")], None),        # i1 duplicated vs r1
+         ("r3", [], None),
+         ("r4", None, None)],
+        "rid string, item array<struct<ref string, id string>>, "
+        "tag string")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert got == [("r1", "unique:uq_item"), ("r2", "unique:uq_item")]
+
+
+def test_keyref_fields_inside_record_array(spark):
+    """xs:keyref whose fields live inside a record array, referring to
+    a key that ALSO lives inside a record array (ref_scope): every
+    element's ref value must match some element's @id."""
+    spec = _imp(_identity_schema(
+        '<xs:key name="k_item"><xs:selector xpath="item"/>'
+        '<xs:field xpath="@id"/></xs:key>'
+        '<xs:keyref name="fk_item" refer="k_item">'
+        '<xs:selector xpath="item"/>'
+        '<xs:field xpath="ref"/></xs:keyref>'), key_column="rid")
+    kr = spec.keyrefs[0]
+    assert (kr.scope, kr.ref_scope) == ("item", "item")
+    assert kr.columns == ["item/ref"]
+    df = spark.createDataFrame(
+        [("r1", [("i2", "i1"), (None, "i2")], None),   # i2 exists — ok
+         ("r2", [("iX", "i3")], None)],                # iX unknown
+        "rid string, item array<struct<ref string, id string>>, "
+        "tag string")
+    from xmlschema_spark import compile_plan as _cp
+    from xmlschema_spark.runner import validate as _v
+    res = _v(df, spec, refs={"row": df})
+    got = sorted((r.row_key, r.constraint)
+                 for r in res.violations.collect())
+    assert ("r2", "keyref:fk_item") in got
+    assert not any(k == "r1" and c.startswith("keyref") for k, c in got)
+
+
+def test_scoped_key_missing_field(spark):
+    """xs:key over record-array elements: a NULL key field in any
+    element is itself a violation (identities.py:523-531)."""
+    spec = _imp(_identity_schema(
+        '<xs:key name="k_item"><xs:selector xpath="item"/>'
+        '<xs:field xpath="@id"/></xs:key>'), key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", [("a", None)], None)],
+        "rid string, item array<struct<ref string, id string>>, "
+        "tag string")
+    got = {r.constraint for r in validate(df, spec).violations.collect()}
+    assert "key:k_item:missing" in got
+
+
+def test_selector_crossing_array_field_errors():
+    with pytest.raises(ValueError, match="crosses repeated content"):
+        _imp(_row_schema("""
+<xs:element name="box">
+  <xs:complexType>
+    <xs:sequence>
+      <xs:element name="item" maxOccurs="5">
+        <xs:complexType>
+          <xs:attribute name="id" type="xs:string"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:sequence>
+  </xs:complexType>
+</xs:element>""").replace(
+            "</xs:complexType></xs:element></xs:schema>",
+            '</xs:complexType><xs:unique name="u">'
+            '<xs:selector xpath="box"/>'
+            '<xs:field xpath="item/@id"/></xs:unique>'
+            "</xs:element></xs:schema>"), key_column="rid")
+
+
+def test_unknown_selector_still_errors():
+    with pytest.raises(ValueError, match="does not resolve"):
+        _imp(_identity_schema(
+            '<xs:unique name="u"><xs:selector xpath="nope"/>'
+            '<xs:field xpath="@id"/></xs:unique>'), key_column="rid")
+
+
+def test_scoped_identity_export_round_trip(spark):
+    """import -> export -> re-import keeps record-array-scoped
+    identities (same violations)."""
+    from xmlschema_spark.sources.xsd_export import spec_to_xsd
+    spec = _imp(_identity_schema(
+        '<xs:key name="k_item"><xs:selector xpath="item"/>'
+        '<xs:field xpath="@id"/></xs:key>'
+        '<xs:keyref name="fk_item" refer="k_item">'
+        '<xs:selector xpath="item"/>'
+        '<xs:field xpath="ref"/></xs:keyref>'), key_column="rid")
+    spec2 = _imp(spec_to_xsd(spec), key_column="rid")
+    assert spec2.uniques[0].scope == "item"
+    assert (spec2.keyrefs[0].scope, spec2.keyrefs[0].ref_scope) \
+        == ("item", "item")
+    df = spark.createDataFrame(
+        [("r1", [("i2", "i1"), (None, "i2")], None),
+         ("r2", [("iX", "i1")], None)],       # dup id + unknown ref
+        "rid string, item array<struct<ref string, id string>>, "
+        "tag string")
+    from xmlschema_spark.runner import validate as _v
+    v1 = sorted((r.row_key, r.constraint) for r in
+                _v(df, spec, refs={"row": df}).violations.collect())
+    v2 = sorted((r.row_key, r.constraint) for r in
+                _v(df, spec2, refs={"row": df}).violations.collect())
+    assert v1 == v2
+    assert ("r2", "keyref:fk_item") in v1
+    assert ("r1", "unique:k_item") in v1     # i1 dup across rows

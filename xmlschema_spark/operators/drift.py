@@ -89,29 +89,71 @@ def quantile_sketch(df: DataFrame, cols: list[str],
                           "value")
 
 
-def drift_report(cur: DataFrame, ref: DataFrame, cols: list[str],
-                 n_bins: int = 32, kl_threshold: float = 0.05) -> DataFrame:
-    """Per-column KL(cur || ref) with shared binning derived from ref's
-    min/max (stable binning => deterministic, comparable across runs)."""
-    spark = cur.sparkSession
-    bounds = ref.agg(*[f for c in cols for f in
-                       (F.min(c).alias(f"{c}_min"), F.max(c).alias(f"{c}_max"))]
-                     ).collect()[0]
-    out = None
-    for c in cols:
-        lo = float(bounds[f"{c}_min"] or 0.0)
-        hi = float(bounds[f"{c}_max"] or 1.0)
+def _hist_row_exprs(cols: list[str], bounds: dict, n_bins: int,
+                    tag: str) -> list:
+    """All k*n_bins histogram counters as aggregate expressions — ONE
+    partial-agg pass over the data reduces to a single row (the
+    profile_lineitem_scale pattern: no Expand, no per-column rescans)."""
+    aggs = []
+    for ci, c in enumerate(cols):
+        lo, hi = bounds[c]
         width = (hi - lo) / n_bins or 1.0
-        cb = histogram(cur, c, lo, width, n_bins) \
-            .select("bin", F.col("n").cast("double").alias("pc"))
-        rb = histogram(ref, c, lo, width, n_bins) \
-            .select("bin", F.col("n").cast("double").alias("qc"))
-        bins = spark.range(n_bins).select(F.col("id").alias("bin"))
-        kl = kl_from_counts(bins, cb, rb, n_bins) \
-            .select(F.lit(c).alias("col"), F.round("kl", 6).alias("kl"),
-                    (F.col("kl") > kl_threshold).alias("drifted"))
-        out = kl if out is None else out.unionByName(kl)
-    return out
+        b = F.greatest(
+            F.least(F.floor((F.col(c) - lo) / width), F.lit(n_bins - 1)),
+            F.lit(0)).cast("bigint")
+        for i in range(n_bins):
+            aggs.append(
+                F.sum(F.when(F.col(c).isNotNull() & (b == i), 1)
+                      .otherwise(0)).cast("double")
+                .alias(f"{tag}_{ci}_{i}"))
+    return aggs
+
+
+def drift_report(cur: DataFrame, ref: DataFrame, cols: list[str],
+                 n_bins: int = 32, kl_threshold: float = 0.05,
+                 bounds: dict | None = None,
+                 smooth: float = 0.5) -> DataFrame:
+    """Per-column KL(cur || ref) with shared binning derived from ref's
+    min/max (stable binning => deterministic, comparable across runs).
+
+    SINGLE-PASS multi-column shape (round 7): all k*n_bins histogram
+    counters for all profiled columns are computed in ONE aggregation
+    over `cur` and ONE over `ref` — two scans of the data total when
+    `bounds` ({col: (lo, hi)}) is supplied, regardless of how many
+    columns are profiled (previously 2k scans). The KL sums are then
+    assembled as expressions over the two single-row results — a
+    broadcast nested-loop join of two 1-row frames, no data movement.
+    Without explicit bounds, one extra min/max reduce over `ref`
+    derives them (binning needs bounds before counting)."""
+    if bounds is None:
+        r = ref.agg(*[f for ci, c in enumerate(cols) for f in
+                      (F.min(c).alias(f"mn{ci}"),
+                       F.max(c).alias(f"mx{ci}"))]).collect()[0]
+        bounds = {c: (float(r[f"mn{ci}"] or 0.0),
+                      float(r[f"mx{ci}"] or 1.0))
+                  for ci, c in enumerate(cols)}
+    crow = cur.agg(*_hist_row_exprs(cols, bounds, n_bins, "p"))
+    rrow = ref.agg(*_hist_row_exprs(cols, bounds, n_bins, "q"))
+    j = crow.crossJoin(rrow)
+    kl_cols = []
+    for ci, c in enumerate(cols):
+        pt = sum((F.col(f"p_{ci}_{i}") for i in range(n_bins)),
+                 F.lit(0.0)) + smooth * n_bins
+        qt = sum((F.col(f"q_{ci}_{i}") for i in range(n_bins)),
+                 F.lit(0.0)) + smooth * n_bins
+        terms = None
+        for i in range(n_bins):
+            p = (F.col(f"p_{ci}_{i}") + smooth) / pt
+            q = (F.col(f"q_{ci}_{i}") + smooth) / qt
+            t = p * F.log(p / q)
+            terms = t if terms is None else terms + t
+        kl_cols.append(terms.alias(f"kl_{ci}"))
+    one = j.select(*kl_cols)
+    stack_args = ", ".join(
+        f"'{c}', round(kl_{ci}, 6)" for ci, c in enumerate(cols))
+    return (one.selectExpr(f"stack({len(cols)}, {stack_args}) AS (col, kl)")
+            .select("col", "kl",
+                    (F.col("kl") > kl_threshold).alias("drifted")))
 
 
 def js_from_counts(bins: DataFrame, pc: DataFrame, qc: DataFrame,

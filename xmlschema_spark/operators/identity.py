@@ -25,6 +25,42 @@ from ..specs import KeyrefSpec, OccursSpec, UniqueSpec
 _VIOL = ["row_key", "part_key", "constraint", "reason", "value", "occurs"]
 
 
+def _scope_frame(df: DataFrame, scope: str, keep: list[str]) -> DataFrame:
+    """Node set of a record-array-scoped identity (UniqueSpec.scope;
+    reference: FieldValueSelector applied to repeated content,
+    identities.py:461-544): explode every array boundary along the
+    dotted `scope` path — narrow transformations, zero shuffle — into
+    one row per ELEMENT, rebuilding the struct shell so the original
+    dotted selectors resolve unchanged. NULL/empty arrays contribute
+    no elements (occurs bounds on the parent row cover absence)."""
+    from pyspark.sql.types import ArrayType, StructType
+    segs = scope.split(".")
+
+    def first_array(schema):
+        t = schema
+        for i, s in enumerate(segs):
+            if not isinstance(t, StructType):
+                return None
+            hit = next((f for f in t.fields if f.name == s), None)
+            if hit is None:
+                return None
+            t = hit.dataType
+            if isinstance(t, ArrayType):
+                return i + 1
+        return None
+
+    while True:
+        k = first_array(df.schema)
+        if k is None:
+            return df
+        ex = df.select(*keep, F.explode(F.col(".".join(segs[:k])))
+                       .alias("_el"))
+        shell = F.col("_el")
+        for seg in reversed(segs[1:k]):
+            shell = F.struct(shell.alias(seg))
+        df = ex.select(*keep, shell.alias(segs[0]))
+
+
 def _tuple_str(columns: list[str]) -> F.Column:
     """Canonical rendering of a field tuple for the violation `value`."""
     if len(columns) == 1:
@@ -46,8 +82,14 @@ def unique_violations(df: DataFrame, spec: UniqueSpec, key_column: str,
     """
     # selector-addressed fields (reference: restricted-XPath selectors,
     # identities.py:28-120): 'meta/owner/@id' resolves to a nested-field
-    # projection; plain column names pass through untouched
+    # projection; plain column names pass through untouched. A
+    # record-array scope explodes the node set first (one row per
+    # element — still narrow) so fields address ELEMENT values.
     from ..functions.selectors import resolve_selectors
+    if getattr(spec, "scope", None):
+        keep = [key_column] + ([part_key] if part_key
+                               and part_key != key_column else [])
+        df = _scope_frame(df, spec.scope, keep)
     df, cols = resolve_selectors(df, spec.columns)
     nn = F.lit(True)
     for c in cols:
@@ -117,8 +159,17 @@ def keyref_violations(df: DataFrame, ref: DataFrame, spec: KeyrefSpec,
     """
     from ..functions.selectors import compile_selector, is_selector
     from ..functions.selectors import resolve_selectors
+    if getattr(spec, "scope", None):
+        keep = [key_column] + ([part_key] if part_key
+                               and part_key != key_column else [])
+        df = _scope_frame(df, spec.scope, keep)
     df, cols = resolve_selectors(df, spec.columns)
     rcols = spec.ref_columns
+    if getattr(spec, "ref_scope", None):
+        # the referred key lives inside a record array of the ref
+        # table: its node set explodes the same way (narrow) before
+        # the DISTINCT key-set reduction
+        ref = _scope_frame(ref, spec.ref_scope, [])
     keys = ref.select(*[
         (compile_selector(c) if is_selector(c) else F.col(c)).alias(f"_k{i}")
         for i, c in enumerate(rcols)]).distinct()

@@ -602,6 +602,65 @@ def drift_events_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("value").alias("col"), F.round("kl", 6).alias("kl"))
 
 
+@register("drift_multi_lineitem", """
+  WITH src AS (SELECT l_orderkey % 2 AS half, l_quantity,
+                      l_extendedprice, l_discount FROM lineitem),
+  u AS (
+    SELECT half, 'l_quantity' AS col,
+           (l_quantity - 1.0) / ((50.0 - 1.0) / 32) AS raw
+      FROM src WHERE l_quantity IS NOT NULL
+    UNION ALL
+    SELECT half, 'l_discount', (l_discount - 0.0) / ((0.1 - 0.0) / 32)
+      FROM src WHERE l_discount IS NOT NULL
+    UNION ALL
+    SELECT half, 'l_extendedprice',
+           (l_extendedprice - 900.0) / ((110000.0 - 900.0) / 32)
+      FROM src WHERE l_extendedprice IS NOT NULL),
+  binned AS (SELECT half, col,
+                    CAST(GREATEST(LEAST(FLOOR(raw), 31), 0) AS BIGINT) AS bin
+               FROM u),
+  grid AS (SELECT col, range AS bin
+             FROM (SELECT DISTINCT col FROM binned) CROSS JOIN range(0, 32)),
+  pc AS (SELECT col, bin, count(*)::DOUBLE AS c FROM binned
+          WHERE half = 0 GROUP BY 1, 2),
+  qc AS (SELECT col, bin, count(*)::DOUBLE AS c FROM binned
+          WHERE half = 1 GROUP BY 1, 2),
+  tot AS (SELECT col,
+                 sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::DOUBLE AS pt,
+                 sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::DOUBLE AS qt
+            FROM binned GROUP BY col),
+  j AS (SELECT g.col, g.bin,
+               (COALESCE(pc.c, 0) + 0.5) / (t.pt + 16) AS p,
+               (COALESCE(qc.c, 0) + 0.5) / (t.qt + 16) AS q
+          FROM grid g JOIN tot t USING (col)
+          LEFT JOIN pc ON pc.col = g.col AND pc.bin = g.bin
+          LEFT JOIN qc ON qc.col = g.col AND qc.bin = g.bin)
+  SELECT col, ROUND(SUM(p * LN(p / q)), 6) AS kl,
+         (ROUND(SUM(p * LN(p / q)), 6) > 0.05) AS drifted
+    FROM j GROUP BY col ORDER BY col
+""")
+def drift_multi_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-column drift in TWO data scans (round 7): KL(cur || ref)
+    for THREE profiled columns between lineitem halves, with all
+    3x32 histogram counters computed as aggregate expressions in ONE
+    partial-agg pass per side (profile_lineitem_scale pattern — no
+    Expand, no per-column rescans; previously k columns cost 2k
+    scans). Fixed bounds are supplied so the plan is exactly two
+    FileScans — the shape you'd ship at 10^12 rows, where each scan
+    is the dominant cost. Verified two-scan by plan test
+    (test_plan_shapes.py)."""
+    from .operators.drift import drift_report
+    li = _load(spark, sf_dir, "lineitem")
+    cur = li.where(F.col("l_orderkey") % 2 == 0)
+    ref = li.where(F.col("l_orderkey") % 2 == 1)
+    cols = ["l_discount", "l_extendedprice", "l_quantity"]
+    bounds = {"l_quantity": (1.0, 50.0), "l_discount": (0.0, 0.1),
+              "l_extendedprice": (900.0, 110000.0)}
+    return drift_report(cur, ref, cols, n_bins=32,
+                        kl_threshold=0.05, bounds=bounds) \
+        .orderBy("col")
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline: dedup / text analysis / fingerprinting
 # ---------------------------------------------------------------------------
@@ -1646,6 +1705,92 @@ def record_group_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spec = spec_from_xsd(_GROUP_XSD, key_column="event_id")
     return row_violations(nested, compile_plan(spec)) \
         .select("row_key", "constraint")
+
+
+_SCOPED_ID_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="event">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="item" minOccurs="0" maxOccurs="unbounded">
+          <xs:complexType>
+            <xs:sequence>
+              <xs:element name="ref" type="xs:string" minOccurs="0"/>
+            </xs:sequence>
+            <xs:attribute name="id" type="xs:string" use="required"/>
+          </xs:complexType>
+        </xs:element>
+      </xs:sequence>
+      <xs:attribute name="event_id" type="xs:long" use="required"/>
+    </xs:complexType>
+    <xs:key name="k_item">
+      <xs:selector xpath="item"/><xs:field xpath="@id"/>
+    </xs:key>
+    <xs:keyref name="fk_item" refer="k_item">
+      <xs:selector xpath="item"/><xs:field xpath="ref"/>
+    </xs:keyref>
+  </xs:element>
+</xs:schema>"""
+
+
+@register("record_keyref_events", """
+  WITH ev AS (
+    SELECT event_id,
+           (event_id % 3 != 0) AS has_items,
+           (event_id % 2 = 0) AS two,
+           CASE WHEN event_id % 13 = 0 THEN 'd' || (event_id % 39)
+                ELSE 'i' || event_id || 'a' END AS id1
+      FROM events),
+  ev2 AS (
+    SELECT *, CASE WHEN event_id % 9 = 0 THEN 'zz' || event_id
+                   ELSE id1 END AS ref1 FROM ev),
+  ids AS (
+    SELECT id1 AS id, event_id FROM ev2 WHERE has_items
+    UNION ALL
+    SELECT 'i' || event_id || 'b', event_id FROM ev2
+     WHERE has_items AND two),
+  dup AS (SELECT id FROM ids GROUP BY id HAVING count(*) > 1)
+  SELECT CAST(event_id AS VARCHAR) AS row_key,
+         'keyref:fk_item' AS constraint, ref1 AS value
+    FROM ev2 WHERE has_items AND event_id % 9 = 0
+  UNION ALL
+  SELECT CAST(i.event_id AS VARCHAR), 'unique:k_item', i.id
+    FROM ids i JOIN dup USING (id)
+""")
+def record_keyref_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identity constraints whose fields live INSIDE a record array
+    (round 7; reference: FieldValueSelector applied to repeated
+    content, identities.py:461-544): xs:key over item/@id and
+    xs:keyref over item/ref, selector-scoped to the repeated 'item'
+    child. The node set explodes the array (narrow, zero extra
+    shuffle beyond the identity aggregates themselves); the key stays
+    a salted two-level aggregate, the keyref an anti-join against the
+    distinct exploded key set — the same 100 TB shapes as row-level
+    identities."""
+    from .sources.xsd_import import spec_from_xsd
+    from .runner import validate
+    df = _load(spark, sf_dir, "events")
+    eid = F.col("event_id")
+    id1 = F.when(eid % 13 == 0,
+                 F.concat(F.lit("d"), (eid % 39).cast("string"))) \
+           .otherwise(F.concat(F.lit("i"), eid.cast("string"),
+                               F.lit("a")))
+    ref1 = F.when(eid % 9 == 0,
+                  F.concat(F.lit("zz"), eid.cast("string"))) \
+            .otherwise(id1)
+    id2 = F.concat(F.lit("i"), eid.cast("string"), F.lit("b"))
+    el1 = F.struct(ref1.alias("ref"), id1.alias("id"))
+    el2 = F.struct(F.lit(None).cast("string").alias("ref"),
+                   id2.alias("id"))
+    ev = df.select(
+        "event_id",
+        F.when(eid % 3 == 0,
+               F.lit(None).cast("array<struct<ref string, id string>>"))
+         .when(eid % 2 == 0, F.array(el1, el2))
+         .otherwise(F.array(el1)).alias("item"))
+    spec = spec_from_xsd(_SCOPED_ID_XSD, key_column="event_id")
+    return validate(ev, spec, refs={"event": ev}).violations \
+        .select("row_key", "constraint", "value")
 
 
 @register("quantile_sketch_rank_check", """

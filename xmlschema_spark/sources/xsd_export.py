@@ -504,18 +504,31 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
     body.append("    </xs:complexType>")
 
     # ---- identity constraints
-    def _field_xpath(col: str) -> str:
+    def _field_xpath(col: str, scope: str | None) -> str:
         # multi-step selector columns ('owner/@name') already ARE the
-        # XSD field xpath; plain columns are attribute steps
-        return col if "/" in col else "@" + col
+        # XSD field xpath; plain columns are attribute steps. A scoped
+        # column ('item/id' under scope 'item') re-renders RELATIVE to
+        # the selector, last step as an attribute.
+        if scope:
+            pre = scope.replace(".", "/") + "/"
+            if col.startswith(pre):
+                col = col[len(pre):]
+        if "/" in col:
+            return col
+        return col if col.startswith("@") else "@" + col
+
+    def _sel_xpath(scope: str | None) -> str:
+        return scope.replace(".", "/") if scope else "."
 
     for u in spec.uniques:
         tag = "key" if u.is_key else "unique"
+        scope = getattr(u, "scope", None)
         body.append(f'    <xs:{tag} name={quoteattr(u.name)}>')
-        body.append('      <xs:selector xpath="."/>')
+        body.append(f'      <xs:selector '
+                    f'xpath={quoteattr(_sel_xpath(scope))}/>')
         for col in u.columns:
             body.append(f'      <xs:field '
-                        f'xpath={quoteattr(_field_xpath(col))}/>')
+                        f'xpath={quoteattr(_field_xpath(col, scope))}/>')
         body.append(f"    </xs:{tag}>")
     key_names = {u.name for u in spec.uniques}
     for kr in spec.keyrefs:
@@ -525,19 +538,23 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
             continue
         refer = None
         for u in spec.uniques:
-            if list(u.columns) == list(kr.ref_columns):
+            if list(u.columns) == list(kr.ref_columns) \
+                    and getattr(u, "scope", None) == \
+                        getattr(kr, "ref_scope", None):
                 refer = u.name
                 break
         if refer is None or refer not in key_names:
             unexportable(f"keyref {kr.name!r} (no matching key "
                          "declaration)")
             continue
+        scope = getattr(kr, "scope", None)
         body.append(f'    <xs:keyref name={quoteattr(kr.name)} '
                     f'refer={quoteattr(refer)}>')
-        body.append('      <xs:selector xpath="."/>')
+        body.append(f'      <xs:selector '
+                    f'xpath={quoteattr(_sel_xpath(scope))}/>')
         for col in kr.columns:
             body.append(f'      <xs:field '
-                        f'xpath={quoteattr(_field_xpath(col))}/>')
+                        f'xpath={quoteattr(_field_xpath(col, scope))}/>')
         body.append("    </xs:keyref>")
 
     lines.append(f'  <xs:element name={quoteattr(spec.name)}>')

@@ -1284,6 +1284,34 @@ def _selector_target(xpath: str) -> Optional[str]:
     return m.group(1) if m else None
 
 
+def _scope_steps(xpath: str) -> list:
+    """Local-name child steps of a selector xpath ('a/b', './a') — []
+    when the xpath is not a plain child path (descendant axes,
+    predicates, wildcards, attribute steps have no node-set analog
+    here; the reference's selectors are similarly restricted,
+    identities.py:28-120)."""
+    p = xpath.strip()
+    if p.startswith("./"):
+        p = p[2:]
+    if not p or "//" in p or "[" in p or "@" in p or "*" in p:
+        return []
+    steps = []
+    for sstep in p.split("/"):
+        if not sstep:
+            return []
+        name = _strip_prefix(sstep)
+        if not re.match(r"^[A-Za-z_][\w.-]*$", name):
+            return []
+        steps.append(name)
+    return steps
+
+
+def _walk_ras(rs):
+    for r in rs:
+        yield r
+        yield from _walk_ras(r.nested)
+
+
 def _field_column(xpath: str) -> str:
     """Identity field xpath -> column name. A single '@attr' / 'child'
     step is the plain column; a multi-step path ('meta/owner/@id',
@@ -2039,19 +2067,52 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             if sel is None or not fields:
                 _err(f"xs:{kind} {ic.get('name')!r} needs selector + "
                      "field children")
-            target = _selector_target(sel.get("xpath", ""))
+            xp = sel.get("xpath", "")
+            target = _selector_target(xp)
             on_row = (target == table_name
                       or (target == "." and holder is row_el))
-            if not on_row:
-                _err(f"xs:{kind} {ic.get('name')!r} selector "
-                     f"{sel.get('xpath')!r} does not resolve to the "
-                     f"row element {table_name!r} (only row-scoped "
-                     "identities have a tabular analog)")
+            scope = None
             cols = [_field_column(f.get("xpath", "")) for f in fields]
+            if not on_row:
+                # selector addressing REPEATED content under the row
+                # (FieldValueSelector inside repeated elements,
+                # identities.py:461-544): the node set is a record
+                # array's elements; fields address element values.
+                # Struct (single-record) targets fold into multi-step
+                # field selectors — no node-set expansion needed.
+                steps = _scope_steps(xp)
+                path = ".".join(steps) if steps else None
+                ras_paths = {r.name for r in _walk_ras(record_arrays)}
+                rec_prefixes = set()
+                for nm_ in {c.name for c in columns} | ras_paths:
+                    parts_ = nm_.split(".")
+                    for i_ in range(1, len(parts_)):
+                        rec_prefixes.add(".".join(parts_[:i_]))
+                if path in ras_paths:
+                    scope = path
+                elif path is not None and path in rec_prefixes:
+                    pass         # struct record: plain nested fields
+                else:
+                    _err(f"xs:{kind} {ic.get('name')!r} selector "
+                         f"{xp!r} does not resolve to the row element "
+                         f"{table_name!r}, a record child, or a "
+                         "repeated record child (only those have a "
+                         "tabular analog)")
+                pre = "/".join(steps)
+                cols = [f"{pre}/{c}" for c in cols]
+                for c in cols:
+                    fp = c.replace("/", ".").replace("@", "")
+                    parts = fp.split(".")
+                    for i in range(len(steps) + 1, len(parts)):
+                        if ".".join(parts[:i]) in ras_paths:
+                            _err(f"xs:{kind} {ic.get('name')!r} field "
+                                 f"{c!r} crosses repeated content — "
+                                 "scope the selector at the repeated "
+                                 "element instead")
             name = ic.get("name")        # canonical (ns-mangled) key
             if kind in ("unique", "key"):
                 u = UniqueSpec(name=_localname(name), columns=cols,
-                               is_key=(kind == "key"))
+                               is_key=(kind == "key"), scope=scope)
                 uniques.append(u)
                 keys_by_name[name] = u
             else:
@@ -2059,8 +2120,9 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                     _err(f"xs:keyref {_localname(name)!r}: missing "
                          "required attribute 'refer'")
                 keyref_names.add(name)
-                pending_keyrefs.append((name, cols, ic.get("refer")))
-    for name, cols, refer in pending_keyrefs:
+                pending_keyrefs.append((name, cols, ic.get("refer"),
+                                        scope))
+    for name, cols, refer, scope in pending_keyrefs:
         disp = _localname(name)
         if refer in keyref_names:
             # identities.py 'reference to a non key/unique identity
@@ -2077,7 +2139,8 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                  "(identities.py keyref arity check)")
         keyrefs.append(KeyrefSpec(name=disp, columns=cols,
                                   ref_table=table_name,
-                                  ref_columns=list(ref.columns)))
+                                  ref_columns=list(ref.columns),
+                                  scope=scope, ref_scope=ref.scope))
 
     # ---- key column
     if key_column is None:

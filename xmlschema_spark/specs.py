@@ -148,6 +148,14 @@ class UniqueSpec:
     columns: list[str] = field(default_factory=list)
     is_key: bool = False
     salt: Optional[int] = None
+    # selector-addressed identity over REPEATED content
+    # (FieldValueSelector inside repeated elements, identities.py:
+    # 461-544): dotted path of a record-array column whose exploded
+    # ELEMENTS are the constraint's node set — `columns` are then
+    # selector strings rooted at the row ('items/@tag'). None = the
+    # row element itself (plain/struct columns). The table is the
+    # constraint scope either way (the collection document).
+    scope: Optional[str] = None
 
 
 @dataclass
@@ -165,6 +173,10 @@ class KeyrefSpec:
     # any ref-side cardinality); True = known dimension table, force
     # broadcast; False = forbid broadcast (hint shuffle_merge)
     broadcast: bool | None = None
+    # record-array scopes (see UniqueSpec.scope): `scope` explodes the
+    # REFERRING side's node set, `ref_scope` the REFERRED key's
+    scope: Optional[str] = None
+    ref_scope: Optional[str] = None
 
 
 @dataclass
