@@ -167,3 +167,76 @@ def test_imported_schema_reexports(spark):
     schema = "rid string, flag string, score string"
     assert _viol(spark, spec1, rows, schema) \
         == _viol(spark, spec2, rows, schema)
+
+
+# ---------------------------------------------------------------- round 7:
+# multi-namespace schema-set export (reference exports.py:141-287)
+
+def test_multins_export_round_trip(spark):
+    """Production-shaped 2-namespace set (events schema imports a
+    metrics type library): import -> spec_to_xsd_set -> re-import with
+    locations= yields IDENTICAL violations (behavioral contract)."""
+    from xmlschema_spark.queries import (_EVENTS_MULTINS_XSD,
+                                         _METRICS_LIB_XSD)
+    from xmlschema_spark.runner import validate
+    from xmlschema_spark.sources.xsd_export import spec_to_xsd_set
+    from xmlschema_spark.sources.xsd_import import spec_from_xsd
+    spec = spec_from_xsd(_EVENTS_MULTINS_XSD, key_column="event_id",
+                         locations={"urn:metrics": _METRICS_LIB_XSD})
+    main, docs = spec_to_xsd_set(spec)
+    assert "urn:metrics" in docs and "xs:import" in main
+    spec2 = spec_from_xsd(main, key_column="event_id", locations=docs)
+    assert spec2.simple_types["{urn:metrics}boundedReading"].base \
+        == "{urn:metrics}reading"
+    df = spark.createDataFrame(
+        [(1, "click", "5.0"), (2, "bogus", "5.0"),
+         (3, "view", "-1"), (4, "view", "150")],
+        "event_id long, event_type string, value string")
+    v1 = sorted((r.row_key, r.constraint)
+                for r in validate(df, spec).violations.collect())
+    v2 = sorted((r.row_key, r.constraint)
+                for r in validate(df, spec2).violations.collect())
+    assert v1 == v2
+    assert ("2", "facet:enumeration:event_type") in v1
+    assert ("3", "facet:minInclusive:value") in v1
+    assert ("4", "facet:maxExclusive:value") in v1
+
+
+def test_reference_issue_362_export_round_trip(spark):
+    """A reference multi-namespace schema (crossed imports,
+    issues/issue_362) round-trips: export -> re-import -> identical
+    violations through the content-model path."""
+    from xmlschema_spark.runner import validate
+    from xmlschema_spark.sources.xsd_export import spec_to_xsd_set
+    from xmlschema_spark.sources.xsd_import import spec_from_xsd
+    src = ("/root/reference/tests/test_cases/issues/issue_362/"
+           "issue_362_1.xsd")
+    spec = spec_from_xsd(src, key_column="rid", tags_column="children",
+                         element="root")
+    main, docs = spec_to_xsd_set(spec)
+    spec2 = spec_from_xsd(main, key_column="rid",
+                          tags_column="children", locations=docs)
+    df = spark.createDataFrame(
+        [("r1", ["item1", "item2", "item3"]),
+         ("r2", ["item2"])],
+        "rid string, children array<string>")
+    v1 = sorted((r.row_key, r.constraint)
+                for r in validate(df, spec).violations.collect())
+    v2 = sorted((r.row_key, r.constraint)
+                for r in validate(df, spec2).violations.collect())
+    assert v1 == v2 and any(k == "r2" for k, _ in v1) \
+        and not any(k == "r1" for k, _ in v1)
+
+
+def test_single_ns_set_export_has_no_foreign_docs():
+    from xmlschema_spark.sources.xsd_export import (spec_to_xsd,
+                                                    spec_to_xsd_set)
+    from xmlschema_spark.sources.xsd_import import spec_from_xsd
+    xs = 'xmlns:xs="http://www.w3.org/2001/XMLSchema"'
+    xsd = f"""<xs:schema {xs}><xs:element name="row"><xs:complexType>
+      <xs:attribute name="rid" type="xs:string"/>
+      </xs:complexType></xs:element></xs:schema>"""
+    spec = spec_from_xsd(xsd, key_column="rid")
+    main, docs = spec_to_xsd_set(spec)
+    assert docs == {}
+    assert main == spec_to_xsd(spec)

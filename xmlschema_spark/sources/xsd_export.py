@@ -50,6 +50,7 @@ report.
 
 from __future__ import annotations
 
+import re
 from typing import Optional
 from xml.sax.saxutils import escape, quoteattr
 
@@ -278,8 +279,9 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
                    for u in (getattr(spec, "namespaces", None)
                              or {}).values()):
         unexportable("namespace-qualified components (multi-namespace "
-                     "schema set; the exporter renders one "
-                     "no-namespace document)")
+                     "schema set — use spec_to_xsd_set for a "
+                     "per-namespace document set; this single-document "
+                     "renderer emits one no-namespace document)")
 
     # ---- global simple types
     for name, st in (spec.simple_types or {}).items():
@@ -577,3 +579,91 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         lines.append("<!-- omitted (no XSD rendering): "
                      + escape("; ".join(report)) + " -->")
     return "\n".join(lines)
+
+
+def _qualify_doc(text: str, own_ns: str | None,
+                 import_ns: set | None = None) -> str:
+    """Post-pass for namespace-qualified documents: rewrite Clark-name
+    references '"{uri}local"' inside attribute values to prefix:local,
+    bind the prefixes on the schema root, declare targetNamespace, and
+    add a locationless <xs:import> for every foreign namespace
+    referenced (re-import supplies the documents via
+    locations={uri: text}, mirroring the reference's exported
+    schemaLocation rewiring, exports.py:141-287)."""
+    uris: list[str] = []
+    for m in re.finditer(r'"\{([^"}]*:[^"}]*)\}[A-Za-z_][\w.-]*"',
+                         text):
+        if m.group(1) not in uris:
+            uris.append(m.group(1))
+    pfx: dict[str, str] = {}
+    for u in uris:
+        pfx[u] = "tns" if u == own_ns else f"n{len(pfx)}"
+    if own_ns and own_ns not in pfx:
+        pfx[own_ns] = "tns"
+
+    def _sub(m):
+        return f'"{pfx[m.group(1)]}:{m.group(2)}"'
+
+    text = re.sub(r'"\{([^"}]*:[^"}]*)\}([A-Za-z_][\w.-]*)"', _sub,
+                  text)
+    extra = ""
+    if own_ns:
+        extra += f" targetNamespace={quoteattr(own_ns)}"
+    for u, p in pfx.items():
+        extra += f" xmlns:{p}={quoteattr(u)}"
+    text = text.replace(_HEADER, _HEADER[:-1] + extra + ">", 1)
+    imports = [f"  <xs:import namespace={quoteattr(u)}/>"
+               for u in pfx if u != own_ns] + \
+              [f"  <xs:import namespace={quoteattr(u)}/>"
+               for u in (import_ns or ()) if u not in pfx
+               and u != own_ns]
+    if imports:
+        head_end = text.index(">") + 1
+        text = text[:head_end] + "\n" + "\n".join(imports) \
+            + text[head_end:]
+    return text
+
+
+def spec_to_xsd_set(spec: TableSpec, *,
+                    lossy: bool = False) -> tuple[str, dict[str, str]]:
+    """Render a NAMESPACE-QUALIFIED spec (Clark '{uri}name' keys from
+    the namespace-aware importer) as a schema SET: the main document
+    (the row element's targetNamespace, TableSpec.target_ns) plus one
+    document per foreign namespace holding its global simple types,
+    wired together with locationless xs:import (reference exports a
+    loaded multi-namespace schema the same way, exports.py:141-287).
+
+    Returns (main_text, {namespace_uri: document_text}). Round-trip:
+    ``spec_from_xsd(main_text, locations=docs, key_column=...)``
+    re-imports with identical violations (behavioral contract, as for
+    the single-document exporter)."""
+    import dataclasses
+    main_ns = getattr(spec, "target_ns", None)
+    by_ns: dict[str, dict] = {}
+    plain: dict = {}
+    for k, st in (spec.simple_types or {}).items():
+        m = re.match(r"^\{([^}]*)\}(.*)$", k)
+        if m:
+            by_ns.setdefault(m.group(1), {})[m.group(2)] = st
+        else:
+            plain[k] = st
+    foreign = {u: ts for u, ts in by_ns.items() if u != main_ns}
+    main_types = dict(plain)
+    if main_ns:
+        main_types.update(by_ns.get(main_ns, {}))
+    clone = dataclasses.replace(spec, simple_types=main_types,
+                                namespaces={})
+    main_text = _qualify_doc(spec_to_xsd(clone, lossy=lossy), main_ns,
+                             set(foreign))
+    report: list[str] = []
+    docs: dict[str, str] = {}
+    for u, ts in foreign.items():
+        lines = [_HEADER]
+        for name, st in ts.items():
+            lines.append(f"  <xs:simpleType name={quoteattr(name)}>")
+            lines.extend(_simple_type_body(st, "    ", report, lossy,
+                                           f"simpleType {name!r}"))
+            lines.append("  </xs:simpleType>")
+        lines.append("</xs:schema>")
+        docs[u] = _qualify_doc("\n".join(lines), u)
+    return main_text, docs

@@ -2177,4 +2177,4 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         uniques=uniques, keyrefs=keyrefs, asserts=asserts,
         conditionals=conditionals, content_models=content_models,
         record_arrays=record_arrays, attr_wildcards=attr_wildcards,
-        namespaces=dict(root_nsmap))
+        target_ns=target_ns, namespaces=dict(root_nsmap))

@@ -473,6 +473,11 @@ class TableSpec:
     # declarations, xsd_globals.py types map): referenced by
     # ColumnSpec.base; validated + flattened at compile time
     simple_types: dict[str, "ColumnSpec"] = field(default_factory=dict)
+    # targetNamespace of the MAIN schema document the spec was
+    # imported from (None = no-namespace): multi-namespace export
+    # re-renders components into per-namespace documents around it
+    # (exports.py:141-287 analog)
+    target_ns: Optional[str] = None
     # prefix -> URI bindings of the schema document ('' = default):
     # rows carry no in-scope xmlns, so xsd:QName / xsd:NOTATION
     # columns resolve value prefixes against THESE (the reference
@@ -531,6 +536,7 @@ class TableSpec:
             allow_extra_columns=d.get("allow_extra_columns", True),
             attr_wildcards=[AttrWildcardSpec(**w)
                             for w in d.get("attr_wildcards", [])],
+            target_ns=d.get("target_ns"),
             namespaces=dict(d.get("namespaces", {})),
         )
 
