@@ -93,13 +93,7 @@ def schema_violations(df: DataFrame, spec: TableSpec) -> DataFrame:
     declared record are the record type's business, not the table's)."""
     import pyspark.sql.functions as _F
     spark = df.sparkSession
-    declared = {c.name for c in spec.columns} | {spec.key_column}
-    declared |= {r.name for r in _all_record_arrays(spec)}
-    for u in spec.uniques:
-        declared |= set(u.columns)
-    if spec.part_key:
-        declared.add(spec.part_key)
-    declared |= {c.split(".", 1)[0] for c in declared}
+    declared = _declared_top(spec)
     actual = set(df.columns)
     rows = []
     checked = {c.name for c in spec.columns}
@@ -108,48 +102,96 @@ def schema_violations(df: DataFrame, spec: TableSpec) -> DataFrame:
     for c in sorted(n for n in checked if not _has_column(df, n)):
         rows.append(("<schema>", 0, f"schema:missing:{c}",
                      f"declared column '{c}' absent from table", c, 1))
-    if not spec.allow_extra_columns:
+    row_wildcarded = any(w.path == "" for w in spec.attr_wildcards)
+    if not spec.allow_extra_columns and not row_wildcarded:
         for c in sorted(actual - declared):
             rows.append(("<schema>", 0, f"schema:unexpected:{c}",
                          f"undeclared column '{c}' present (no wildcard)", c, 1))
-    rows.extend(_attr_wildcard_rows(df, spec))
+    rows.extend(_attr_wildcard_rows(df, spec, declared))
     return spark.createDataFrame(
         rows, "row_key string, part_key bigint, constraint string, "
               "reason string, value string, occurs bigint")
 
 
-def _attr_wildcard_rows(df: DataFrame, spec: TableSpec) -> list:
-    """xs:anyAttribute inside record types (AttrWildcardSpec;
-    wildcards.py:164+, attributes.py:659-712): EXTRA fields of the
-    struct at each wildcard's path are checked against the wildcard's
-    namespace constraint + processContents. Struct schemas are static,
-    so this is a metadata-only check — zero data movement."""
+def _declared_top(spec: TableSpec) -> set:
+    """Top-level declared column names (the row-level wildcard /
+    unexpected-column allowlist): declared columns' first segments,
+    the key/partition columns, record arrays, identity columns."""
+    declared = {c.name for c in spec.columns} | {spec.key_column}
+    declared |= {r.name for r in _all_record_arrays(spec)}
+    for u in spec.uniques:
+        declared |= set(u.columns)
+    if spec.part_key:
+        declared.add(spec.part_key)
+    declared |= {c.split(".", 1)[0] for c in declared}
+    return declared
+
+
+def _attr_wildcard_rows(df: DataFrame, spec: TableSpec,
+                        declared_top: set | None = None) -> list:
+    """Wildcards over record types and the row (AttrWildcardSpec;
+    attribute wildcards wildcards.py:164+ / attributes.py:659-712,
+    element wildcards wildcards.py:33-99, openContent
+    wildcards.py:848-897): EXTRA fields of the struct at each
+    wildcard's path (path='' = extra TOP-LEVEL columns) are checked
+    against the wildcard's namespace constraint + processContents.
+    Struct schemas are static, so this is a metadata-only check — zero
+    data movement. Several wildcards on one path (e.g. anyAttribute +
+    xs:any) merge: a field violates the namespace constraint only when
+    NO wildcard admits it, and is strict-rejected only when EVERY
+    admitting wildcard is processContents='strict' (the tabular
+    projection cannot tell attribute-shaped extras from element-shaped
+    ones, so union admission is the sound relaxation)."""
     if not spec.attr_wildcards:
         return []
     declared_nested = {c.name for c in spec.columns}
     for r in _all_record_arrays(spec):
         declared_nested.add(r.name)
         declared_nested |= {f.name for f in r.fields}
-    rows = []
+    by_path: dict[str, list] = {}
     for w in spec.attr_wildcards:
-        fields = _struct_fields_at(df, w.path)
-        if fields is None:
-            continue          # absent struct: schema:missing covers it
-        dot = w.path + "."
-        known = {n[len(dot):].split(".", 1)[0]
-                 for n in declared_nested if n.startswith(dot)}
-        for f in sorted(set(fields) - known):
-            fq = f"{w.path}.{f}"
-            if not _wildcard_admits(f, w):
+        by_path.setdefault(w.path, []).append(w)
+    rows = []
+    for path in sorted(by_path):
+        ws = by_path[path]
+        if path == "":
+            fields = set(df.columns)
+            known = set(declared_top if declared_top is not None
+                        else _declared_top(spec))
+            noun = "column"
+        else:
+            got = _struct_fields_at(df, path)
+            if got is None:
+                continue      # absent struct: schema:missing covers it
+            fields = set(got)
+            dot = path + "."
+            known = {n[len(dot):].split(".", 1)[0]
+                     for n in declared_nested if n.startswith(dot)}
+            noun = "nested field"
+        for f in sorted(fields - known):
+            fq = f if path == "" else f"{path}.{f}"
+            admitting = [w for w in ws if _wildcard_admits(f, w)]
+            if not admitting:
+                w = ws[0]
+                kindw = ("attribute" if w.kind == "attribute"
+                         else "element")
+                cons = (w.namespace if w.not_namespace is None
+                        else ["not"] + list(w.not_namespace))
+                suffix = ("" if len(ws) == 1 else
+                          f" (or any of the {len(ws) - 1} other "
+                          "wildcard constraints on this record)")
                 rows.append((
                     "<schema>", 0, f"wildcard:namespace:{fq}",
-                    f"nested field '{fq}' is outside the attribute "
+                    f"{noun} '{fq}' is outside the {kindw} "
                     f"wildcard's namespace constraint "
-                    f"{w.namespace}", f, 1))
-            elif w.process == "strict":
+                    f"{cons}{suffix}", f, 1))
+            elif all(w.process == "strict" for w in admitting):
+                w = admitting[0]
+                kindw = ("attribute" if w.kind == "attribute"
+                         else "element")
                 rows.append((
                     "<schema>", 0, f"wildcard:strict:{fq}",
-                    f"nested field '{fq}' matches the attribute "
+                    f"{noun} '{fq}' matches the {kindw} "
                     "wildcard but has no declaration "
                     "(processContents='strict')", f, 1))
             # skip / lax admit the extra field (a tabular extra has
@@ -187,6 +229,16 @@ def _wildcard_admits(field_name: str, w) -> bool:
     uri = field_name[1:field_name.index("}")] \
         if field_name.startswith("{") and "}" in field_name else None
     tgt = w.target_ns or None
+    if getattr(w, "not_namespace", None):
+        # XSD 1.1 notNamespace complement (wildcards.py not_namespace):
+        # admitted unless the field's namespace is one of the excluded
+        # tokens (##local = absent, ##targetNamespace resolves)
+        for tok in w.not_namespace:
+            t = tgt if tok == "##targetNamespace" else \
+                (None if tok in ("##local", "") else tok)
+            if uri == t:
+                return False
+        return True
     for tok in (w.namespace or ["##any"]):
         if tok == "##any":
             return True

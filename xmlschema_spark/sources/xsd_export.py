@@ -326,8 +326,8 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
             rec_roots.append(p)
     rec_roots = [p for p in rec_roots if p not in ras_by_path]
     for p in wc_by_path:
-        if p not in rec_paths:
-            unexportable(f"attribute wildcard on unknown record "
+        if p != "" and p not in rec_paths:
+            unexportable(f"wildcard on unknown record "
                          f"path {p!r}")
 
     # importer-generated record asserts: presence ('required_<path>')
@@ -421,6 +421,45 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         return [f'{pad}<xs:element name={quoteattr(el_name)} '
                 f'type={quoteattr(base)}{occ}/>']
 
+    def _wc_ns_attrs(w) -> str:
+        """namespace= / notNamespace= attributes for a wildcard
+        (##any, the default, renders nothing)."""
+        if getattr(w, "not_namespace", None):
+            return (" notNamespace="
+                    f"{quoteattr(' '.join(w.not_namespace))}")
+        ns = " ".join(w.namespace or ["##any"])
+        return "" if ns == "##any" else f" namespace={quoteattr(ns)}"
+
+    def _any_lines(w, pad: str) -> list[str]:
+        """An element wildcard (AttrWildcardSpec kind='element',
+        wildcards.py:33-99) re-renders as a trailing optional xs:any —
+        the struct projection dropped the wildcard's position and
+        repetition, so 0..unbounded at the end of the sequence is the
+        behavioral equivalent (re-import admits the same extras)."""
+        return [f"{pad}<xs:any{_wc_ns_attrs(w)} "
+                f"processContents={quoteattr(w.process)} "
+                'minOccurs="0" maxOccurs="unbounded"/>']
+
+    def _oc_lines(w, pad: str) -> list[str]:
+        """XSD 1.1 xs:openContent (wildcards.py:848-897) — first child
+        of the complexType, `oc_mode` preserved from import."""
+        return [f"{pad}<xs:openContent mode={quoteattr(w.oc_mode)}>",
+                f"{pad}  <xs:any{_wc_ns_attrs(w)} "
+                f"processContents={quoteattr(w.process)}/>",
+                f"{pad}</xs:openContent>"]
+
+    def _split_wcs(path: str):
+        ws = wc_by_path.get(path, [])
+        att = [w for w in ws
+               if getattr(w, "kind", "attribute") == "attribute"]
+        oc = [w for w in ws
+              if getattr(w, "kind", "attribute") == "element"
+              and getattr(w, "oc_mode", None)]
+        any_ = [w for w in ws
+                if getattr(w, "kind", "attribute") == "element"
+                and not getattr(w, "oc_mode", None)]
+        return att, oc, any_
+
     def _record_el_lines(path: str, occ: str, pad: str) -> list[str]:
         """A record path re-renders as a child element whose FIELDS are
         attributes (repeated simple fields as elements, nested record
@@ -429,8 +468,11 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         round-trip (identical violations on re-import) holds either
         way."""
         el_name = path.rsplit(".", 1)[-1]
+        attr_wcs, oc_wcs, any_wcs = _split_wcs(path)
         out = [f'{pad}<xs:element name={quoteattr(el_name)}{occ}>',
                f"{pad}  <xs:complexType>"]
+        for w in oc_wcs:
+            out.extend(_oc_lines(w, pad + "    "))
         kids: list[str] = []
         attr_out: list[str] = []
         for c in rec_fields.get(path, []):
@@ -451,6 +493,8 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
                 c_occ = "" if child in required_recs \
                     else ' minOccurs="0"'
             kids.extend(_record_el_lines(child, c_occ, pad + "      "))
+        for w in any_wcs:
+            kids.extend(_any_lines(w, pad + "      "))
         if kids:
             out.append(f"{pad}    <xs:sequence>")
             out.extend(kids)
@@ -459,13 +503,10 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         for fname in sorted(prohibited_recs.get(path, [])):
             out.extend(_attr_lines(ColumnSpec(name=fname), fname,
                                    pad + "    ", prohibited=True))
-        for w in wc_by_path.get(path, []):
+        for w in attr_wcs:
             # xs:anyAttribute re-renders with its namespace constraint
             # + processContents (AttrWildcardSpec, wildcards.py:164+)
-            ns = " ".join(w.namespace or ["##any"])
-            attrs = "" if ns == "##any" \
-                else f" namespace={quoteattr(ns)}"
-            out.append(f"{pad}    <xs:anyAttribute{attrs} "
+            out.append(f"{pad}    <xs:anyAttribute{_wc_ns_attrs(w)} "
                        f"processContents={quoteattr(w.process)}/>")
         out.append(f"{pad}  </xs:complexType>")
         out.append(f"{pad}</xs:element>")
@@ -487,6 +528,19 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         occ += (f' maxOccurs="{r.max_occurs}"'
                 if r.max_occurs is not None else ' maxOccurs="unbounded"')
         seq_items.extend(_record_el_lines(r.name, occ, "        "))
+    # row-level wildcards (path=''): openContent renders FIRST in the
+    # complexType; a plain element wildcard is a trailing xs:any in
+    # the row sequence; an attribute wildcard renders after the
+    # attributes below
+    row_attr_wcs, row_oc_wcs, row_any_wcs = _split_wcs("")
+    for w in row_oc_wcs:
+        body.extend(_oc_lines(w, "      "))
+    for w in row_any_wcs:
+        if model_lines:
+            unexportable("row element wildcard alongside an "
+                         "explicit content model")
+        else:
+            seq_items.extend(_any_lines(w, "        "))
     if seq_items and not model_lines:
         model_lines = ["      <xs:sequence>", *seq_items,
                        "      </xs:sequence>"]
@@ -503,6 +557,9 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
         if c in array_cols or "." in c.name:
             continue
         body.extend(_attr_lines(c, c.name, "      "))
+    for w in row_attr_wcs:
+        body.append(f"      <xs:anyAttribute{_wc_ns_attrs(w)} "
+                    f"processContents={quoteattr(w.process)}/>")
     body.append("    </xs:complexType>")
 
     # ---- identity constraints

@@ -539,12 +539,34 @@ def _assemble_schema_set(xsd: str,
                     break            # a never-loaded ns fails lazily
 
         _canonicalize_doc(root, scopes, tns, default_ns)
+        # XSD 1.1 xs:defaultOpenContent (XsdDefaultOpenContent,
+        # wildcards.py:900-950): a PER-DOCUMENT default — stamp every
+        # complexType node of THIS document (incl. inline ones) so the
+        # builder can apply it where the type has no own openContent
+        # (complex_types.py:142-152)
+        doc_defaults = [c for c in root if isinstance(c.tag, str)
+                        and _local(c.tag) == "defaultOpenContent"]
+        if doc_defaults:
+            d = doc_defaults[0]
+            if d.get("mode", "interleave") == "none":
+                _err("the attribute 'mode' of a defaultOpenContent "
+                     "cannot be 'none'")
+            if not [c for c in d if _local(c.tag) == "any"]:
+                _err("a defaultOpenContent declaration cannot be "
+                     "empty")
+            for node in root.iter():
+                if isinstance(node.tag, str) \
+                        and _local(node.tag) == "complexType":
+                    default_oc_map[id(node)] = d
+            for c in doc_defaults:
+                root.remove(c)
         return root
 
+    default_oc_map: dict[int, object] = {}
     main_root = load(main_text, main_base, None, None, main_path)
     main_root.extend(merged)
     return (main_root, main_root.get("targetNamespace") or "",
-            main_nsmap)
+            main_nsmap, default_oc_map)
 
 _FACET_INT = {"length": "length", "minLength": "min_length",
               "maxLength": "max_length", "totalDigits": "total_digits",
@@ -778,11 +800,18 @@ def _parse_particle(node, named: dict, elems: Optional[dict] = None
                             substitutes=substitutes, abstract=abstract)
     if tag == "any":
         ns = node.get("namespace")
+        nns = node.get("notNamespace")
         if ns and ns not in ("##any", "##other", "##local",
                              "##targetNamespace"):
             ns = ns.split()
+        # XSD 1.1 notNamespace complement: mutually exclusive with
+        # namespace= (the content-model normalizer raises the
+        # reference's wording when both survive to compile)
         return ParticleSpec(kind="any", min_occurs=lo, max_occurs=hi,
-                            namespace=ns if ns else "##any",
+                            namespace=ns if ns else
+                            ("##any" if nns is None else None),
+                            not_namespace=nns.split()
+                            if nns is not None else None,
                             process_contents=node.get("processContents",
                                                       "strict"))
     if tag in ("sequence", "choice", "all"):
@@ -1392,7 +1421,8 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     (or unqualified in a no-namespace schema when no user type of
     that name exists).
     """
-    root, target_ns, root_nsmap = _assemble_schema_set(xsd, locations)
+    root, target_ns, root_nsmap, default_oc_map = \
+        _assemble_schema_set(xsd, locations)
     target_ns = target_ns or None
 
     # xs:notation declarations (notations.py:19-50): global only, and
@@ -1539,6 +1569,80 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         """Child element is not record-shaped — fall back to the
         content-model (tags_column) path."""
 
+    def _any_wc(node, path, oc_mode=None):
+        """AttrWildcardSpec(kind='element') from an xs:any node
+        (XsdAnyElement, wildcards.py:33-99) or from an xs:openContent
+        wildcard (wildcards.py:848-897; an openContent without an
+        xs:any child admits ##any with the strict default). In the
+        tabular projection extra child elements are extra struct
+        fields, so admission follows the anyAttribute machinery
+        (runner._attr_wildcard_rows). notQName is ignored, matching
+        the content-model path."""
+        ns = node.get("namespace") if node is not None else None
+        nns = node.get("notNamespace") if node is not None else None
+        if ns is not None and nns is not None:
+            _err("'namespace' and 'notNamespace' attributes are "
+                 "mutually exclusive")
+        return AttrWildcardSpec(
+            path=path, kind="element", oc_mode=oc_mode,
+            process=(node.get("processContents", "strict")
+                     if node is not None else "strict"),
+            namespace=(ns or "##any").split()
+            if nns is None else ["##any"],
+            not_namespace=nns.split() if nns is not None else None,
+            target_ns=target_ns)
+
+    def _attr_wc_spec(wc, path):
+        """AttrWildcardSpec from an xs:anyAttribute node
+        (wildcards.py:164+), incl. the XSD 1.1 notNamespace
+        complement."""
+        ns = wc.get("namespace")
+        nns = wc.get("notNamespace")
+        if ns is not None and nns is not None:
+            _err("'namespace' and 'notNamespace' attributes are "
+                 "mutually exclusive")
+        return AttrWildcardSpec(
+            path=path,
+            process=wc.get("processContents", "strict"),
+            namespace=(ns or "##any").split()
+            if nns is None else ["##any"],
+            not_namespace=nns.split() if nns is not None else None,
+            target_ns=target_ns)
+
+    def _oc_wc(oc_nodes, path):
+        """Emit the record/row-level wildcard for an XSD 1.1
+        xs:openContent (mode='none' closes the content — no wildcard;
+        interleave/suffix admit the same extra-field set once the
+        tabular row drops ordering, so `oc_mode` only preserves the
+        mode for export round-trips)."""
+        oc = oc_nodes[0]
+        mode = oc.get("mode", "interleave")
+        if mode == "none":
+            return
+        wcs = [c for c in oc if _local(c.tag) == "any"]
+        attr_wildcards.append(
+            _any_wc(wcs[0] if wcs else None, path, oc_mode=mode))
+
+    def _default_oc(ct_node, fl):
+        """The document's xs:defaultOpenContent node if it applies to
+        this complexType (complex_types.py:142-152): the type's OWN
+        openContent always wins (incl. mode='none'); the default
+        applies when the type is mixed, has a content model, or the
+        declaration says appliesToEmpty; simpleContent types never
+        take open content."""
+        d = default_oc_map.get(id(ct_node))
+        if d is None or fl["oc_nodes"]:
+            return None
+        if fl.get("value_kw") is not None and not fl["mixed"]:
+            return None                      # simpleContent
+        if fl["mixed"] \
+                or (fl["content"] is not None
+                    and len(fl["content"]) > 0) \
+                or (d.get("appliesToEmpty", "false").strip()
+                    in ("true", "1")):
+            return d
+        return None
+
     def _record_ct(el):
         """Resolve a child element to its complexType, or raise
         _NotRecord (simple-typed, unresolvable, or no type)."""
@@ -1586,28 +1690,43 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             (the reference decodes mixed text as untyped character
             data, complex_types.py content_type).
 
+        ELEMENT WILDCARDS (xs:any with effective minOccurs=0, and
+        XSD 1.1 openContent) map to AttrWildcardSpec(kind='element'):
+        extra struct fields admitted per the wildcard's namespace
+        constraint + processContents, exactly like anyAttribute — the
+        struct projection drops the ordering the wildcard's position
+        carried. A wildcard branch inside a choice additionally
+        relaxes the selection-count LOWER bounds (an unknown extra
+        field could satisfy the choice, which counts over known
+        branches cannot see).
+
         What still falls back to the tags_column content-model path
-        (_NotRecord): element wildcards / openContent, recursive
-        types, duplicate child names, and non-element choice branches
-        — order-sensitive shapes a static struct cannot carry."""
+        (_NotRecord): REQUIRED element wildcards (minOccurs>0 — a
+        static struct cannot require unknown fields), recursive
+        types, and duplicate child names — order-sensitive shapes a
+        static struct cannot carry."""
         if id(rct) in visiting:
             raise _NotRecord                 # recursive element type
         visiting = visiting | {id(rct)}
         rflat = _flatten_ct(rct, env)
         if rflat["oc_nodes"]:
-            raise _NotRecord
+            # XSD 1.1 openContent inside the record type: extra struct
+            # fields are admitted per the wildcard's namespace
+            # constraint + processContents (interleave vs suffix only
+            # differ in ordering, which the struct projection drops)
+            _oc_wc(rflat["oc_nodes"], prefix)
+        else:
+            d_oc = _default_oc(rct, rflat)
+            if d_oc is not None:
+                _oc_wc([d_oc], prefix)
         if rflat.get("attr_wc") is not None:
             # xs:anyAttribute inside the record type: extra struct
             # fields are governed by the wildcard's namespace
             # constraint + processContents (strict is the XSD default)
             # — checked against the static DataFrame schema by
             # runner.schema_violations (AttrWildcardSpec)
-            wc = rflat["attr_wc"]
-            attr_wildcards.append(AttrWildcardSpec(
-                path=prefix,
-                process=wc.get("processContents", "strict"),
-                namespace=(wc.get("namespace") or "##any").split(),
-                target_ns=target_ns))
+            attr_wildcards.append(_attr_wc_spec(rflat["attr_wc"],
+                                                prefix))
         emitted: set = set()
 
         def _field(name, kw, required):
@@ -1766,6 +1885,10 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             tabular row drops interleaving order, as documented for
             the flat mapping)."""
             branches = []            # (count_sql, lo, hi, path)
+            has_wc = [False]         # a wildcard branch: an unknown
+            # extra field can satisfy the choice, so selection-count
+            # LOWER bounds over the known branches are dropped (upper
+            # bounds stay sound — known selections undercount)
 
             def _branches(node, s_lo, s_hi):
                 for b in node:
@@ -1777,6 +1900,13 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                     if btag == "element":
                         cnt, path = _emit_element(b, 0, _mul(g_hi, hi))
                         branches.append((cnt, lo, hi, path))
+                    elif btag == "any":
+                        # a choice branch is never individually
+                        # required — the wildcard only ADMITS
+                        attr_wildcards.append(
+                            _any_wc(b, prefix if prefix is not None
+                                    else ""))
+                        has_wc[0] = True
                     elif (btag == "choice"
                           and _occ(b, "minOccurs", 1) == 1
                           and _occ(b, "maxOccurs", 1) == 1):
@@ -1795,7 +1925,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             if all(lo == hi == 1 for _, lo, hi, _ in branches):
                 # each selection contributes exactly one occurrence:
                 # the summed count IS the selection count
-                if g_lo > 0:
+                if g_lo > 0 and not has_wc[0]:
                     conds.append(f"({total}) >= {g_lo}")
                 if g_hi is not None:
                     conds.append(f"({total}) <= {g_hi}")
@@ -1805,7 +1935,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 sel = " + ".join(f"(CASE WHEN {c} > 0 THEN 1 ELSE 0 "
                                  "END)" for c, *_ in branches)
                 conds.append(f"({sel}) <= 1")
-                if g_lo > 0:
+                if g_lo > 0 and not has_wc[0]:
                     conds.append(f"({sel}) >= 1")
                 for c, lo, hi, _p in branches:
                     if lo is not None and lo > 1:
@@ -1815,8 +1945,9 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 # count bounds (every selection contributes >=1 when
                 # all branch minima are >=1; per-branch maxima are on
                 # the array fields; total max = selections * widest)
-                if g_lo > 0 and all(lo and lo >= 1
-                                    for _, lo, _h, _p in branches):
+                if g_lo > 0 and not has_wc[0] \
+                        and all(lo and lo >= 1
+                                for _, lo, _h, _p in branches):
                     conds.append(f"({total}) >= {g_lo}")
                 his = [hi for _, _lo, hi, _p in branches]
                 if g_hi is not None and all(h is not None for h in his):
@@ -1850,8 +1981,17 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                     _walk_group(c, m_lo * lo, _mul(m_hi, hi))
                 elif ctag == "choice":
                     _emit_choice(c, m_lo * lo, _mul(m_hi, hi))
+                elif ctag == "any":
+                    if m_lo * lo > 0:
+                        # a REQUIRED wildcard child can't be expressed
+                        # over a static struct (unknown fields can't
+                        # be required) — content-model path handles it
+                        raise _NotRecord
+                    attr_wildcards.append(
+                        _any_wc(c, prefix if prefix is not None
+                                else ""))
                 else:
-                    raise _NotRecord     # xs:any wildcard etc.
+                    raise _NotRecord
             if (m_lo, m_hi) == (1, 1):
                 return
             drivers = [ent for ent in entries if ent[1] == ent[2] == 1]
@@ -1921,6 +2061,11 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
 
     for name, a in flat["attrs"].items():
         columns.append(_attr_colspec(name, a))
+    if flat.get("attr_wc") is not None:
+        # the ROW type's own xs:anyAttribute: extra TOP-LEVEL columns
+        # are governed by the wildcard (path='') instead of the
+        # blanket allow_extra_columns tolerance (wildcards.py:164+)
+        attr_wildcards.append(_attr_wc_spec(flat["attr_wc"], ""))
     for name in sorted(flat["prohibited"]):
         # tabular analog of a prohibited attribute: if the column
         # exists it must be entirely absent (NULL)
@@ -1948,7 +2093,9 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             # nested-field ColumnSpecs, repeated children become
             # array / array<struct> columns, choice and repeated
             # groups compile to occurrence-count asserts (see
-            # _walk_content). Any non-flattenable shape (wildcards,
+            # _walk_content); xs:any / openContent wildcards become
+            # element-kind AttrWildcardSpecs governing extra fields.
+            # Any non-flattenable shape (REQUIRED wildcards,
             # recursion, duplicate names) falls back to the
             # content-model path below (atomic: columns/asserts only
             # extend on full success).
@@ -1967,6 +2114,17 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             except _NotRecord:
                 del attr_wildcards[n_wc:]     # roll back record emits
                 mapped_flat = False
+            if mapped_flat:
+                # row-level XSD 1.1 openContent (own or the schema's
+                # defaultOpenContent): extra TOP-LEVEL columns are
+                # governed by the wildcard (path='') instead of the
+                # blanket allow_extra_columns tolerance
+                if oc_nodes:
+                    _oc_wc(oc_nodes, "")
+                else:
+                    d_oc = _default_oc(ct, flat)
+                    if d_oc is not None:
+                        _oc_wc([d_oc], "")
         if not mapped_flat:
             if tags_column is None:
                 _err("the row element has structured content (complex "
@@ -1974,11 +2132,14 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                      "tags_column= naming the column that holds the "
                      "row's child-tag sequence, and the particle tree "
                      "will compile to a ContentModelSpec")
-            if oc_nodes:
-                oc = oc_nodes[0]
-                wc = [c for c in oc if _local(c.tag) == "any"]
+            # own openContent wins (incl. mode='none', which the
+            # evaluator treats as closed); else the document's
+            # defaultOpenContent (never mode='none' by parse check)
+            oc_src = oc_nodes[0] if oc_nodes else _default_oc(ct, flat)
+            if oc_src is not None:
+                wc = [c for c in oc_src if _local(c.tag) == "any"]
                 open_content = OpenContentSpec(
-                    mode=oc.get("mode", "interleave"),
+                    mode=oc_src.get("mode", "interleave"),
                     wildcard=_parse_particle(wc[0], named, elems)
                     if wc else None)
             content_models.append(ContentModelSpec(
@@ -1986,6 +2147,15 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 model=_parse_particle(group, named, elems),
                 target_ns=target_ns, open_content=open_content,
                 xsd11=xsd11))
+    elif oc_nodes:
+        # openContent on an EMPTY content model still admits extras
+        # (the exporter emits this shape when every simple child
+        # re-rendered as an attribute, leaving no sequence)
+        _oc_wc(oc_nodes, "")
+    else:
+        d_oc = _default_oc(ct, flat)
+        if d_oc is not None:     # mixed row type, or appliesToEmpty
+            _oc_wc([d_oc], "")
 
     # ---- XSD 1.1 type alternatives on the row element -> conditional
     # type assignment (elements.py:654-657 + get_alternative_type at

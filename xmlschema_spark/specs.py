@@ -385,12 +385,33 @@ class AttrWildcardSpec:
 
     Records WITHOUT a wildcard keep the engine's schema-evolution
     tolerance (extra nested fields ignored, same default as
-    TableSpec.allow_extra_columns)."""
+    TableSpec.allow_extra_columns).
 
-    path: str                              # the struct column (dotted ok)
+    kind='element' carries an ELEMENT wildcard in the same tabular
+    projection: an optional xs:any inside the record's content model
+    (XsdAnyElement, wildcards.py:33-99) or an XSD 1.1 xs:openContent
+    wildcard (XsdOpenContent, wildcards.py:848-897; `oc_mode` keeps
+    interleave/suffix for export round-trips — both modes admit the
+    same set of extra struct fields once order is projected away).
+    Extra child elements surface as extra struct fields exactly like
+    extra attributes do, so admission + processContents follow the
+    SAME rules above; when several wildcards (attribute and/or
+    element) govern one path, a field is admitted if ANY of them
+    admits it (the projection cannot tell attribute-shaped extras
+    from element-shaped ones, so union admission is the sound
+    relaxation). path='' = the ROW level: the wildcard governs extra
+    TOP-LEVEL columns instead of the blanket
+    TableSpec.allow_extra_columns tolerance."""
+
+    path: str                              # struct column (dotted); ''=row
     process: str = "strict"                # skip | lax | strict
     namespace: list[str] = field(default_factory=lambda: ["##any"])
     target_ns: Optional[str] = None        # resolves ##other/##targetNamespace
+    kind: str = "attribute"                # attribute | element
+    oc_mode: Optional[str] = None          # interleave | suffix (openContent)
+    # XSD 1.1 notNamespace complement (mutually exclusive with
+    # `namespace`; tokens: URIs, ##local, ##targetNamespace)
+    not_namespace: Optional[list] = None
 
 
 @dataclass
