@@ -40,6 +40,10 @@ HEADLINE = [
     # zero shuffles (plan test); tracks the nested-record engine's cost
     "record_array_events",
     "text_quality_documents",
+    # (hamming_near_dups_documents stays an oracle-parity query only:
+    # its wall is ~2/3 simhash64 HOF computation, not the banding —
+    # the benched image-dedup path is images_phash_near_dups below,
+    # over the flagship table's REAL int64 phash column)
     "ann_topk_bruteforce",
     "embedding_near_dups_vectorized",
 ]
@@ -104,6 +108,19 @@ def main() -> None:
         t_images = min(t_images, time.monotonic() - t0)
         res.unpersist()
     timings["images_full_suite"] = round(t_images, 3)
+
+    # round 7: image dedup over the REAL phash column of the flagship
+    # table — banded-Hamming near-dup pairs (input_hint's int64 phash;
+    # one bucket shuffle, capped buckets, never an all-pairs join)
+    from xmlschema_spark.operators.dedup import hamming_near_dups
+    t_ph = float("inf")
+    for _ in range(2):
+        t0 = time.monotonic()
+        hamming_near_dups(imgs.select("image_id", "phash"), "phash",
+                          "image_id", max_hamming=7) \
+            .write.format("noop").mode("overwrite").save()
+        t_ph = min(t_ph, time.monotonic() - t0)
+    timings["images_phash_near_dups"] = round(t_ph, 3)
 
     for name in HEADLINE:
         fn = QUERIES[name]

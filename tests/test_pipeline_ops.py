@@ -157,3 +157,52 @@ def test_deduplicate_minhash(spark, docs):
     ids = sorted(r.doc_id for r in out.collect())
     assert "d1" in ids and "d2" not in ids and "d5" not in ids
     assert "d3" in ids and "d4" in ids
+
+
+def test_hamming_near_dups_64bit(spark):
+    """Banded-Hamming pairs over a signed 64-bit hash: expectations
+    computed by a reference popcount, incl. negative bit patterns and
+    the exact-recall guarantee at distance <= bands-1 = 7."""
+    from xmlschema_spark.operators.dedup import hamming_near_dups
+    vals = {"a": 0x0123456789ABCDEF, "b": 0x0123456789ABCDEE,
+            "c": -1, "d": -2, "e": 0x7FFFFFFFFFFFFFFF,
+            "f": 0x0123456789ABCD00}
+
+    def ham(x, y):
+        return bin((x ^ y) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    ids = sorted(vals)
+    expected = {(i, j): ham(vals[i], vals[j])
+                for x, i in enumerate(ids) for j in ids[x + 1:]
+                if ham(vals[i], vals[j]) <= 7}
+    df = spark.createDataFrame(
+        [(k, v if v < 2**63 else v - 2**64) for k, v in vals.items()],
+        "doc string, h long")
+    got = {(r.id_a, r.id_b): r.hamming for r in
+           hamming_near_dups(df, "h", "doc").collect()}
+    assert got == expected and expected   # non-trivial expectation set
+
+
+def test_hamming_near_dups_warns_beyond_recall(spark):
+    import warnings
+
+    from xmlschema_spark.operators.dedup import hamming_near_dups
+    df = spark.createDataFrame([("a", 1)], "doc string, h long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        hamming_near_dups(df, "h", "doc", max_hamming=8)
+    assert any("guarantees recall" in str(x.message) for x in w)
+
+
+def test_hamming_near_dups_plan_no_join(spark):
+    """The 100TB property: banding NEVER becomes an all-pairs join —
+    one bucket shuffle (window cap reuses the groupBy partitioning)
+    plus the final distinct; no Join operator of any kind."""
+    from xmlschema_spark.operators.dedup import hamming_near_dups
+    df = (spark.range(500)
+          .select(F.col("id").cast("string").alias("doc"),
+                  (F.col("id") * 2654435761).cast("long").alias("h")))
+    p = hamming_near_dups(df, "h", "doc") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in p, p[:1500]
+    assert p.count("Exchange") <= 3, p[:1500]

@@ -180,6 +180,63 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
             .distinct())
 
 
+def hamming_near_dups(df: DataFrame, hash_col: str, id_col: str,
+                      bands: int = 8, max_hamming: int = 7,
+                      max_bucket: int = 64) -> DataFrame:
+    """Banded-Hamming near-duplicate pairs over a 64-bit similarity /
+    perceptual hash column — the IMAGE-DEDUP shape (the input table's
+    `phash int64` per BASELINE.json input_hint; equally a 64-bit
+    SimHash). Signedness is irrelevant: banding and the verify operate
+    on the raw bit pattern.
+
+    Recall guarantee (pigeonhole): a pair within Hamming distance d
+    shares at least one of the `bands` equal slices iff d <= bands-1,
+    so blocking is EXACT for max_hamming <= bands-1 (default 8 bands
+    of 8 bits -> exact through distance 7); beyond that it is
+    best-effort and warns.
+
+    Physical shape = simhash_near_dups (the 100 TB path): ONE shuffle
+    (explode the bands, bucket groupBy), deterministic hot-bucket cap
+    BEFORE materialization, in-bucket pair generation, exact
+    bit_count(xor) verify — never an all-pairs join."""
+    if 64 % bands:
+        raise ValueError("bands must divide 64")
+    width = 64 // bands
+    mask = (1 << width) - 1
+    if max_hamming >= bands:
+        import warnings
+        warnings.warn(
+            f"hamming banding guarantees recall only for hamming <= "
+            f"{bands - 1}; pairs at distance {bands}..{max_hamming} "
+            "that differ in all bands will be missed", stacklevel=2)
+    h = df.select(F.col(id_col).alias("doc"),
+                  F.col(hash_col).cast("long").alias("sh"))
+    band_structs = [
+        F.struct(F.lit(b).alias("band"),
+                 F.shiftrightunsigned(F.col("sh"), b * width)
+                  .bitwiseAND(F.lit(mask)).alias("key"))
+        for b in range(bands)]
+    blocks = (h.select("doc", "sh",
+                       F.explode(F.array(*band_structs)).alias("bb"))
+              .select("doc", "sh", "bb.band", "bb.key"))
+    capped = _cap_buckets(blocks, ["band", "key"], "doc", max_bucket)
+    grouped = (capped.groupBy("band", "key")
+               .agg(F.array_sort(F.collect_list(F.struct("doc", "sh")))
+                    .alias("ms"),
+                    F.count(F.lit(1)).alias("bn"))
+               .where(F.col("bn") > 1))
+    pairs_arr = F.expr(
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), b -> struct("
+        "a.doc AS id_a, b.doc AS id_b, "
+        "bit_count(a.sh ^ b.sh) AS hamming))))")
+    return (grouped.select(F.explode(pairs_arr).alias("p"))
+            .select("p.id_a", "p.id_b",
+                    F.col("p.hamming").cast("long").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
 def deduplicate(df: DataFrame, text_col: str, id_col: str,
                 method: str = "exact", keep: str = "min_id",
                 jaccard_threshold: float = 0.9, k: int = 3) -> DataFrame:

@@ -2337,6 +2337,50 @@ def simhash64_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.inline(F.array(sh)))
 
 
+@register("hamming_near_dups_documents", f"""
+  WITH t AS (
+    SELECT doc_id, string_split(trim(regexp_replace(text,'\\s+',' ','g')), ' ') AS w
+      FROM documents WHERE text IS NOT NULL),
+  d AS (
+    SELECT doc_id,
+           [[strpos('0123456789abcdef', substr(md5(x), p, 1)) - 1
+             for p in generate_series(1, 16)] for x in w] AS dg,
+           len(w) AS n
+      FROM t),
+  h AS (
+    SELECT CAST(doc_id AS VARCHAR) AS doc,
+           ({_SIMHASH64_HI}) AS hi, ({_SIMHASH64_LO}) AS lo
+      FROM d)
+  SELECT a.doc AS id_a, b.doc AS id_b,
+         CAST(bit_count(xor(a.hi, b.hi))
+              + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc < b.doc
+   WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 7
+""")
+def hamming_near_dups_documents(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Banded-Hamming near-dup pairs over a full 64-bit hash — the
+    IMAGE-DEDUP shape (input_hint's phash int64), exercised here on
+    the 64-bit SimHash of documents.text so DuckDB can replay it. The
+    engine blocks on 8x8-bit bands (pigeonhole-EXACT through Hamming
+    distance 7, operators/dedup.hamming_near_dups) with one shuffle
+    and capped buckets; the oracle is the brute-force all-pairs filter
+    over the same hash, summing bit_count(xor) per 32-bit half (a
+    combined signed 64-bit value would overflow DuckDB's checked
+    BIGINT arithmetic at reassembly)."""
+    from .operators.dedup import hamming_near_dups
+    from .operators.text import simhash64_pair
+    d = _load(spark, sf_dir, "documents") \
+        .where(F.col("text").isNotNull())
+    sh = simhash64_pair(F.col("text"))
+    h = d.select(
+        F.col("doc_id").cast("string").alias("doc"),
+        F.shiftleft(sh.getField("hi32"), 32)
+         .bitwiseOR(sh.getField("lo32")).alias("sh64"))
+    return hamming_near_dups(h, "sh64", "doc", bands=8,
+                             max_hamming=7, max_bucket=256)
+
+
 @register("ncname_lexical_documents", """
   WITH src AS (
     SELECT doc_id,
