@@ -70,6 +70,9 @@ _KINDS = ("element", "sequence", "choice", "all", "any")
 # a Java regex that can never match (empty character class complement)
 _NEVER = r"[^\s\S]"
 
+# sentinel target_ns: run _wc_norm for vocabulary errors only
+_VOCAB_ONLY = object()
+
 
 def _err(msg: str) -> None:
     raise ValueError(f"content model particle: {msg}")
@@ -79,11 +82,20 @@ def _err(msg: str) -> None:
 # wildcard namespace constraints (wildcards.py:73-126 parse, 164-185 match)
 
 def _wc_norm(p: ParticleSpec, target_ns: Optional[str]):
-    """Normalize an any-particle's namespace constraint to one of
-    ('any', None) | ('other', tns) | ('in', frozenset) | ('not',
-    frozenset), where '' in a set means "no namespace" (##local).
-    Raises the reference's parse errors for bad vocabulary."""
+    """Normalize an any-particle's constraint to ('any', None, nq) |
+    ('other', tns, nq) | ('in', frozenset, nq) | ('not', frozenset,
+    nq), where '' in a set means "no namespace" (##local) and `nq` is
+    the frozenset of XSD 1.1 notQName-excluded tag names (expanded —
+    never '##' tokens). Raises the reference's parse errors for bad
+    vocabulary, incl. the notQName consistency rules
+    (wildcards.py:146-155)."""
     tns = target_ns or ""
+    nq = _wc_nq(p)
+    if target_ns is _VOCAB_ONLY:
+        # validate_particle pre-pass: vocabulary errors only — the
+        # notQName-vs-namespace consistency rules depend on the real
+        # target namespace and run at compile
+        nq, tns = frozenset(), ""
     if p.not_namespace is not None:
         if p.namespace is not None:
             _err("'namespace' and 'notNamespace' attributes are "
@@ -98,12 +110,13 @@ def _wc_norm(p: ParticleSpec, target_ns: Optional[str]):
                 _err(f"wrong value {ns!r} in 'notNamespace' attribute")
             else:
                 s.add(ns)
-        return ("not", frozenset(s))
+        norm = ("not", frozenset(s), nq)
+        return _wc_nq_consistent(norm)
     ns = p.namespace
     if ns is None or ns == "##any":
-        return ("any", None)
+        return _wc_nq_consistent(("any", None, nq))
     if ns == "##other":
-        return ("other", tns)
+        return _wc_nq_consistent(("other", tns, nq))
     if isinstance(ns, str):
         items = ns.split()
     else:
@@ -121,22 +134,79 @@ def _wc_norm(p: ParticleSpec, target_ns: Optional[str]):
         else:
             s.add(x)
     # an empty value means no namespace allowed (wildcards.py:76-77)
-    return ("in", frozenset(s))
+    return _wc_nq_consistent(("in", frozenset(s), nq))
+
+
+def _wc_nq(p: ParticleSpec) -> frozenset:
+    """The particle's notQName exclusion set (XSD 1.1,
+    wildcards.py:121-158). Spec-level entries are literal tag names —
+    the importer has already expanded '##defined'/'##definedSibling';
+    a leftover '##' token cannot be resolved without a schema registry
+    and gets the reference's parse wording."""
+    if not p.not_qname:
+        return frozenset()
+    for n in p.not_qname:
+        if not isinstance(n, str) or not n:
+            _err("wrong value for 'notQName' attribute")
+        if n.startswith("##"):
+            _err("wrong value for 'notQName' attribute "
+                 f"(unexpanded token {n!r}: '##defined' / "
+                 "'##definedSibling' resolve only through the XSD "
+                 "importer's closed schema set)")
+        if ";" in n:
+            _err(f"notQName name {n!r} may not contain ';' "
+                 "(tag-frame separator)")
+    return frozenset(p.not_qname)
+
+
+def _wc_nq_consistent(norm):
+    """The reference's notQName-vs-namespace consistency parse errors
+    (wildcards.py:146-155): each excluded QName must live in a
+    namespace the wildcard otherwise allows — an exclusion outside the
+    admitted space is vacuous and flagged."""
+    kind, arg, nq = norm
+    if nq:
+        if kind == "not":
+            if all(_tag_ns_vs(n, arg) in arg for n in nq):
+                _err("the namespace of each QName in notQName is "
+                     "allowed by notNamespace")
+        elif any(not _wc_admits_name((kind, arg, frozenset()), n)
+                 for n in nq):
+            _err("names in notQName must be in namespaces that are "
+                 "allowed")
+    return norm
 
 
 def _tag_ns(name: str) -> str:
     return name.split(":", 1)[0] if ":" in name else ""
 
 
+def _tag_ns_vs(name: str, known) -> str:
+    """The tag's namespace token, preferring a longest-match against
+    the constraint's own tokens — namespace URIs may themselves
+    contain ':' (the runtime regexes match full literal tokens, so
+    compile-time checks must too); the plain first-':' split is only
+    the fallback for tags in namespaces the constraint doesn't name."""
+    for t in sorted((k for k in known if k), key=len, reverse=True):
+        if name.startswith(t + ":"):
+            return t
+    return _tag_ns(name)
+
+
 def _wc_admits_name(norm, name: str) -> bool:
     """Compile-time: does this wildcard admit a literal tag?
-    (wildcards.py:177-185 is_namespace_allowed)"""
-    ns = _tag_ns(name)
-    kind, arg = norm
+    (wildcards.py:177-185 is_namespace_allowed; notQName exclusion
+    wildcards.py:784-791 — an excluded name never matches, which is
+    what makes <element name='a'/><any notQName='a'/> UPA-valid)."""
+    kind, arg, nq = norm
+    if name in nq:
+        return False
     if kind == "any":
         return True
     if kind == "other":
+        ns = _tag_ns_vs(name, (arg,) if arg else ())
         return ns != "" and ns != arg
+    ns = _tag_ns_vs(name, arg)
     if kind == "in":
         return ns in arg
     return ns not in arg           # 'not'
@@ -144,7 +214,10 @@ def _wc_admits_name(norm, name: str) -> bool:
 
 def _wc_intersects(a, b) -> bool:
     """Conservative compile-time overlap of two wildcard constraints
-    over the (infinite) namespace universe — for UPA."""
+    over the (infinite) namespace universe — for UPA. notQName
+    exclusions are finite, so they can never make two namespace
+    constraints with infinite overlap disjoint; ignoring them here
+    only ever over-reports (the safe direction for UPA)."""
     for x, y in ((a, b), (b, a)):
         if x[0] == "in" and not x[1]:
             return False           # empty value space intersects nothing
@@ -166,8 +239,20 @@ def _wc_intersects(a, b) -> bool:
 
 def _wc_tag_regex(norm) -> str:
     """Anchor-free regex matching ONE tag (no trailing ';') admitted by
-    the wildcard. Namespace = the token before the first ':'."""
-    kind, arg = norm
+    the wildcard. Namespace = the token before the first ':'. notQName
+    exclusions compile to a negative lookahead against the whole
+    ';'-terminated tag (exact-name exclusion, not a prefix test) —
+    matchers that test a LONE tag anchor with '$', which the
+    alternation also accepts."""
+    kind, arg, nq = norm
+    body = _wc_ns_regex(kind, arg)
+    if not nq:
+        return body
+    alt = "|".join(re.escape(n) for n in sorted(nq))
+    return rf"(?!(?:{alt})(?:;|$))(?:{body})"
+
+
+def _wc_ns_regex(kind, arg) -> str:
     if kind == "any":
         return r"[^;]+"
     if kind == "other":
@@ -210,7 +295,8 @@ def validate_particle(p: ParticleSpec, top: bool = True,
         if p.min_occurs > p.max_occurs:
             _err("minOccurs must be lesser or equal than maxOccurs")
     if p.kind != "any" and (p.namespace is not None or
-                            p.not_namespace is not None):
+                            p.not_namespace is not None or
+                            p.not_qname is not None):
         _err("namespace constraints apply only to 'any' particles")
     if p.kind != "element" and (p.substitutes or p.abstract):
         _err("substitution groups apply only to 'element' particles")
@@ -234,7 +320,7 @@ def validate_particle(p: ParticleSpec, top: bool = True,
         if p.process_contents not in ("strict", "lax", "skip"):
             _err(f"wrong value {p.process_contents!r} for "
                  "'processContents' attribute")
-        _wc_norm(p, None)          # vocabulary errors only
+        _wc_norm(p, _VOCAB_ONLY)   # vocabulary errors only
     else:
         # empty model groups are ACCEPTED like the reference (W3C test
         # group complex022; test_models.py test_empty_choice_groups):

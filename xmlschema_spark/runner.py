@@ -175,6 +175,16 @@ def _attr_wildcard_rows(df: DataFrame, spec: TableSpec,
                 w = ws[0]
                 kindw = ("attribute" if w.kind == "attribute"
                          else "element")
+                if all(f in (getattr(x, "not_qname", None) or ())
+                       for x in ws):
+                    # every wildcard excludes this exact name — the
+                    # XSD 1.1 notQName rejection, not a namespace miss
+                    # (wildcards.py:784-791)
+                    rows.append((
+                        "<schema>", 0, f"wildcard:notQName:{fq}",
+                        f"{noun} '{fq}' is excluded by the {kindw} "
+                        "wildcard's notQName list", f, 1))
+                    continue
                 cons = (w.namespace if w.not_namespace is None
                         else ["not"] + list(w.not_namespace))
                 suffix = ("" if len(ws) == 1 else
@@ -225,7 +235,12 @@ def _wildcard_admits(field_name: str, w) -> bool:
     A Clark-form name '{uri}local' carries namespace `uri`; a plain
     name carries none (the reference's wildcard matching,
     wildcards.py:99-162: ##other excludes both the target namespace
-    and ABSENT namespaces)."""
+    and ABSENT namespaces). An XSD 1.1 notQName entry excludes the
+    exact name BEFORE the namespace constraint is consulted
+    (wildcards.py:784-791, :837-845 — `name not in self.not_qname
+    and is_namespace_allowed(...)`)."""
+    if field_name in (getattr(w, "not_qname", None) or ()):
+        return False
     uri = field_name[1:field_name.index("}")] \
         if field_name.startswith("{") and "}" in field_name else None
     tgt = w.target_ns or None

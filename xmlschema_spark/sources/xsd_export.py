@@ -235,9 +235,20 @@ def _particle_lines(p: ParticleSpec, pad: str, heads: dict) -> list[str]:
     if p.kind == "any":
         ns = p.namespace
         ns_attr = ""
-        if ns is not None and ns != "##any":
+        if p.not_namespace is not None:
+            ns_attr = (" notNamespace="
+                       f"{quoteattr(' '.join(p.not_namespace))}")
+        elif ns is not None and ns != "##any":
             ns_val = ns if isinstance(ns, str) else " ".join(ns)
             ns_attr = f" namespace={quoteattr(ns_val)}"
+        if p.not_qname:
+            # tag names render back as QNames: 'uri:local' (foreign
+            # namespace, token before the first ':') re-renders in
+            # Clark form for the _qualify_doc prefix rewrite; a local
+            # tag renders verbatim
+            toks = [("{%s}%s" % tuple(n.split(":", 1)))
+                    if ":" in n else n for n in p.not_qname]
+            ns_attr += f" notQName={quoteattr(' '.join(toks))}"
         pc = f' processContents="{p.process_contents}"' \
             if p.process_contents != "strict" else ""
         return [f"{pad}<xs:any{ns_attr}{pc}{occ}/>"]
@@ -422,13 +433,22 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
                 f'type={quoteattr(base)}{occ}/>']
 
     def _wc_ns_attrs(w) -> str:
-        """namespace= / notNamespace= attributes for a wildcard
-        (##any, the default, renders nothing)."""
+        """namespace= / notNamespace= / notQName= attributes for a
+        wildcard (##any, the default, renders nothing). notQName
+        re-renders the importer's EXPANDED name list — '##defined'
+        does not round-trip as a token, but the behavioral round-trip
+        (identical admissions on re-import) holds because the schema
+        set is closed. Clark entries are rewritten to prefixes by the
+        _qualify_doc post-pass."""
+        nq = ""
+        if getattr(w, "not_qname", None):
+            nq = f" notQName={quoteattr(' '.join(w.not_qname))}"
         if getattr(w, "not_namespace", None):
             return (" notNamespace="
-                    f"{quoteattr(' '.join(w.not_namespace))}")
+                    f"{quoteattr(' '.join(w.not_namespace))}{nq}")
         ns = " ".join(w.namespace or ["##any"])
-        return "" if ns == "##any" else f" namespace={quoteattr(ns)}"
+        return nq if ns == "##any" \
+            else f" namespace={quoteattr(ns)}{nq}"
 
     def _any_lines(w, pad: str) -> list[str]:
         """An element wildcard (AttrWildcardSpec kind='element',
@@ -647,9 +667,13 @@ def _qualify_doc(text: str, own_ns: str | None,
     referenced (re-import supplies the documents via
     locations={uri: text}, mirroring the reference's exported
     schemaLocation rewiring, exports.py:141-287)."""
+    # quote-delimited single Clark references AND space-separated list
+    # entries (notQName lists): boundaries are '"' or whitespace
+    clark_re = re.compile(
+        r'(?<=["\s])\{([^"}\s]*:[^"}\s]*)\}([A-Za-z_][\w.-]*)'
+        r'(?=["\s])')
     uris: list[str] = []
-    for m in re.finditer(r'"\{([^"}]*:[^"}]*)\}[A-Za-z_][\w.-]*"',
-                         text):
+    for m in clark_re.finditer(text):
         if m.group(1) not in uris:
             uris.append(m.group(1))
     pfx: dict[str, str] = {}
@@ -659,10 +683,9 @@ def _qualify_doc(text: str, own_ns: str | None,
         pfx[own_ns] = "tns"
 
     def _sub(m):
-        return f'"{pfx[m.group(1)]}:{m.group(2)}"'
+        return f"{pfx[m.group(1)]}:{m.group(2)}"
 
-    text = re.sub(r'"\{([^"}]*:[^"}]*)\}([A-Za-z_][\w.-]*)"', _sub,
-                  text)
+    text = clark_re.sub(_sub, text)
     extra = ""
     if own_ns:
         extra += f" targetNamespace={quoteattr(own_ns)}"

@@ -304,6 +304,24 @@ def _canonicalize_doc(root, scopes: dict, tns: str,
             el.set("memberTypes",
                    " ".join(_canon(q, ns, default_ns)
                             for q in mt.split()))
+        nq = el.get("notQName")
+        if nq is not None:
+            # XSD 1.1 notQName: a list of QNames (resolved here like
+            # every other QName-valued attribute) plus the '##defined'
+            # / '##definedSibling' tokens, which pass through for the
+            # wildcard builders to expand (wildcards.py:121-158; the
+            # reference's unmapped-prefix wording)
+            out = []
+            for q in nq.split():
+                if q.startswith("##"):
+                    out.append(q)
+                    continue
+                try:
+                    out.append(_canon(q, ns, default_ns))
+                except Exception:
+                    _err("unmapped QName in 'notQName' attribute: "
+                         f"{q!r}")
+            el.set("notQName", " ".join(out))
         if tns and _local(el.tag) in ("unique", "key", "keyref") \
                 and el.get("name"):
             el.set("name", _key_in_ns(el.get("name"), tns))
@@ -760,6 +778,57 @@ def _occ(node, attr: str, dflt: int):
     return int(v)
 
 
+def _parse_not_qname(node, allowed: tuple, elems: Optional[dict] = None,
+                     clark: bool = False,
+                     defined_names=None) -> Optional[list]:
+    """The XSD 1.1 notQName exclusion list of a wildcard node
+    (wildcards.py:121-158 _parse_not_constraints; QNames were resolved
+    to canonical form by _canonicalize_doc). `allowed` lists the legal
+    '##' tokens for this wildcard kind — ('##defined',
+    '##definedSibling') for xs:any, ('##defined',) for xs:anyAttribute
+    — anything else gets the reference's wording. '##defined' expands
+    HERE to the closed schema set's global declarations (`elems`
+    globals for elements, `defined_names` for attributes — the
+    reference consults its dynamic maps at match time,
+    wildcards.py:784/:837, but an imported schema set is closed, so
+    the static expansion is faithful); '##definedSibling' passes
+    through for the containing group to expand. `clark=False` emits
+    data-TAG names — local for target-/no-namespace names (the
+    element-particle convention) and 'uri:local' for foreign
+    namespaces (the wildcard tag convention); `clark=True` emits
+    struct FIELD names (Clark form for namespaced names, the
+    AttrWildcardSpec convention)."""
+    raw = node.get("notQName") if node is not None else None
+    if raw is None:
+        return None
+    tns = (elems or {}).get("tns")
+
+    def _name(k: str) -> str:
+        if k.startswith("xs:"):
+            k = "{%s}%s" % (_XSD_NS, k[3:])
+        if clark or not k.startswith("{"):
+            return k
+        uri, local = k[1:].split("}", 1)
+        return local if uri == (tns or "") else f"{uri}:{local}"
+
+    out: set = set()
+    keep_sibling = False
+    for tok in raw.split():
+        if tok.startswith("##"):
+            if tok not in allowed:
+                _err("wrong value for 'notQName' attribute")
+            if tok == "##definedSibling":
+                keep_sibling = True
+            elif defined_names is not None:
+                out |= {_name(k) for k in defined_names}
+            else:
+                out |= {_name(k)
+                        for k in (elems or {}).get("globals", {})}
+        else:
+            out.add(_name(tok))
+    return sorted(out) + (["##definedSibling"] if keep_sibling else [])
+
+
 def _parse_particle(node, named: dict, elems: Optional[dict] = None
                     ) -> ParticleSpec:
     """elems (optional): {'globals': name->global element node,
@@ -812,11 +881,27 @@ def _parse_particle(node, named: dict, elems: Optional[dict] = None
                             ("##any" if nns is None else None),
                             not_namespace=nns.split()
                             if nns is not None else None,
+                            not_qname=_parse_not_qname(
+                                node, ("##defined", "##definedSibling"),
+                                elems),
                             process_contents=node.get("processContents",
                                                       "strict"))
     if tag in ("sequence", "choice", "all"):
         children = [_parse_particle(c, named, elems)
                     for c in node if _local(c.tag) != "annotation"]
+        # '##definedSibling' (Xsd11AnyElement, wildcards.py:786-790):
+        # the wildcard never matches a name one of its sibling element
+        # particles matches — expanded here, where the siblings are
+        # known (the schema set is closed, so static expansion is
+        # faithful)
+        sibs = sorted({n for c in children if c.kind == "element"
+                       for n in [c.name] + list(c.substitutes)})
+        for c in children:
+            if c.kind == "any" and c.not_qname \
+                    and "##definedSibling" in c.not_qname:
+                c.not_qname = sorted(
+                    (set(c.not_qname) - {"##definedSibling"})
+                    | set(sibs))
         return ParticleSpec(kind=tag, min_occurs=lo, max_occurs=hi,
                             children=children)
     _err(f"unsupported particle xs:{tag}")
@@ -1502,7 +1587,8 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     for head, members in subs.items():
         if head in members:
             _err(f"circularity found for substitutionGroup {head!r}")
-    elems = {"globals": global_elements, "subs": subs}
+    elems = {"globals": global_elements, "subs": subs,
+             "tns": target_ns}
 
     def _pick_global(name, table, what):
         """Match a user-facing name against a registry of canonical
@@ -1569,6 +1655,33 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         """Child element is not record-shaped — fall back to the
         content-model (tags_column) path."""
 
+    def _wc_nq_parse_checks(w):
+        """The reference's notQName-vs-namespace consistency parse
+        errors (wildcards.py:146-155) for a record-path wildcard:
+        each excluded name must live in a namespace the wildcard
+        otherwise allows. '##definedSibling' is dropped first — the
+        names it excludes are the record's DECLARED fields, which the
+        extra-field check never consults (a declared field is never
+        'extra'), so its tabular expansion is vacuous."""
+        if w.not_qname and "##definedSibling" in w.not_qname:
+            w.not_qname = [n for n in w.not_qname
+                           if n != "##definedSibling"] or None
+        if not w.not_qname:
+            return w
+        from ..runner import _wildcard_admits
+        from dataclasses import replace
+        ns_only = replace(w, not_qname=None)
+        if w.not_namespace is not None:
+            if all(not _wildcard_admits(n, ns_only)
+                   for n in w.not_qname):
+                _err("the namespace of each QName in notQName is "
+                     "allowed by notNamespace")
+        elif any(not _wildcard_admits(n, ns_only)
+                 for n in w.not_qname):
+            _err("names in notQName must be in namespaces that are "
+                 "allowed")
+        return w
+
     def _any_wc(node, path, oc_mode=None):
         """AttrWildcardSpec(kind='element') from an xs:any node
         (XsdAnyElement, wildcards.py:33-99) or from an xs:openContent
@@ -1576,38 +1689,48 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         xs:any child admits ##any with the strict default). In the
         tabular projection extra child elements are extra struct
         fields, so admission follows the anyAttribute machinery
-        (runner._attr_wildcard_rows). notQName is ignored, matching
-        the content-model path."""
+        (runner._attr_wildcard_rows), incl. XSD 1.1 notQName
+        exclusions ('##defined' expands to the schema set's global
+        elements, wildcards.py:784-791)."""
         ns = node.get("namespace") if node is not None else None
         nns = node.get("notNamespace") if node is not None else None
         if ns is not None and nns is not None:
             _err("'namespace' and 'notNamespace' attributes are "
                  "mutually exclusive")
-        return AttrWildcardSpec(
+        return _wc_nq_parse_checks(AttrWildcardSpec(
             path=path, kind="element", oc_mode=oc_mode,
             process=(node.get("processContents", "strict")
                      if node is not None else "strict"),
             namespace=(ns or "##any").split()
             if nns is None else ["##any"],
             not_namespace=nns.split() if nns is not None else None,
-            target_ns=target_ns)
+            not_qname=_parse_not_qname(
+                node, ("##defined", "##definedSibling"), elems,
+                clark=True),
+            target_ns=target_ns))
 
     def _attr_wc_spec(wc, path):
         """AttrWildcardSpec from an xs:anyAttribute node
         (wildcards.py:164+), incl. the XSD 1.1 notNamespace
-        complement."""
+        complement and notQName ('##defined' expands to the schema
+        set's global attribute declarations, wildcards.py:837-845;
+        '##definedSibling' is an xs:any-only token here,
+        wildcards.py:126-132)."""
         ns = wc.get("namespace")
         nns = wc.get("notNamespace")
         if ns is not None and nns is not None:
             _err("'namespace' and 'notNamespace' attributes are "
                  "mutually exclusive")
-        return AttrWildcardSpec(
+        return _wc_nq_parse_checks(AttrWildcardSpec(
             path=path,
             process=wc.get("processContents", "strict"),
             namespace=(ns or "##any").split()
             if nns is None else ["##any"],
             not_namespace=nns.split() if nns is not None else None,
-            target_ns=target_ns)
+            not_qname=_parse_not_qname(
+                wc, ("##defined",), elems, clark=True,
+                defined_names=global_attrs),
+            target_ns=target_ns))
 
     def _oc_wc(oc_nodes, path):
         """Emit the record/row-level wildcard for an XSD 1.1

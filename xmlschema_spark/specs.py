@@ -330,6 +330,15 @@ class ParticleSpec:
     # any-kind extensions (wildcard namespace constraints)
     namespace: Optional[object] = None      # '##any' | '##other' | list
     not_namespace: Optional[list] = None    # XSD 1.1 notNamespace
+    # XSD 1.1 notQName (wildcards.py:121-158 parse, :784-791 match):
+    # TAG names the wildcard does NOT match even when the namespace
+    # constraint admits them. Entries are literal tag names in the
+    # model's tag vocabulary — the XSD importer resolves QNames and
+    # EXPANDS '##defined' / '##definedSibling' to concrete names at
+    # import time (the schema set is closed once imported, so the
+    # reference's dynamic maps lookup is a static set here); leftover
+    # '##' tokens are a compile error.
+    not_qname: Optional[list] = None
     process_contents: str = "lax"
 
     @staticmethod
@@ -412,6 +421,13 @@ class AttrWildcardSpec:
     # XSD 1.1 notNamespace complement (mutually exclusive with
     # `namespace`; tokens: URIs, ##local, ##targetNamespace)
     not_namespace: Optional[list] = None
+    # XSD 1.1 notQName (wildcards.py:814-845 Xsd11AnyAttribute /
+    # :737-791 Xsd11AnyElement): FIELD names this wildcard never
+    # admits even when the namespace constraint allows them — Clark
+    # form '{uri}local' for namespaced names, plain local otherwise.
+    # The XSD importer resolves QNames and expands '##defined' to the
+    # closed schema set's global declarations at import time.
+    not_qname: Optional[list] = None
 
 
 @dataclass
