@@ -111,12 +111,17 @@ def test_any_not_namespace(spark):
     assert not any("extra" in c or "{urn:y}ok" in c for c in got)
 
 
-def test_required_any_falls_back():
-    """xs:any minOccurs=1 cannot be expressed over a static struct —
-    the importer falls back (and without tags_column reports the
-    structured-content error)."""
-    with pytest.raises(Exception, match="tags_column"):
-        _imp(_row_schema('<xs:any minOccurs="1"/>'), key_column="rid")
+def test_required_any_imports_flat():
+    """xs:any minOccurs=1 imports FLAT as a required wildcard
+    (AttrWildcardSpec.min_occurs=1 — per-row presence predicate,
+    runner._required_wildcard_parts) instead of the historical
+    tags_column fallback; see tests/test_required_wildcard.py for the
+    row-level semantics."""
+    spec = _imp(_row_schema('<xs:any minOccurs="1"/>'),
+                key_column="rid")
+    assert not spec.content_models
+    assert any(w.kind == "element" and w.min_occurs == 1
+               for w in spec.attr_wildcards)
 
 
 def test_namespace_and_not_namespace_exclusive():

@@ -271,6 +271,97 @@ def _wildcard_admits(field_name: str, w) -> bool:
     return False
 
 
+def _required_wildcard_parts(df: DataFrame, spec: TableSpec) -> list:
+    """REQUIRED element wildcards (AttrWildcardSpec.min_occurs>0 —
+    xs:any with effective minOccurs>0, the reference's occurrence
+    check over wildcard particles in groups.py): every instance of
+    the governed scope must carry at least one wildcard-admitted
+    extra child. Tabular projection: extra struct fields are the
+    wildcard's children and presence = non-NULL, so the check is ONE
+    codegen predicate per wildcard — an OR over the admitted extra
+    fields, wrapped in `forall` where the path crosses a record
+    array (every element instance needs its own wildcard child).
+    Absent scopes (NULL struct / NULL array / NULL element) are
+    vacuously valid — required_ asserts cover scope presence. The
+    enforced bound is >=1, a sound relaxation of minOccurs>1 (see
+    AttrWildcardSpec.min_occurs)."""
+    from pyspark.sql.types import ArrayType, StructType
+
+    req = [w for w in spec.attr_wildcards
+           if getattr(w, "min_occurs", 0) > 0]
+    if not req:
+        return []
+    declared_nested = {c.name for c in spec.columns}
+    for r in _all_record_arrays(spec):
+        declared_nested.add(r.name)
+        declared_nested |= {f.name for f in r.fields}
+
+    def _or_nonnull(get, ext):
+        cond = F.lit(False)
+        for f in ext:
+            cond = cond | get(f).isNotNull()
+        return cond
+
+    def _pred(col, dtype, steps, ext):
+        """True when the scope below `col` at `steps` satisfies the
+        requirement (vacuous for absent scopes)."""
+        if isinstance(dtype, ArrayType):
+            elem = dtype.elementType
+            return F.coalesce(
+                F.forall(col, lambda x: _pred(x, elem, steps, ext)),
+                F.lit(True))
+        if not steps:
+            return F.when(col.isNull(), F.lit(True)) \
+                    .otherwise(_or_nonnull(col.getField, ext))
+        hit = next((f for f in dtype.fields if f.name == steps[0]),
+                   None)
+        if hit is None:
+            return F.lit(True)    # schema:missing covers the scope
+        return F.when(col.isNull(), F.lit(True)).otherwise(
+            _pred(col.getField(steps[0]), hit.dataType, steps[1:],
+                  ext))
+
+    parts = []
+    key = F.col(spec.key_column).cast("string").alias("row_key")
+    part = (F.col(spec.part_key).cast("bigint") if spec.part_key
+            else F.lit(0).cast("bigint")).alias("part_key")
+    for w in req:
+        if w.path == "":
+            known = _declared_top(spec)
+            ext = sorted(f for f in set(df.columns) - known
+                         if _wildcard_admits(f, w))
+            # df[name] indexes by EXACT name (a Clark-form name may
+            # contain '.' inside the URI, which F.col would parse as
+            # nested-field access)
+            ok = _or_nonnull(lambda f: df[f], ext)
+        else:
+            got = _struct_fields_at(df, w.path)
+            if got is None:
+                continue          # absent struct: schema:missing
+            dot = w.path + "."
+            known = {n[len(dot):].split(".", 1)[0]
+                     for n in declared_nested if n.startswith(dot)}
+            ext = sorted(f for f in set(got) - known
+                         if _wildcard_admits(f, w))
+            steps = w.path.split(".")
+            hit = next((f for f in df.schema.fields
+                        if f.name == steps[0]), None)
+            if hit is None:
+                continue
+            ok = _pred(F.col(steps[0]), hit.dataType, steps[1:], ext)
+        scope = w.path or "<row>"
+        parts.append(
+            df.where(~F.coalesce(ok, F.lit(True))).select(
+                key, part,
+                F.lit(f"wildcard:required:{scope}").alias("constraint"),
+                F.lit(f"the element wildcard at '{scope}' is required "
+                      "(minOccurs>0) but no admitted extra field is "
+                      "present").alias("reason"),
+                F.lit(",".join(ext)[:200]).alias("value"),
+                F.lit(1).cast("bigint").alias("occurs")))
+    return parts
+
+
 def apply_defaults(df: DataFrame, spec: TableSpec) -> DataFrame:
     """Fill declared defaults into missing values (reference: default
     value fill at elements.py:771-772; attributes.py:243-262; filler
@@ -358,6 +449,7 @@ def violation_parts(df: DataFrame, plan: ValidationPlan,
             wc_rows,
             "row_key string, part_key bigint, constraint string, "
             "reason string, value string, occurs bigint"))
+    parts.extend(_required_wildcard_parts(df, spec))
     parts.extend(_record_array_parts(df, plan, spec))
     for u in spec.uniques:
         parts.append(unique_violations(df, u, spec.key_column, spec.part_key))

@@ -452,13 +452,16 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
 
     def _any_lines(w, pad: str) -> list[str]:
         """An element wildcard (AttrWildcardSpec kind='element',
-        wildcards.py:33-99) re-renders as a trailing optional xs:any —
-        the struct projection dropped the wildcard's position and
-        repetition, so 0..unbounded at the end of the sequence is the
-        behavioral equivalent (re-import admits the same extras)."""
+        wildcards.py:33-99) re-renders as a trailing xs:any — the
+        struct projection dropped the wildcard's position and
+        repetition, so lo..unbounded at the end of the sequence is the
+        behavioral equivalent (re-import admits the same extras; a
+        REQUIRED wildcard keeps minOccurs=1 and re-imports to the same
+        per-row presence predicate)."""
+        lo = "1" if getattr(w, "min_occurs", 0) > 0 else "0"
         return [f"{pad}<xs:any{_wc_ns_attrs(w)} "
                 f"processContents={quoteattr(w.process)} "
-                'minOccurs="0" maxOccurs="unbounded"/>']
+                f'minOccurs="{lo}" maxOccurs="unbounded"/>']
 
     def _oc_lines(w, pad: str) -> list[str]:
         """XSD 1.1 xs:openContent (wildcards.py:848-897) — first child

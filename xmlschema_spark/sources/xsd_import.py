@@ -1823,11 +1823,16 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         field could satisfy the choice, which counts over known
         branches cannot see).
 
+        A REQUIRED element wildcard (effective minOccurs>0) sets
+        AttrWildcardSpec.min_occurs=1: each instance of the scope must
+        carry >= 1 admitted extra child (per-row presence predicate,
+        runner._required_wildcard_parts; the lower bound enforced is
+        always 1 — the sound relaxation for minOccurs>1, whose count
+        a tabular encoding cannot observe).
+
         What still falls back to the tags_column content-model path
-        (_NotRecord): REQUIRED element wildcards (minOccurs>0 — a
-        static struct cannot require unknown fields), recursive
-        types, and duplicate child names — order-sensitive shapes a
-        static struct cannot carry."""
+        (_NotRecord): recursive types and duplicate child names —
+        shapes a static struct cannot carry."""
         if id(rct) in visiting:
             raise _NotRecord                 # recursive element type
         visiting = visiting | {id(rct)}
@@ -2105,14 +2110,16 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 elif ctag == "choice":
                     _emit_choice(c, m_lo * lo, _mul(m_hi, hi))
                 elif ctag == "any":
+                    w = _any_wc(c, prefix if prefix is not None
+                                else "")
                     if m_lo * lo > 0:
-                        # a REQUIRED wildcard child can't be expressed
-                        # over a static struct (unknown fields can't
-                        # be required) — content-model path handles it
-                        raise _NotRecord
-                    attr_wildcards.append(
-                        _any_wc(c, prefix if prefix is not None
-                                else ""))
+                        # REQUIRED wildcard: each instance of this
+                        # scope must carry >= 1 admitted extra child
+                        # (runner._required_wildcard_parts row check;
+                        # the bound is 1 — a sound relaxation of
+                        # minOccurs>1, see AttrWildcardSpec.min_occurs)
+                        w.min_occurs = 1
+                    attr_wildcards.append(w)
                 else:
                     raise _NotRecord
             if (m_lo, m_hi) == (1, 1):
@@ -2218,10 +2225,9 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             # groups compile to occurrence-count asserts (see
             # _walk_content); xs:any / openContent wildcards become
             # element-kind AttrWildcardSpecs governing extra fields.
-            # Any non-flattenable shape (REQUIRED wildcards,
-            # recursion, duplicate names) falls back to the
-            # content-model path below (atomic: columns/asserts only
-            # extend on full success).
+            # Any non-flattenable shape (recursion, duplicate names)
+            # falls back to the content-model path below (atomic:
+            # columns/asserts only extend on full success).
             new_cols: list[ColumnSpec] = []
             new_asserts: list[AssertSpec] = []
             new_recarrs: list[RecordArraySpec] = []

@@ -428,6 +428,16 @@ class AttrWildcardSpec:
     # The XSD importer resolves QNames and expands '##defined' to the
     # closed schema set's global declarations at import time.
     not_qname: Optional[list] = None
+    # REQUIRED element wildcard (xs:any with effective minOccurs>0,
+    # groups.py occurrence checking over wildcard particles): each
+    # instance of the governed scope must carry >= 1 wildcard-admitted
+    # extra child. min_occurs>0 turns the metadata-only admission
+    # check into an additional per-row presence predicate
+    # (runner._required_wildcard_parts); the enforced lower bound is
+    # ALWAYS 1 — a sound relaxation of minOccurs>1, whose exact count
+    # the tabular projection cannot observe (same-named children
+    # collapse onto one field). Attribute-kind wildcards never set it.
+    min_occurs: int = 0
 
 
 @dataclass
