@@ -206,3 +206,28 @@ def test_hamming_near_dups_plan_no_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in p, p[:1500]
     assert p.count("Exchange") <= 3, p[:1500]
+
+
+def test_simhash64_fast_bitwise_matches_hof(spark):
+    """simhash64_fast (mapInArrow + numpy) must be BITWISE-identical to
+    the Catalyst HOF fold simhash64_pair on every edge: NULL text,
+    empty string, whitespace-only, multi-token, unicode, and every
+    Java \\s class member (space/tab/NL/VT/FF/CR — NOT unicode NBSP,
+    which both sides must treat as a token character)."""
+    from xmlschema_spark.operators.text import (simhash64_fast,
+                                                simhash64_pair)
+    rows = [
+        ("n", None), ("e", ""), ("w", "   "), ("t", "\t\n\x0b\f\r"),
+        ("a", "the quick brown fox"), ("b", "the  quick\tbrown\nfox"),
+        ("u", "café naïve 中文"),
+        ("nb", "a b"),            # NBSP is not Java \s
+        ("one", "word"), ("dup", "x x x x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    hof = {r.doc_id: (r.hi32, r.lo32) for r in
+           df.select("doc_id",
+                     F.inline(F.array(simhash64_pair(F.col("text")))))
+             .collect()}
+    fast = {r.doc_id: (r.hi32, r.lo32) for r in
+            simhash64_fast(df, "text", "doc_id").collect()}
+    assert fast == hof

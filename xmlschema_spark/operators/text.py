@@ -231,3 +231,68 @@ def simhash64_pair(col: Column) -> Column:
         return F.struct(hi.alias("hi32"), lo.alias("lo32"))
 
     return _simhash_fold(col, 64, pack)
+
+
+def simhash64_fast(df: DataFrame, text_col: str,
+                   *keep_cols: str) -> DataFrame:
+    """Vectorized Arrow twin of `simhash64_pair`: same bit derivation
+    (bit b of token t = bit (b % 4) of hex digit (b // 4) of md5(t),
+    per-bit majority vote over whitespace tokens), BITWISE-identical
+    output, computed in one mapInArrow pass instead of 64 Catalyst
+    array-filter folds (~0.5 ms/doc of expression overhead — the
+    round-7 self-reported nit). Returns `keep_cols + (hi32, lo32)`
+    bigint columns; NULL text -> (0, 0) and empty/whitespace-only
+    text -> the hash of [''] — both matching the HOF fold exactly
+    (equality-tested in tests/test_pipeline_ops.py).
+
+    Tokenization mirrors tokens(): Java \\s is [ \\t\\n\\x0B\\f\\r]
+    (NOT unicode-aware), so the Python regex is spelled with that
+    class explicitly; trim strips spaces only; split on a single
+    space keeps empty strings ([''] for empty input). md5 runs over
+    UTF-8 bytes on both sides."""
+    from ..distribute import ensure_distributed
+    ensure_distributed(df.sparkSession)
+    keep = list(keep_cols)
+    narrow = df.select(*dict.fromkeys(keep + [text_col]))
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in narrow.schema.fields if f.name in keep)
+    out_schema = (fields + ", " if fields else "") + \
+        "hi32 bigint, lo32 bigint"
+
+    def run(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pyarrow as pa
+        java_ws = re.compile("[ \t\n\x0b\f\r]+")
+        shifts = (np.int64(1) << np.arange(32, dtype=np.int64))
+        nib = np.arange(4, dtype=np.uint8)
+        for b in batches:
+            texts = b.column(text_col).to_pylist()
+            m = len(texts)
+            his = np.zeros(m, np.int64)
+            los = np.zeros(m, np.int64)
+            for j, s in enumerate(texts):
+                if s is None:
+                    continue                  # HOF fold yields (0, 0)
+                toks = java_ws.sub(" ", s).strip(" ").split(" ")
+                n = len(toks)
+                raw = b"".join(
+                    hashlib.md5(t.encode("utf-8")).digest()[:8]
+                    for t in toks)
+                by = np.frombuffer(raw, np.uint8).reshape(n, 8)
+                digits = np.empty((n, 16), np.uint8)
+                digits[:, 0::2] = by >> 4
+                digits[:, 1::2] = by & 15
+                ones = ((digits[:, :, None] >> nib) & 1) \
+                    .reshape(n, 64).sum(axis=0, dtype=np.int64)
+                setb = ones * 2 > n
+                los[j] = int((setb[:32] * shifts).sum())
+                his[j] = int((setb[32:] * shifts).sum())
+            cols = [b.column(k) for k in keep]
+            yield pa.record_batch(
+                cols + [pa.array(his), pa.array(los)],
+                names=keep + ["hi32", "lo32"])
+
+    return narrow.mapInArrow(run, out_schema)
