@@ -895,3 +895,113 @@ def test_scoped_identity_export_round_trip(spark):
     assert v1 == v2
     assert ("r2", "keyref:fk_item") in v1
     assert ("r1", "unique:k_item") in v1     # i1 dup across rows
+
+
+# ---- same-named element siblings (round 7): the XSD Element
+# Declarations Consistent constraint forces one type per name in a
+# content model; the reference's converters merge same-named siblings
+# into a list, so the record engine maps them to ONE repeated field
+# whose occurs bounds are the sums of the siblings' bounds.
+
+DUP = ('<xs:element name="a" type="xs:int"/>'
+       '<xs:element name="b" type="xs:string"/>'
+       '<xs:element name="a" type="xs:int" maxOccurs="2"/>')
+
+
+def test_duplicate_sibling_merges_to_array(spark):
+    spec = _imp(_row_schema(DUP), key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["a"].dtype == "array<string>"
+    assert (by_name["a"].min_length, by_name["a"].max_length) == (2, 3)
+    assert by_name["b"].dtype == "string"
+    df = spark.createDataFrame(
+        [("r1", ["1", "2"], "x"), ("r2", ["1"], "x"),
+         ("r3", ["1", "2", "3", "4"], "x"), ("r4", ["1", "oops"], "x")],
+        "rid string, a array<string>, b string")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert not any(k == "r1" for k, _ in got)
+    assert any(k == "r2" and "minLength" in c for k, c in got)
+    assert any(k == "r3" and "maxLength" in c for k, c in got)
+    assert any(k == "r4" for k, _ in got)        # int decode on items
+
+
+def test_duplicate_sibling_unbounded_second():
+    spec = _imp(_row_schema(DUP.replace('maxOccurs="2"',
+                                        'maxOccurs="unbounded"')),
+                key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["a"].min_length == 2
+    assert by_name["a"].max_length is None
+
+
+def test_duplicate_sibling_inside_record_child(spark):
+    """The merge also applies inside a nested record type."""
+    spec = _imp(_row_schema(
+        '<xs:element name="box"><xs:complexType><xs:sequence>'
+        + DUP + "</xs:sequence></xs:complexType></xs:element>"),
+        key_column="rid")
+    by_name = {c.name: c for c in spec.columns}
+    assert by_name["box.a"].dtype == "array<string>"
+    assert (by_name["box.a"].min_length,
+            by_name["box.a"].max_length) == (2, 3)
+
+
+def test_duplicate_conflicting_types_falls_back():
+    """EDC-violating duplicates (different types) cannot merge: the
+    flat mapping declines and asks for tags_column."""
+    bad = ('<xs:element name="a" type="xs:int"/>'
+           '<xs:element name="a" type="xs:string"/>')
+    with pytest.raises(ValueError, match="tags_column"):
+        _imp(_row_schema(bad), key_column="rid")
+    spec = _imp(_row_schema(bad), key_column="rid",
+                tags_column="tags")
+    assert spec.content_models
+
+
+def test_duplicate_across_choice_falls_back():
+    """A name shared between a sequence sibling and a choice branch
+    is NOT a sibling merge (counts don't provably add) — fallback."""
+    body = ('<xs:element name="a" type="xs:int"/>'
+            '<xs:choice><xs:element name="a" type="xs:int"/>'
+            '<xs:element name="c" type="xs:string"/></xs:choice>')
+    with pytest.raises(ValueError, match="tags_column"):
+        _imp(_row_schema(body), key_column="rid")
+
+
+def test_duplicate_sibling_in_repeated_group(spark):
+    """Inside a repeated group the merged per-repetition bounds
+    couple to the driver count: (a, b, a) x [1..2] => size(a) = 2*d."""
+    spec = _imp(_row_schema(
+        '<xs:element name="box"><xs:complexType>'
+        '<xs:sequence minOccurs="1" maxOccurs="2">'
+        '<xs:element name="a" type="xs:int"/>'
+        '<xs:element name="b" type="xs:string"/>'
+        '<xs:element name="a" type="xs:int"/>'
+        "</xs:sequence></xs:complexType></xs:element>"),
+        key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", (["1", "2"], ["x"])),             # 1 rep: 2a, 1b
+         ("r2", (["1", "2", "3", "4"], ["x", "y"])),   # 2 reps
+         ("r3", (["1", "2", "3"], ["x"]))],       # 3a with 1b: bad
+        "rid string, box struct<a array<string>, b array<string>>")
+    got = sorted((r.row_key, r.constraint)
+                 for r in validate(df, spec).violations.collect())
+    assert not any(k in ("r1", "r2") for k, _ in got)
+    assert any(k == "r3" and "group_occurs" in c for k, c in got)
+
+
+def test_duplicate_sibling_export_round_trip(spark):
+    """export renders the merged field once with summed bounds;
+    re-import produces identical violations."""
+    from xmlschema_spark.sources.xsd_export import spec_to_xsd
+    spec = _imp(_row_schema(DUP), key_column="rid")
+    spec2 = _imp(spec_to_xsd(spec), key_column="rid")
+    df = spark.createDataFrame(
+        [("r1", ["1", "2"], "x"), ("r2", ["1"], "x")],
+        "rid string, a array<string>, b string")
+    v1 = sorted((r.row_key, r.constraint)
+                for r in validate(df, spec).violations.collect())
+    v2 = sorted((r.row_key, r.constraint)
+                for r in validate(df, spec2).violations.collect())
+    assert v1 == v2 and any(k == "r2" for k, _ in v1)

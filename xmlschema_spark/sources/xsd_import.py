@@ -1831,8 +1831,12 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         a tabular encoding cannot observe).
 
         What still falls back to the tags_column content-model path
-        (_NotRecord): recursive types and duplicate child names —
-        shapes a static struct cannot carry."""
+        (_NotRecord): recursive types, and child names duplicated
+        across DIFFERENT particles (same-named direct siblings of one
+        sequence/all merge into a single repeated field — see
+        _walk_group; across nested groups or choice branches the
+        per-context counts don't provably add, so a static struct
+        cannot carry them)."""
         if id(rct) in visiting:
             raise _NotRecord                 # recursive element type
         visiting = visiting | {id(rct)}
@@ -2093,8 +2097,45 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             assert ties together the counts of the children that occur
             exactly once per repetition (drivers) and bounds the rest
             by the repetition count (groups.py occurrence checks
-            projected onto per-name counts)."""
+            projected onto per-name counts).
+
+            Same-named element SIBLINGS merge into one repeated field:
+            the XSD Element Declarations Consistent constraint
+            (reference: validators/groups.py EDC check) forces one
+            type per name in a content model, and the reference's
+            converters merge same-named siblings into a LIST — the
+            tabular analog is a single array field whose occurs
+            bounds are the SUMS of the siblings' bounds. Only direct
+            siblings of this group merge (their counts provably add
+            within one group instance); a name duplicated across
+            nested particles or choice branches still falls back to
+            the content-model path (the `emitted` check)."""
             entries = []             # (count_sql, lo, hi, path)
+            sib: dict = {}
+            for c in gnode:
+                if _local(c.tag) != "element":
+                    continue
+                nm = c.get("name") or (_localname(c.get("ref"))
+                                       if c.get("ref") else None)
+                if nm is not None:
+                    sib.setdefault(nm, []).append(c)
+            merged: dict = {}
+            for nm, parts in sib.items():
+                if len(parts) < 2:
+                    continue
+                # one TYPE per name (EDC); inline types / identity
+                # constraints on a duplicated sibling are not
+                # comparable here -> fall back
+                if len({(p.get("ref"), p.get("type"))
+                        for p in parts}) > 1 \
+                        or any(_local(x.tag) != "annotation"
+                               for p in parts for x in p):
+                    raise _NotRecord
+                lo_sum = sum(_occ(p, "minOccurs", 1) for p in parts)
+                his = [_occ(p, "maxOccurs", 1) for p in parts]
+                merged[nm] = (lo_sum, None if None in his
+                              else sum(his))
+            merged_done: set = set()
             for c in gnode:
                 ctag = _local(c.tag)
                 if ctag == "annotation":
@@ -2102,6 +2143,13 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 lo = _occ(c, "minOccurs", 1)
                 hi = _occ(c, "maxOccurs", 1)
                 if ctag == "element":
+                    nm = c.get("name") or (_localname(c.get("ref"))
+                                           if c.get("ref") else None)
+                    if nm in merged:
+                        if nm in merged_done:
+                            continue     # later sibling: already merged
+                        merged_done.add(nm)
+                        lo, hi = merged[nm]
                     cnt, path = _emit_element(
                         c, m_lo * lo, _mul(m_hi, hi))
                     entries.append((cnt, lo, hi, path))
@@ -2225,9 +2273,11 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             # groups compile to occurrence-count asserts (see
             # _walk_content); xs:any / openContent wildcards become
             # element-kind AttrWildcardSpecs governing extra fields.
-            # Any non-flattenable shape (recursion, duplicate names)
-            # falls back to the content-model path below (atomic:
-            # columns/asserts only extend on full success).
+            # Any non-flattenable shape (recursion, names duplicated
+            # across different particles) falls back to the
+            # content-model path below (atomic: columns/asserts only
+            # extend on full success); same-named direct siblings
+            # merge into one repeated field (_walk_group).
             new_cols: list[ColumnSpec] = []
             new_asserts: list[AssertSpec] = []
             new_recarrs: list[RecordArraySpec] = []
