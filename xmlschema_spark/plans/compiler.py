@@ -1487,7 +1487,8 @@ def compile_plan(spec: TableSpec) -> ValidationPlan:
             record_arrays=list(ras.nested),
             simple_types=dict(spec.simple_types),
             namespaces=dict(spec.namespaces),
-            part_key=spec.part_key)
+            part_key=spec.part_key,
+            recursion_cuts=list(ras.recursion_cuts))
         plan.record_arrays.append((ras.name, compile_plan(sub)))
     _validate_identity_specs(spec)
     known_cols = _spec_known_columns(spec)

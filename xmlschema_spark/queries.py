@@ -1566,6 +1566,82 @@ def record_array_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_key", "constraint", "value")
 
 
+_RECUR_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:complexType name="TNode">
+    <xs:sequence>
+      <xs:element name="val" minOccurs="0">
+        <xs:simpleType>
+          <xs:restriction base="xs:int">
+            <xs:maxInclusive value="50"/>
+          </xs:restriction>
+        </xs:simpleType>
+      </xs:element>
+      <xs:element name="next" type="TNode" minOccurs="0"/>
+    </xs:sequence>
+  </xs:complexType>
+  <xs:element name="event">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="next" type="TNode" minOccurs="0"/>
+      </xs:sequence>
+      <xs:attribute name="event_id" type="xs:long" use="required"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+@register("recursion_cut_events", """
+  WITH ev AS (
+    SELECT event_id,
+           json_extract_string(props, '$.k') AS k,
+           (event_id % 3 != 0) AS l1,
+           (event_id % 3 != 0 AND event_id % 4 = 0) AS l2,
+           (event_id % 3 != 0 AND event_id % 4 = 0
+            AND event_id % 8 = 0) AS l3
+      FROM events)
+  SELECT CAST(event_id AS VARCHAR) AS row_key,
+         'recursion:depth:next.next.next' AS constraint,
+         CAST(NULL AS VARCHAR) AS value
+    FROM ev WHERE l3
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:maxInclusive:next.val', k
+    FROM ev WHERE l1 AND CAST(k AS INT) > 50
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:maxInclusive:next.next.val',
+         k
+    FROM ev WHERE l2 AND CAST(k AS INT) > 50
+""")
+def recursion_cut_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded recursion unrolling (spec_from_xsd unroll_recursion=1):
+    a RECURSIVE record type (linked-list TNode) materializes one
+    re-entry as nested struct levels — facets validate at every
+    unrolled level — and content BEYOND the cut path is rejected
+    ('recursion:depth:next.next.next'). The reference validates
+    recursion to unbounded depth over XML trees
+    (validators/groups.py iter_model); a Spark schema is finite-depth
+    by construction, so the cut makes the tabular boundary explicit
+    instead of silently unchecked. The check stays row-local (one
+    codegen pass, zero shuffles at any scale)."""
+    from .runner import validate
+    from .sources.xsd_import import spec_from_xsd
+    df = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    lvl3 = F.when(F.col("event_id") % 8 == 0,
+                  F.struct(k.alias("val")))
+    lvl2 = F.when(F.col("event_id") % 4 == 0,
+                  F.struct(k.alias("val"), lvl3.alias("next")))
+    nested = df.select(
+        "event_id",
+        F.when(F.col("event_id") % 3 != 0,
+               F.struct(k.alias("val"), lvl2.alias("next")))
+         .alias("next"))
+    spec = spec_from_xsd(_RECUR_XSD, key_column="event_id",
+                         unroll_recursion=1)
+    return validate(nested, spec).violations \
+        .select("row_key", "constraint", "value")
+
+
 _CHOICE_XSD = """
 <xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
   <xs:element name="event">
@@ -2904,6 +2980,7 @@ _SAMPLE_FIRST = [
     "record_choice_events", "record_group_events",
     "drift_multi_lineitem", "record_keyref_events",
     "hamming_near_dups_documents", "simhash64_fast_documents",
+    "recursion_cut_events",
     # never driver-sampled through round 6
     "deduplicate_documents_exact", "duration_facet_documents",
     "gyear_facet_events", "dup_clusters_documents",

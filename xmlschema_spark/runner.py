@@ -145,9 +145,11 @@ def _attr_wildcard_rows(df: DataFrame, spec: TableSpec,
     if not spec.attr_wildcards:
         return []
     declared_nested = {c.name for c in spec.columns}
+    declared_nested |= set(spec.recursion_cuts)   # declared, cut-bounded
     for r in _all_record_arrays(spec):
         declared_nested.add(r.name)
         declared_nested |= {f.name for f in r.fields}
+        declared_nested |= set(r.recursion_cuts)
     by_path: dict[str, list] = {}
     for w in spec.attr_wildcards:
         by_path.setdefault(w.path, []).append(w)
@@ -292,9 +294,11 @@ def _required_wildcard_parts(df: DataFrame, spec: TableSpec) -> list:
     if not req:
         return []
     declared_nested = {c.name for c in spec.columns}
+    declared_nested |= set(spec.recursion_cuts)   # declared, cut-bounded
     for r in _all_record_arrays(spec):
         declared_nested.add(r.name)
         declared_nested |= {f.name for f in r.fields}
+        declared_nested |= set(r.recursion_cuts)
 
     def _or_nonnull(get, ext):
         cond = F.lit(False)
@@ -394,6 +398,54 @@ def apply_defaults(df: DataFrame, spec: TableSpec) -> DataFrame:
     return df
 
 
+def _dtype_at(df: DataFrame, name: str):
+    """DataType at a dotted path, or None (see _has_column)."""
+    from pyspark.sql.types import ArrayType, StructType
+    schema = df.schema
+    for step in name.split("."):
+        if isinstance(schema, ArrayType):
+            schema = schema.elementType
+        if not isinstance(schema, StructType):
+            return None
+        hit = next((f for f in schema.fields if f.name == step), None)
+        if hit is None:
+            return None
+        schema = hit.dataType
+    return schema
+
+
+def _recursion_cut_parts(df: DataFrame, spec: TableSpec) -> list:
+    """Bounded-recursion cuts (TableSpec.recursion_cuts, xsd_import
+    unroll_recursion=k): content BEYOND the unrolled depth must be
+    absent. df-aware — a cut path missing from the physical schema is
+    vacuously valid (a fixed tabular schema cannot even carry deeper
+    instances); when present, a non-NULL struct / non-empty array at
+    the path violates (the reference validates recursive types to
+    unbounded depth over trees, groups.py iter_model — depth k+1
+    content in a depth-k table is data the schema mapping rejects,
+    never silently skips)."""
+    import pyspark.sql.functions as _F
+    from pyspark.sql.types import ArrayType
+    out = []
+    key = _F.col(spec.key_column).cast("string").alias("row_key")
+    part = (_F.col(spec.part_key).cast("bigint") if spec.part_key
+            else _F.lit(0).cast("bigint")).alias("part_key")
+    for c in spec.recursion_cuts:
+        dt = _dtype_at(df, c)
+        if dt is None:
+            continue
+        deeper = (_F.size(_F.col(c)) > 0 if isinstance(dt, ArrayType)
+                  else _F.col(c).isNotNull())
+        out.append(df.where(_F.coalesce(deeper, _F.lit(False))).select(
+            key, part,
+            _F.lit(f"recursion:depth:{c}").alias("constraint"),
+            _F.lit(f"content at '{c}' exceeds the unrolled recursion "
+                   "depth (unroll_recursion)").alias("reason"),
+            _F.lit(None).cast("string").alias("value"),
+            _F.lit(1).cast("bigint").alias("occurs")))
+    return out
+
+
 def _record_array_parts(df: DataFrame, plan, spec: TableSpec) -> list:
     """Violation frames for repeated record children: explode each
     array (narrow — no shuffle, no data movement beyond the projection)
@@ -417,6 +469,7 @@ def _record_array_parts(df: DataFrame, plan, spec: TableSpec) -> list:
             shell = _F.struct(shell.alias(seg))
         ex = ex.select(*keep, shell.alias(segs[0]))
         out.append(row_violations(ex, sub))
+        out.extend(_recursion_cut_parts(ex, sub.spec))
         out.extend(_record_array_parts(ex, sub, sub.spec))
     return out
 
@@ -450,6 +503,7 @@ def violation_parts(df: DataFrame, plan: ValidationPlan,
             "row_key string, part_key bigint, constraint string, "
             "reason string, value string, occurs bigint"))
     parts.extend(_required_wildcard_parts(df, spec))
+    parts.extend(_recursion_cut_parts(df, spec))
     parts.extend(_record_array_parts(df, plan, spec))
     for u in spec.uniques:
         parts.append(unique_violations(df, u, spec.key_column, spec.part_key))

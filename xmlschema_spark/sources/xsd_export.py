@@ -294,6 +294,19 @@ def spec_to_xsd(spec: TableSpec, *, lossy: bool = False) -> str:
                      "per-namespace document set; this single-document "
                      "renderer emits one no-namespace document)")
 
+    def _all_cuts(rs):
+        for r in rs:
+            yield from r.recursion_cuts
+            yield from _all_cuts(r.nested)
+    cuts = list(getattr(spec, "recursion_cuts", None) or ()) \
+        + list(_all_cuts(getattr(spec, "record_arrays", None) or ()))
+    if cuts:
+        # an unrolled recursive type has no faithful finite XSD
+        # rendering: re-rendering the unrolled levels would ACCEPT
+        # deeper instances the spec rejects at the cut
+        unexportable(f"bounded-recursion cuts {sorted(cuts)} "
+                     "(unroll_recursion)")
+
     # ---- global simple types
     for name, st in (spec.simple_types or {}).items():
         lines.append(f'  <xs:simpleType name={quoteattr(name)}>')

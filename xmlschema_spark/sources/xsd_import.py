@@ -1469,7 +1469,8 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                   tags_column: Optional[str] = None,
                   value_column: str = "value",
                   xsd11: bool = False,
-                  locations: Optional[dict] = None) -> TableSpec:
+                  locations: Optional[dict] = None,
+                  unroll_recursion: int = 0) -> TableSpec:
     """Build a TableSpec from XSD schema text (or a file path).
 
     element:    name of the global xs:element that represents one ROW
@@ -1494,6 +1495,20 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 statements that carry no (or no resolvable)
                 schemaLocation — the analog of the reference's
                 `locations` argument (loaders.py get_locations).
+    unroll_recursion: bounded unrolling of RECURSIVE record types
+                (opt-in; default 0 keeps the content-model fallback).
+                k > 0 materializes k recursive re-entries of each type
+                as nested struct/array levels and records a CUT path
+                beyond them (TableSpec.recursion_cuts): content deeper
+                than the unrolled depth is a violation
+                ('recursion:depth:<path>') when the physical schema can
+                carry it, vacuously valid when it cannot. The reference
+                validates recursion to unbounded depth over trees
+                (groups.py iter_model); a Spark schema is finite-depth
+                by construction, so the cut makes the boundary explicit
+                instead of silently unchecked. REQUIRED recursion
+                (minOccurs>0 at the re-entry) admits no finite
+                instance and still falls back.
 
     Namespaces: each schema document's QName references resolve
     against its own in-scope xmlns declarations (default namespace
@@ -1649,11 +1664,17 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
     content_models: list[ContentModelSpec] = []
     record_arrays: list[RecordArraySpec] = []
     attr_wildcards: list[AttrWildcardSpec] = []
+    recursion_cuts: list[str] = []
     open_content = None
 
     class _NotRecord(Exception):
         """Child element is not record-shaped — fall back to the
         content-model (tags_column) path."""
+
+    class _CutRecord(Exception):
+        """Recursive re-entry beyond unroll_recursion — the caller
+        (_emit_element) registers a recursion-cut path instead of
+        descending (required re-entries re-raise _NotRecord)."""
 
     def _wc_nq_parse_checks(w):
         """The reference's notQName-vs-namespace consistency parse
@@ -1785,7 +1806,7 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         return inline[0]
 
     def _record_columns(prefix, rct, optional, out_cols, out_asserts,
-                        visiting, out_ras=None):
+                        visiting, out_ras=None, out_cuts=None):
         """Map a record-shaped complexType onto dotted ColumnSpecs under
         struct column `prefix` (complex child elements as struct
         columns — the reference decodes them as nested dicts,
@@ -1837,9 +1858,12 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         _walk_group; across nested groups or choice branches the
         per-context counts don't provably add, so a static struct
         cannot carry them)."""
-        if id(rct) in visiting:
+        depth = visiting.count(id(rct))
+        if depth > 0 and not unroll_recursion:
             raise _NotRecord                 # recursive element type
-        visiting = visiting | {id(rct)}
+        if depth > unroll_recursion:
+            raise _CutRecord                 # beyond the unrolled depth
+        visiting = visiting + (id(rct),)
         rflat = _flatten_ct(rct, env)
         if rflat["oc_nodes"]:
             # XSD 1.1 openContent inside the record type: extra struct
@@ -1897,10 +1921,11 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             if rflat["value_kw"] is not None and not rflat["mixed"]:
                 raise _NotRecord             # simpleContent has no group
             _walk_content(prefix, rgroup, optional, out_cols,
-                          out_asserts, out_ras, visiting, emitted)
+                          out_asserts, out_ras, visiting, emitted,
+                          out_cuts)
 
     def _walk_content(prefix, rgroup, optional, out_cols, out_asserts,
-                      out_ras, visiting, emitted):
+                      out_ras, visiting, emitted, out_cuts=None):
         """Walk a content-model particle tree into fields + occurrence
         asserts (see _record_columns). prefix=None = the ROW element's
         own content (plain column names, no parent guard); otherwise
@@ -1981,10 +2006,23 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                 sub_ct = _record_ct(e)
                 child = RecordArraySpec(name=path, min_occurs=e_lo,
                                         max_occurs=e_hi)
-                _record_columns(path, sub_ct, True,
-                                child.fields, child.asserts,
-                                visiting, child.nested)
-                out_ras.append(child)
+                try:
+                    _record_columns(path, sub_ct, True,
+                                    child.fields, child.asserts,
+                                    visiting, child.nested,
+                                    child.recursion_cuts)
+                    out_ras.append(child)
+                except _CutRecord:
+                    # recursive re-entry beyond unroll_recursion: the
+                    # array itself is the cut — required recursion
+                    # admits no finite instance, fall back. Valid rows
+                    # have NO content at the cut (the cut check rejects
+                    # the rest), so enclosing choice/group counts see a
+                    # literal 0 and never reference the absent path.
+                    if e_lo > 0 or out_cuts is None:
+                        raise _NotRecord
+                    out_cuts.append(path)
+                    return "0", path
             else:
                 sub_ct = _record_ct(e)
                 if e_lo > 0:
@@ -1992,10 +2030,16 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                         name=f"required_{path}",
                         expr=f"{pre}{path} IS NOT NULL",
                         columns=[path] + guard_cols))
-                _record_columns(path, sub_ct,
-                                optional or e_lo == 0,
-                                out_cols, out_asserts, visiting,
-                                out_ras)
+                try:
+                    _record_columns(path, sub_ct,
+                                    optional or e_lo == 0,
+                                    out_cols, out_asserts, visiting,
+                                    out_ras, out_cuts)
+                except _CutRecord:
+                    if e_lo > 0 or out_cuts is None:
+                        raise _NotRecord
+                    out_cuts.append(path)
+                    return "0", path
             cnt = (f"(CASE WHEN {path} IS NULL THEN 0 "
                    f"ELSE size({path}) END)" if repeated else
                    f"(CASE WHEN {path} IS NOT NULL THEN 1 ELSE 0 END)")
@@ -2281,14 +2325,16 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
             new_cols: list[ColumnSpec] = []
             new_asserts: list[AssertSpec] = []
             new_recarrs: list[RecordArraySpec] = []
+            new_cuts: list[str] = []
             n_wc = len(attr_wildcards)
             try:
                 _walk_content(None, group, False, new_cols,
-                              new_asserts, new_recarrs, frozenset(),
-                              {c.name for c in columns})
+                              new_asserts, new_recarrs, (),
+                              {c.name for c in columns}, new_cuts)
                 columns.extend(new_cols)
                 asserts.extend(new_asserts)
                 record_arrays.extend(new_recarrs)
+                recursion_cuts.extend(new_cuts)
                 mapped_flat = True
             except _NotRecord:
                 del attr_wildcards[n_wc:]     # roll back record emits
@@ -2526,4 +2572,5 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
         uniques=uniques, keyrefs=keyrefs, asserts=asserts,
         conditionals=conditionals, content_models=content_models,
         record_arrays=record_arrays, attr_wildcards=attr_wildcards,
-        target_ns=target_ns, namespaces=dict(root_nsmap))
+        target_ns=target_ns, namespaces=dict(root_nsmap),
+        recursion_cuts=recursion_cuts)

@@ -131,6 +131,9 @@ class RecordArraySpec:
     # presence (absent parent record = the child particle never
     # applies).
     nested: list["RecordArraySpec"] = field(default_factory=list)
+    # bounded-recursion cut paths inside THIS array's elements (see
+    # TableSpec.recursion_cuts) — checked over the exploded frame
+    recursion_cuts: list[str] = field(default_factory=list)
 
 
 @dataclass
@@ -492,7 +495,8 @@ def _ras_from_dict(r: dict, col) -> "RecordArraySpec":
         asserts=[AssertSpec(**a) for a in r.get("asserts", [])],
         min_occurs=r.get("min_occurs", 0),
         max_occurs=r.get("max_occurs"),
-        nested=[_ras_from_dict(n, col) for n in r.get("nested", [])])
+        nested=[_ras_from_dict(n, col) for n in r.get("nested", [])],
+        recursion_cuts=list(r.get("recursion_cuts", [])))
 
 
 @dataclass
@@ -531,6 +535,16 @@ class TableSpec:
     # resolves against the schema's namespace map the same way,
     # builtins.py:139-152 qname_validator)
     namespaces: dict[str, str] = field(default_factory=dict)
+    # bounded-recursion cut paths (xsd_import unroll_recursion=k): a
+    # recursive type is materialized k levels deep; content BEYOND the
+    # cut must be ABSENT. Checked df-aware at validate time — a cut
+    # path missing from the physical schema is vacuously valid (the
+    # table cannot carry deeper instances), a present struct must be
+    # NULL / a present array empty. The reference validates recursive
+    # types to unbounded depth over trees (groups.py iter_model); a
+    # fixed tabular schema carries exactly the unrolled depth, so
+    # deeper instances are rejected rather than silently truncated.
+    recursion_cuts: list[str] = field(default_factory=list)
 
     def to_json(self) -> str:
         return json.dumps(asdict(self), default=str, indent=1, sort_keys=True)
@@ -585,6 +599,7 @@ class TableSpec:
                             for w in d.get("attr_wildcards", [])],
             target_ns=d.get("target_ns"),
             namespaces=dict(d.get("namespaces", {})),
+            recursion_cuts=list(d.get("recursion_cuts", [])),
         )
 
     @staticmethod
