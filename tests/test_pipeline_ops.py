@@ -231,3 +231,16 @@ def test_simhash64_fast_bitwise_matches_hof(spark):
     fast = {r.doc_id: (r.hi32, r.lo32) for r in
             simhash64_fast(df, "text", "doc_id").collect()}
     assert fast == hof
+
+
+def test_simhash64_fast_plan_no_shuffle(spark):
+    """The Arrow path is one narrow mapInArrow over a pruned 2-column
+    projection: zero Exchange at any scale, no extra columns read."""
+    from xmlschema_spark.operators.text import simhash64_fast
+    df = spark.createDataFrame(
+        [("a", "x y", "junk")], "doc_id string, text string, z string")
+    p = simhash64_fast(df, "text", "doc_id") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p[:1500]
+    assert "ArrowEvalPython" in p or "MapInArrow" in p or "PythonMapInArrow" in p, p[:1500]
+    assert "z" not in p.split("MapInArrow")[0].split("[")[-1]

@@ -133,3 +133,19 @@ def test_cut_spec_is_not_exportable():
     with pytest.raises(ValueError, match="recursion"):
         spec_to_xsd(spec)
     assert "omitted" in spec_to_xsd(spec, lossy=True)
+
+
+def test_cut_check_plan_no_shuffle(spark):
+    """The recursion-cut check is a row-local filter over the existing
+    scan — zero Exchange at any scale."""
+    spec = spec_from_xsd(LIST_XSD, key_column="rid",
+                         unroll_recursion=1)
+    df = spark.createDataFrame(
+        [("r1", ("1", ("2", ("3",))))],
+        "rid string, next struct<val string, next struct<val string, "
+        "next struct<val string>>>")
+    from xmlschema_spark.runner import _recursion_cut_parts
+    parts = _recursion_cut_parts(df, spec)
+    assert len(parts) == 1
+    p = parts[0]._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in p, p[:1500]

@@ -2431,8 +2431,9 @@ def simhash64_fast_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-vectorized 64-bit SimHash (operators/text.simhash64_fast):
     one mapInArrow pass with numpy bit votes instead of 64 Catalyst
     array-filter folds — bitwise-identical to simhash64_documents
-    (same DuckDB oracle, plus an in-suite equality test) at ~3x the
-    throughput on sf0.1. The HOF twin stays registered as the
+    (same DuckDB oracle, plus an in-suite equality test) at ~4.5x the
+    throughput on sf0.1 (0.83s vs 3.71s, warm local[8]). The HOF twin
+    stays registered as the
     pure-Catalyst derivation; this is the shape you'd ship at 10^9
     documents where per-row expression overhead dominates."""
     from .operators.text import simhash64_fast
