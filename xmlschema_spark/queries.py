@@ -1642,6 +1642,96 @@ def recursion_cut_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("row_key", "constraint", "value")
 
 
+_DUPSIB_XSD = """
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:simpleType name="KInt">
+    <xs:restriction base="xs:int">
+      <xs:maxInclusive value="50"/>
+    </xs:restriction>
+  </xs:simpleType>
+  <xs:element name="event">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="a" type="KInt"/>
+        <xs:element name="b" type="xs:string"/>
+        <xs:element name="a" type="KInt" minOccurs="0" maxOccurs="2"/>
+      </xs:sequence>
+      <xs:attribute name="event_id" type="xs:long" use="required"/>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+
+
+@register("record_dup_siblings_events", """
+  WITH ev AS (
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k
+      FROM events),
+  arr AS (
+    SELECT event_id,
+           CASE WHEN event_id % 5 = 0 THEN CAST([] AS VARCHAR[])
+                WHEN event_id % 7 = 0 THEN [f, s, '8', '9']
+                ELSE [f, s] END AS items
+      FROM (SELECT event_id,
+              CASE WHEN event_id % 11 = 0 THEN 'x'
+                   ELSE CAST(k % 40 AS VARCHAR) END AS f,
+              CASE WHEN event_id % 3 = 0
+                   THEN CAST(k % 40 + 60 AS VARCHAR)
+                   ELSE '7' END AS s
+            FROM ev))
+  SELECT CAST(event_id AS VARCHAR) AS row_key,
+         'facet:minLength:a' AS constraint,
+         '[' || COALESCE(array_to_string(items, ', '), '') || ']'
+           AS value
+    FROM arr WHERE len(items) < 1
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:maxLength:a',
+         '[' || array_to_string(items, ', ') || ']'
+    FROM arr WHERE len(items) > 3
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:item:decode:a',
+         '[' || array_to_string(
+             list_transform(items, x -> '"' || x || '"'), ',') || ']'
+    FROM arr
+   WHERE len([x FOR x IN items IF TRY_CAST(x AS INTEGER) IS NULL]) > 0
+  UNION ALL
+  SELECT CAST(event_id AS VARCHAR), 'facet:item:maxInclusive:a',
+         '[' || array_to_string(
+             list_transform(items, x -> '"' || x || '"'), ',') || ']'
+    FROM arr
+   WHERE len([x FOR x IN items IF TRY_CAST(x AS INTEGER) > 50]) > 0
+""")
+def record_dup_siblings_events(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Same-named element SIBLINGS in the record engine: the two 'a'
+    particles merge into ONE repeated field with SUMMED occurs bounds
+    (array length in [1, 3]) — the XSD Element Declarations Consistent
+    constraint forces one type per name in a content model, and the
+    reference's converters merge same-named siblings into a list.
+    Item facets (int decode + maxInclusive 50) run per element via
+    Spark's higher-order functions — row-local, zero shuffles at any
+    scale."""
+    from .runner import validate
+    from .sources.xsd_import import spec_from_xsd
+    df = _load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    first = F.when(F.col("event_id") % 11 == 0, F.lit("x")) \
+        .otherwise((k % 40).cast("string"))
+    second = F.when(F.col("event_id") % 3 == 0,
+                    (k % 40 + 60).cast("string")).otherwise(F.lit("7"))
+    ev = df.select(
+        "event_id",
+        F.when(F.col("event_id") % 5 == 0,
+               F.array().cast("array<string>"))
+         .when(F.col("event_id") % 7 == 0,
+               F.array(first, second, F.lit("8"), F.lit("9")))
+         .otherwise(F.array(first, second)).alias("a"),
+        F.col("event_type").alias("b"))
+    spec = spec_from_xsd(_DUPSIB_XSD, key_column="event_id")
+    return validate(ev, spec).violations \
+        .select("row_key", "constraint", "value")
+
+
 _CHOICE_XSD = """
 <xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
   <xs:element name="event">
@@ -2981,7 +3071,7 @@ _SAMPLE_FIRST = [
     "record_choice_events", "record_group_events",
     "drift_multi_lineitem", "record_keyref_events",
     "hamming_near_dups_documents", "simhash64_fast_documents",
-    "recursion_cut_events",
+    "recursion_cut_events", "record_dup_siblings_events",
     # never driver-sampled through round 6
     "deduplicate_documents_exact", "duration_facet_documents",
     "gyear_facet_events", "dup_clusters_documents",
