@@ -2562,16 +2562,18 @@ def hamming_near_dups_documents(spark: SparkSession,
     and capped buckets; the oracle is the brute-force all-pairs filter
     over the same hash, summing bit_count(xor) per 32-bit half (a
     combined signed 64-bit value would overflow DuckDB's checked
-    BIGINT arithmetic at reassembly)."""
+    BIGINT arithmetic at reassembly). The hash derivation uses the
+    Arrow-vectorized simhash64_fast (bitwise-identical to the HOF
+    fold, ~4.5x — it was 2/3 of this query's wall)."""
     from .operators.dedup import hamming_near_dups
-    from .operators.text import simhash64_pair
+    from .operators.text import simhash64_fast
     d = _load(spark, sf_dir, "documents") \
-        .where(F.col("text").isNotNull())
-    sh = simhash64_pair(F.col("text"))
-    h = d.select(
-        F.col("doc_id").cast("string").alias("doc"),
-        F.shiftleft(sh.getField("hi32"), 32)
-         .bitwiseOR(sh.getField("lo32")).alias("sh64"))
+        .where(F.col("text").isNotNull()) \
+        .select(F.col("doc_id").cast("string").alias("doc"), "text")
+    h = simhash64_fast(d, "text", "doc").select(
+        "doc",
+        F.shiftleft(F.col("hi32"), 32)
+         .bitwiseOR(F.col("lo32")).alias("sh64"))
     return hamming_near_dups(h, "sh64", "doc", bands=8,
                              max_hamming=7, max_bucket=256)
 
