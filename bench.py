@@ -40,6 +40,10 @@ HEADLINE = [
     # zero shuffles (plan test); tracks the nested-record engine's cost
     "record_array_events",
     "text_quality_documents",
+    # round 7 close: Arrow-vectorized 64-bit SimHash (one mapInArrow
+    # pass, bitwise-identical to the HOF fold at ~4.5x) — the text-hash
+    # derivation the dedup paths ship at 10^9 documents
+    "simhash64_fast_documents",
     # (hamming_near_dups_documents stays an oracle-parity query only:
     # its wall is ~2/3 simhash64 HOF computation, not the banding —
     # the benched image-dedup path is images_phash_near_dups below,
