@@ -244,3 +244,22 @@ def test_simhash64_fast_plan_no_shuffle(spark):
     assert "Exchange" not in p, p[:1500]
     assert "ArrowEvalPython" in p or "MapInArrow" in p or "PythonMapInArrow" in p, p[:1500]
     assert "z" not in p.split("MapInArrow")[0].split("[")[-1]
+
+
+def test_simhash48_fast_bitwise_matches_hof(spark):
+    """simhash48_fast must be BITWISE-identical to the Catalyst HOF
+    fold simhash48 on the same edge inventory as the 64-bit twin."""
+    from xmlschema_spark.operators.text import simhash48, simhash48_fast
+    rows = [
+        ("n", None), ("e", ""), ("w", "   "), ("t", "\t\n\x0b\f\r"),
+        ("a", "the quick brown fox"), ("b", "the  quick\tbrown\nfox"),
+        ("u", "café naïve 中文"), ("nb", "a b"),
+        ("one", "word"), ("dup", "x x x x y"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    hof = {r.doc_id: r.sh for r in
+           df.select("doc_id", simhash48(F.col("text")).alias("sh"))
+             .collect()}
+    fast = {r.doc_id: r.sh48 for r in
+            simhash48_fast(df, "text", "doc_id").collect()}
+    assert fast == hof

@@ -27,7 +27,8 @@ import zlib
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint, minhash_signature, shingles, simhash48, tokens
+from .text import (fingerprint, minhash_signature, shingles,
+                   simhash48_fast, tokens)
 
 SIMHASH_BITS = 48
 SIMHASH_BANDS = 4          # 4 x 12-bit bands: pigeonhole-safe for d <= 3
@@ -145,7 +146,13 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
     Hot bands are capped with the same pre-aggregation window as the
     MinHash path (bounded before materialization; deterministic
     lexicographic survivors), and pairs are generated inside the
-    collected array — no self-join, no quadratic hot-key blowup."""
+    collected array — no self-join, no quadratic hot-key blowup.
+
+    The hash derivation uses the Arrow-vectorized simhash48_fast
+    (bitwise-identical to the simhash48 HOF fold — see
+    text._simhash_fast_frame); at 10^9 documents the per-row Catalyst
+    expression overhead of 48 array-filter folds would dominate the
+    banding itself."""
     if max_hamming >= SIMHASH_BANDS:
         import warnings
         warnings.warn(
@@ -153,8 +160,9 @@ def simhash_near_dups(df: DataFrame, text_col: str, id_col: str,
             f"{SIMHASH_BANDS - 1}; pairs at distance {SIMHASH_BANDS}.."
             f"{max_hamming} that differ in all bands will be missed",
             stacklevel=2)
-    sh = df.select(F.col(id_col).alias("doc"),
-                   simhash48(F.col(text_col)).alias("sh"))
+    sh = simhash48_fast(
+        df.select(F.col(id_col).alias("doc"), text_col),
+        text_col, "doc").withColumnRenamed("sh48", "sh")
     band_structs = [
         F.struct(F.lit(b).alias("band"),
                  F.shiftrightunsigned(F.col("sh"), b * 12)

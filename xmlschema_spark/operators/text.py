@@ -233,23 +233,24 @@ def simhash64_pair(col: Column) -> Column:
     return _simhash_fold(col, 64, pack)
 
 
-def simhash64_fast(df: DataFrame, text_col: str,
-                   *keep_cols: str) -> DataFrame:
-    """Vectorized Arrow twin of `simhash64_pair`: same bit derivation
-    (bit b of token t = bit (b % 4) of hex digit (b // 4) of md5(t),
-    per-bit majority vote over whitespace tokens), BITWISE-identical
-    output, computed in one mapInArrow pass instead of 64 Catalyst
-    array-filter folds (~0.5 ms/doc of expression overhead — the
-    round-7 self-reported nit). Returns `keep_cols + (hi32, lo32)`
-    bigint columns; NULL text -> (0, 0) and empty/whitespace-only
-    text -> the hash of [''] — both matching the HOF fold exactly
+def _simhash_fast_frame(df: DataFrame, text_col: str, keep_cols,
+                        n_bits: int, out_names: list,
+                        pack_row) -> DataFrame:
+    """Shared Arrow core for the vectorized SimHash twins: same bit
+    derivation as _simhash_fold (bit b of token t = bit (b % 4) of hex
+    digit (b // 4) of md5(t), per-bit majority vote over whitespace
+    tokens), computed in one mapInArrow pass instead of n_bits
+    Catalyst array-filter folds (~0.5 ms/doc of expression overhead).
+    NULL text -> all-zero outputs and empty/whitespace-only text ->
+    the hash of [''] — both matching the HOF folds exactly
     (equality-tested in tests/test_pipeline_ops.py).
 
     Tokenization mirrors tokens(): Java \\s is [ \\t\\n\\x0B\\f\\r]
     (NOT unicode-aware), so the Python regex is spelled with that
     class explicitly; trim strips spaces only; split on a single
     space keeps empty strings ([''] for empty input). md5 runs over
-    UTF-8 bytes on both sides."""
+    UTF-8 bytes on both sides. pack_row(setb, outs, j) writes row j's
+    packed integers from the n_bits majority-vote booleans."""
     from ..distribute import ensure_distributed
     ensure_distributed(df.sparkSession)
     keep = list(keep_cols)
@@ -257,7 +258,8 @@ def simhash64_fast(df: DataFrame, text_col: str,
     fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
                        for f in narrow.schema.fields if f.name in keep)
     out_schema = (fields + ", " if fields else "") + \
-        "hi32 bigint, lo32 bigint"
+        ", ".join(f"{n} bigint" for n in out_names)
+    nbytes = n_bits // 8
 
     def run(batches):
         import hashlib
@@ -266,33 +268,61 @@ def simhash64_fast(df: DataFrame, text_col: str,
         import numpy as np
         import pyarrow as pa
         java_ws = re.compile("[ \t\n\x0b\f\r]+")
-        shifts = (np.int64(1) << np.arange(32, dtype=np.int64))
         nib = np.arange(4, dtype=np.uint8)
         for b in batches:
             texts = b.column(text_col).to_pylist()
             m = len(texts)
-            his = np.zeros(m, np.int64)
-            los = np.zeros(m, np.int64)
+            outs = [np.zeros(m, np.int64) for _ in out_names]
             for j, s in enumerate(texts):
                 if s is None:
-                    continue                  # HOF fold yields (0, 0)
+                    continue                  # HOF folds yield zeros
                 toks = java_ws.sub(" ", s).strip(" ").split(" ")
                 n = len(toks)
                 raw = b"".join(
-                    hashlib.md5(t.encode("utf-8")).digest()[:8]
+                    hashlib.md5(t.encode("utf-8")).digest()[:nbytes]
                     for t in toks)
-                by = np.frombuffer(raw, np.uint8).reshape(n, 8)
-                digits = np.empty((n, 16), np.uint8)
+                by = np.frombuffer(raw, np.uint8).reshape(n, nbytes)
+                digits = np.empty((n, nbytes * 2), np.uint8)
                 digits[:, 0::2] = by >> 4
                 digits[:, 1::2] = by & 15
                 ones = ((digits[:, :, None] >> nib) & 1) \
-                    .reshape(n, 64).sum(axis=0, dtype=np.int64)
-                setb = ones * 2 > n
-                los[j] = int((setb[:32] * shifts).sum())
-                his[j] = int((setb[32:] * shifts).sum())
+                    .reshape(n, n_bits).sum(axis=0, dtype=np.int64)
+                pack_row(ones * 2 > n, outs, j)
             cols = [b.column(k) for k in keep]
             yield pa.record_batch(
-                cols + [pa.array(his), pa.array(los)],
-                names=keep + ["hi32", "lo32"])
+                cols + [pa.array(o) for o in outs],
+                names=keep + out_names)
 
     return narrow.mapInArrow(run, out_schema)
+
+
+def simhash64_fast(df: DataFrame, text_col: str,
+                   *keep_cols: str) -> DataFrame:
+    """Vectorized Arrow twin of `simhash64_pair` (see
+    _simhash_fast_frame): BITWISE-identical `keep_cols + (hi32, lo32)`
+    at ~4.5x the HOF fold's throughput."""
+    import numpy as np
+    shifts = (np.int64(1) << np.arange(32, dtype=np.int64))
+
+    def pack(setb, outs, j):
+        outs[0][j] = int((setb[32:] * shifts).sum())    # hi32
+        outs[1][j] = int((setb[:32] * shifts).sum())    # lo32
+
+    return _simhash_fast_frame(df, text_col, keep_cols, 64,
+                               ["hi32", "lo32"], pack)
+
+
+def simhash48_fast(df: DataFrame, text_col: str,
+                   *keep_cols: str) -> DataFrame:
+    """Vectorized Arrow twin of `simhash48` (see _simhash_fast_frame):
+    BITWISE-identical `keep_cols + sh48` single non-negative bigint
+    (48 bits keep every value in positive range, as the HOF packer
+    documents)."""
+    import numpy as np
+    shifts = (np.int64(1) << np.arange(48, dtype=np.int64))
+
+    def pack(setb, outs, j):
+        outs[0][j] = int((setb * shifts).sum())
+
+    return _simhash_fast_frame(df, text_col, keep_cols, 48,
+                               ["sh48"], pack)
