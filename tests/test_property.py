@@ -117,3 +117,28 @@ def test_block_mean_resize_matches_loop(w, h, ow, oh, i):
             want[a, b] = px[ys[a]:max(ys[a + 1], ys[a] + 1),
                             xs[b]:max(xs[b + 1], xs[b] + 1)].mean(axis=(0, 1))
     assert np.array_equal(got, want)
+
+
+TEXTS = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)), max_size=80)
+
+
+@settings(max_examples=120, deadline=None)
+@given(s=TEXTS, n_bits=st.sampled_from([48, 64]))
+def test_simhash_bits_match_spec(s, n_bits):
+    """The vectorized SimHash kernel (operators/text._simhash_bits)
+    must match a naive reading of the documented spec: tokenize on
+    Java \\s runs (trim spaces; [''] for empty), bit b of token t =
+    bit (b % 4) of hex digit (b // 4) of md5(t), per-bit majority."""
+    import hashlib
+    import re
+    from xmlschema_spark.operators.text import _simhash_bits
+    toks = re.sub("[ \t\n\x0b\f\r]+", " ", s).strip(" ").split(" ")
+    votes = []
+    for b in range(n_bits):
+        ones = sum(
+            1 for t in toks
+            if (int(hashlib.md5(t.encode()).hexdigest()[b // 4], 16)
+                >> (b % 4)) & 1)
+        votes.append(ones * 2 > len(toks))
+    assert list(_simhash_bits(s, n_bits)) == votes

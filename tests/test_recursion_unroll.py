@@ -149,3 +149,30 @@ def test_cut_check_plan_no_shuffle(spark):
     assert len(parts) == 1
     p = parts[0]._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in p, p[:1500]
+
+
+def test_recursion_cut_streaming_parity(spark, tmp_path):
+    """Structured Streaming applies the same cut check per micro-batch:
+    stream violations == batch violations for a cut spec."""
+    from xmlschema_spark.streaming.validate_stream import validate_stream
+    spec = spec_from_xsd(LIST_XSD, key_column="rid",
+                         unroll_recursion=1)
+    df = spark.createDataFrame(
+        [("r1", ("1", ("2", None))),
+         ("r2", ("1", ("2", ("3",)))),
+         ("r3", None)],
+        "rid string, next struct<val string, next struct<val string, "
+        "next struct<val string>>>")
+    src = str(tmp_path / "src")
+    df.write.parquet(src)
+    batch = sorted((r.row_key, r.constraint)
+                   for r in validate(df, spec).violations.collect())
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema).parquet(src)
+    q = validate_stream(stream, spec, str(tmp_path / "chk"),
+                        str(tmp_path / "out"))
+    q.awaitTermination(120)
+    got = sorted((r.row_key, r.constraint) for r in spark.read.parquet(
+        str(tmp_path / "out" / "violations")).collect())
+    assert got == batch
+    assert ("r2", "recursion:depth:next.next.next") in got

@@ -262,13 +262,9 @@ def _simhash_fast_frame(df: DataFrame, text_col: str, keep_cols,
     nbytes = n_bits // 8
 
     def run(batches):
-        import hashlib
-        import re
+        import pyarrow as pa
 
         import numpy as np
-        import pyarrow as pa
-        java_ws = re.compile("[ \t\n\x0b\f\r]+")
-        nib = np.arange(4, dtype=np.uint8)
         for b in batches:
             texts = b.column(text_col).to_pylist()
             m = len(texts)
@@ -276,24 +272,38 @@ def _simhash_fast_frame(df: DataFrame, text_col: str, keep_cols,
             for j, s in enumerate(texts):
                 if s is None:
                     continue                  # HOF folds yield zeros
-                toks = java_ws.sub(" ", s).strip(" ").split(" ")
-                n = len(toks)
-                raw = b"".join(
-                    hashlib.md5(t.encode("utf-8")).digest()[:nbytes]
-                    for t in toks)
-                by = np.frombuffer(raw, np.uint8).reshape(n, nbytes)
-                digits = np.empty((n, nbytes * 2), np.uint8)
-                digits[:, 0::2] = by >> 4
-                digits[:, 1::2] = by & 15
-                ones = ((digits[:, :, None] >> nib) & 1) \
-                    .reshape(n, n_bits).sum(axis=0, dtype=np.int64)
-                pack_row(ones * 2 > n, outs, j)
+                pack_row(_simhash_bits(s, n_bits), outs, j)
             cols = [b.column(k) for k in keep]
             yield pa.record_batch(
                 cols + [pa.array(o) for o in outs],
                 names=keep + out_names)
 
     return narrow.mapInArrow(run, out_schema)
+
+
+def _simhash_bits(s: str, n_bits: int):
+    """Per-text SimHash majority-vote bits (bool ndarray of n_bits) —
+    the pure-Python/numpy kernel of _simhash_fast_frame, module-level
+    so it is property-testable without Spark against the documented
+    spec (bit b of token t = bit (b % 4) of hex digit (b // 4) of
+    md5(t); Java-\\s tokenization; [''] for empty input)."""
+    import hashlib
+    import re
+
+    import numpy as np
+    toks = re.sub("[ \t\n\x0b\f\r]+", " ", s).strip(" ").split(" ")
+    n = len(toks)
+    nbytes = n_bits // 8
+    raw = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:nbytes]
+                   for t in toks)
+    by = np.frombuffer(raw, np.uint8).reshape(n, nbytes)
+    digits = np.empty((n, nbytes * 2), np.uint8)
+    digits[:, 0::2] = by >> 4
+    digits[:, 1::2] = by & 15
+    nib = np.arange(4, dtype=np.uint8)
+    ones = ((digits[:, :, None] >> nib) & 1) \
+        .reshape(n, n_bits).sum(axis=0, dtype=np.int64)
+    return ones * 2 > n
 
 
 def simhash64_fast(df: DataFrame, text_col: str,
