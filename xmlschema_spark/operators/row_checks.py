@@ -39,8 +39,8 @@ def _part_col(plan: ValidationPlan) -> Column:
 
 
 def row_violations(df: DataFrame, plan: ValidationPlan) -> DataFrame:
-    """All row-local violations: one scan, one codegen stage, then a
-    filter+explode that keeps only failing (row, constraint) pairs."""
+    """All row-local violations: one scan, one codegen stage, then an
+    explode that keeps only failing (row, constraint) pairs."""
     if not plan.row_checks:
         # identity/assert-only spec: an empty F.array() is array<void>
         # and cannot be exploded into the violation struct
@@ -60,10 +60,15 @@ def row_violations(df: DataFrame, plan: ValidationPlan) -> DataFrame:
         for chk in plan.row_checks
     ]
     arr = F.array_compact(F.array(*structs))
+    # explode directly — NO size()>0 pre-filter: Generate(explode,
+    # outer=false) already emits nothing for an empty array, and a
+    # filter between the projection and the explode makes the filter
+    # pushdown inline the alias into its condition, evaluating the
+    # whole check array TWICE per row (guide §4.4's duplication
+    # pattern, JVM-side). One evaluation, same rows out.
     out = (
-        df.select(_key_col(plan), _part_col(plan), arr.alias("_viols"))
-        .where(F.size("_viols") > 0)
-        .select("row_key", "part_key", F.explode("_viols").alias("v"))
+        df.select(_key_col(plan), _part_col(plan),
+                  F.explode(arr).alias("v"))
         .select(
             "row_key",
             "part_key",

@@ -543,6 +543,23 @@ def _frame(tags: Column) -> Column:
                                        lambda x: F.concat(x, F.lit(";"))))
 
 
+def _frame_lexical(cm: ContentModelSpec) -> Column:
+    """Framed string for a LEXICAL model straight from the text column,
+    skipping the split -> transform -> concat_ws array round-trip of
+    _frame(tags_column(cm)): the collapsed text's separators are single
+    spaces and tags cannot contain ' ' or ';', so replacing each space
+    with ';' and appending one trailing ';' produces the identical
+    framed string (empty/whitespace-only text frames to '', exactly as
+    the empty-array branch of tags_column does). One string pass per
+    row instead of an array materialization — the framed value is both
+    the regex subject and the violation value column, so the saving is
+    paid on every row."""
+    collapsed = F.trim(F.regexp_replace(F.col(cm.column), r"\s+", " "))
+    return F.when(collapsed == "", F.lit("")) \
+        .otherwise(F.concat(F.regexp_replace(collapsed, " ", ";"),
+                            F.lit(";")))
+
+
 def _has_any(p: ParticleSpec) -> bool:
     return p.kind == "any" or any(_has_any(c) for c in p.children)
 
@@ -625,7 +642,12 @@ def content_model_checks(cm: ContentModelSpec):
                       cm.xsd11 and cm.model.kind == "all"))
     tags = tags_column(cm)
     present = F.col(cm.column).isNotNull()
-    framed = _frame(tags)
+    # lexical models frame via one string pass (see _frame_lexical);
+    # NULL text frames to NULL instead of '' there, which is invisible:
+    # every consumer of `framed` is guarded by `present` (valid is
+    # ~present | ok, and the value column is only materialized for
+    # violating — hence present — rows)
+    framed = _frame_lexical(cm) if cm.lexical else _frame(tags)
     checks = []
     oc_norm = _wc_norm(oc.wildcard, cm.target_ns) if oc else None
     oc_tag_re = f"^(?:{_wc_tag_regex(oc_norm)})$" if oc else None

@@ -22,8 +22,34 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
-def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+def _load(spark: SparkSession, sf_dir: str, name: str,
+          fan: bool = False) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _fan_out(df) if fan else df
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Redistribute a SPLIT-STARVED scan before heavy per-row compute
+    (guide §2.6 stragglers/idle capacity, §6 input splits): parquet
+    cannot split inside a row group, so a table written as one or two
+    row groups caps every downstream narrow stage — md5 HOF folds,
+    regex validation, Arrow kernels — at one or two tasks no matter
+    how many cores the cluster has (measured on the r8 bench host:
+    lsh_candidate_pairs 6.7s -> 1.7s, simhash64_fast 4.4s -> 0.8s at
+    sf1.0, whose `documents` table is a single row group).
+
+    Scale-adaptive, not a tuned constant: fires only when the scan has
+    fewer partitions than spark.default.parallelism (= total cluster
+    cores), so a production table with thousands of row groups passes
+    through untouched and no shuffle is ever added at scale. Only
+    worth it where downstream compute dominates the shuffle cost —
+    scan-bound aggregations (lineitem/orders facet suites) measure
+    SLOWER with it and stay un-fanned."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def register(name: str, oracle: str | None = None):
@@ -510,7 +536,7 @@ def union_decode_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fixed_value_consistency_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-value equality across columns (elements.py:750-769 analog):
     the stored n_chars must equal length(text)."""
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     bad = d.where(F.col("n_chars").isNotNull() & F.col("text").isNotNull()
                   & (F.col("n_chars") != F.length("text")))
     return bad.select(F.col("doc_id").cast("string").alias("row_key"),
@@ -676,7 +702,7 @@ def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup by normalized-text fingerprint. The testdata corpus
     has no exact dups — exact ZERO result guards false positives."""
     from .operators.dedup import exact_duplicates
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     return exact_duplicates(d, "text", "doc_id") \
         .select(F.col("doc_id").cast("string").alias("doc_id"), "fp", "group_n")
 
@@ -701,7 +727,7 @@ def minhash_signatures_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash signatures (4 hash families over word 3-shingles) — the
     portable md5-min construction, bit-identical in any engine."""
     from .operators.dedup import minhash_signatures
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     return minhash_signatures(d, "text", "doc_id") \
         .select(F.col("doc_id").cast("string").alias("doc_id"),
                 "h0", "h1", "h2", "h3")
@@ -738,7 +764,7 @@ def lsh_candidate_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     """MinHash-LSH candidate pairs: 2 bands x 2 rows, singleton buckets
     dropped before the self-join, deterministic bucket-size cap."""
     from .operators.dedup import lsh_bucket_pairs
-    d = _load(spark, sf_dir, "documents") \
+    d = _load(spark, sf_dir, "documents", fan=True) \
         .withColumn("doc_id", F.col("doc_id").cast("string"))
     return lsh_bucket_pairs(d, "text", "doc_id", n_hashes=4, band_size=2)
 
@@ -759,15 +785,31 @@ def lsh_candidate_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame
 """)
 def text_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document quality components: token count, stopword ratio,
-    punctuation ratio — all JVM-side expressions."""
-    from .operators.text import punct_ratio, stopword_ratio, token_count
-    d = _load(spark, sf_dir, "documents")
+    punctuation ratio — all JVM-side expressions.
+
+    r8: the naive per-metric composition ran the \\s+ tokenizer regex
+    FOUR times per row (the where-filter, n_tokens, the ratio
+    denominator, the lowercased stopword scan). Both token arrays are
+    now bound ONCE via bind1 lambda variables behind one Generate
+    barrier (inline) — same math, same rounding, identical output."""
+    from .operators.text import (STOPWORDS, _isin_pred, bind1,
+                                 punct_ratio, tokens)
+    d = _load(spark, sf_dir, "documents", fan=True)
     t = F.col("text")
-    return (d.where(token_count(t) > 0)
-            .select(F.col("doc_id").cast("string").alias("doc_id"),
-                    token_count(t).cast("bigint").alias("n_tokens"),
-                    F.round(stopword_ratio(t, "en"), 6).alias("stop_ratio"),
-                    F.round(punct_ratio(t), 6).alias("punct_ratio")))
+    s = bind1(tokens(t), lambda w: bind1(
+        tokens(F.lower(t)), lambda wl: F.struct(
+            F.size(w).cast("bigint").alias("n_tokens"),
+            F.when(F.size(w) > 0,
+                   F.size(F.filter(wl, _isin_pred(STOPWORDS["en"])))
+                   / F.size(w)).otherwise(0.0).alias("_stop"),
+        )))
+    return (d.select(F.col("doc_id").cast("string").alias("doc_id"),
+                     F.round(punct_ratio(t), 6).alias("punct_ratio"),
+                     F.inline(F.array(s)))
+            .where(F.col("n_tokens") > 0)
+            .select("doc_id", "n_tokens",
+                    F.round(F.col("_stop"), 6).alias("stop_ratio"),
+                    "punct_ratio"))
 
 
 @register("lang_id_documents", """
@@ -796,7 +838,7 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-vote language ID vs the labeled lang column (confusion
     counts). Ties resolve in fixed order en > fr > de > es."""
     from .operators.text import lang_guess
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     return (d.select("lang", lang_guess(F.col("text")).alias("guess"))
             .groupBy("lang", "guess").agg(F.count(F.lit(1)).alias("n")))
 
@@ -809,7 +851,7 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Canonical whole-document fingerprint (md5 of collapsed text)."""
     from .operators.text import fingerprint
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     return d.select(F.col("doc_id").cast("string").alias("doc_id"),
                     fingerprint(F.col("text")).alias("fp"))
 
@@ -840,7 +882,7 @@ def simhash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """48-bit portable SimHash per document (md5-digit bit source —
     bit-identical in any engine; full DuckDB value oracle)."""
     from .operators.text import simhash48
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     return d.select(F.col("doc_id").cast("string").alias("doc_id"),
                     simhash48(F.col("text")).alias("simhash"))
 
@@ -1121,7 +1163,7 @@ def hex_base64_lexical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """xs:hexBinary lexical validation (helpers.py:240-248): md5 digests
     pass; every 7th is corrupted with a non-hex suffix and must fail."""
     from .functions.lexical import hex_binary_ok
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     hexv = F.when(F.col("doc_id") % 7 == 0,
                   F.concat(F.md5("text"), F.lit("g"))) \
             .otherwise(F.md5("text"))
@@ -1168,7 +1210,7 @@ def decode_to_json_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Validated-decode sink shape: rows as JSON text (reference:
     to_json/to_dict sinks, documents.py:275,301 + ColumnarConverter
     flattening, converters/columnar.py:23-174)."""
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     return d.select(
         F.col("doc_id").cast("string").alias("doc_id"),
         F.to_json(F.struct(F.col("doc_id"), F.col("lang"),
@@ -1215,7 +1257,7 @@ def ngram_jaccard_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard two-stage near-dup pipeline (cheap blocking, exact verify
     only inside blocks)."""
     from .operators.dedup import lsh_bucket_pairs, ngram_jaccard
-    d = _load(spark, sf_dir, "documents") \
+    d = _load(spark, sf_dir, "documents", fan=True) \
         .withColumn("doc_id", F.col("doc_id").cast("string"))
     pairs = lsh_bucket_pairs(d, "text", "doc_id")
     return ngram_jaccard(d, "text", "doc_id", pairs) \
@@ -1252,7 +1294,9 @@ def embedding_near_dups_vectorized(spark: SparkSession, sf_dir: str) -> DataFram
     diverge — none do at any tested SF, and the pairs themselves are
     rounding-independent."""
     from .operators.similarity import cosine_near_dup_pairs_vectorized
-    e = _load(spark, sf_dir, "embeddings")
+    # fan=True: the per-row unit_vector/lsh_bucket HOFs run map-side —
+    # a single-row-group embeddings file serializes them (guide §2.6)
+    e = _load(spark, sf_dir, "embeddings", fan=True)
     return cosine_near_dup_pairs_vectorized(e, "embedding", "vec_id",
                                             threshold=0.3, n_planes=4)
 
@@ -2131,7 +2175,7 @@ def lexical_list_items_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     int and satisfy item facets (here int in [0, 400]). Every 11th doc
     carries a non-numeric item (decode violation); docs with n_chars>400
     violate the item range."""
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     lx = d.select(
         F.col("doc_id"),
         F.concat_ws(" ", F.col("n_chars").cast("string"),
@@ -2222,7 +2266,7 @@ def deduplicate_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     with string ids '10' < '9' would pick a different keeper the moment
     the corpus gains a real duplicate group."""
     from .operators.dedup import deduplicate
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     return deduplicate(d, "text", "doc_id", method="exact") \
         .select(F.col("doc_id").cast("string").alias("doc_id"), "lang")
 
@@ -2357,7 +2401,7 @@ def dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     same components with a recursive CTE — full pipeline parity from
     raw text to cluster labels."""
     from .operators.dedup import dup_clusters, lsh_bucket_pairs, ngram_jaccard
-    d = _load(spark, sf_dir, "documents") \
+    d = _load(spark, sf_dir, "documents", fan=True) \
         .withColumn("doc_id", F.col("doc_id").cast("string"))
     cand = lsh_bucket_pairs(d, "text", "doc_id", n_hashes=4, band_size=2)
     verified = ngram_jaccard(d, "text", "doc_id", cand, threshold=0.5) \
@@ -2391,7 +2435,7 @@ def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     from .operators.dedup import incremental_deduplicate
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     store = tempfile.mkdtemp(prefix="xmlschema_spark_fps_")
     try:
         store_path = f"{store}/fps"
@@ -2428,7 +2472,7 @@ def token_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit runs + single punctuation marks) — pure JVM regexp, oracle
     replicates the exact regex in DuckDB's RE2."""
     from .operators.text import bpe_ish_token_count, token_count
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     return (d.where(F.col("text").isNotNull())
             .select(F.col("doc_id").cast("string").alias("doc_id"),
                     token_count(F.col("text")).cast("bigint")
@@ -2497,7 +2541,7 @@ def simhash64_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-bit systems — each half stays in positive-bigint range on any
     engine; full DuckDB value oracle over both halves."""
     from .operators.text import simhash64_pair
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     sh = simhash64_pair(F.col("text"))
     return d.select(F.col("doc_id").cast("string").alias("doc_id"),
                     F.inline(F.array(sh)))
@@ -2527,7 +2571,7 @@ def simhash64_fast_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure-Catalyst derivation; this is the shape you'd ship at 10^9
     documents where per-row expression overhead dominates."""
     from .operators.text import simhash64_fast
-    d = _load(spark, sf_dir, "documents") \
+    d = _load(spark, sf_dir, "documents", fan=True) \
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     return simhash64_fast(d, "text", "doc_id")
 
@@ -2567,7 +2611,7 @@ def hamming_near_dups_documents(spark: SparkSession,
     fold, ~4.5x — it was 2/3 of this query's wall)."""
     from .operators.dedup import hamming_near_dups
     from .operators.text import simhash64_fast
-    d = _load(spark, sf_dir, "documents") \
+    d = _load(spark, sf_dir, "documents", fan=True) \
         .where(F.col("text").isNotNull()) \
         .select(F.col("doc_id").cast("string").alias("doc"), "text")
     h = simhash64_fast(d, "text", "doc").select(
@@ -2597,7 +2641,7 @@ def ncname_lexical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit-led and colon-qualified derivatives violate. The oracle uses
     the equivalent ASCII regex (the fixture values are ASCII; the
     engine-side class also admits the spec's unicode ranges)."""
-    d = _load(spark, sf_dir, "documents").withColumn(
+    d = _load(spark, sf_dir, "documents", fan=True).withColumn(
         "nm", F.when(F.col("doc_id") % 5 == 0,
                      F.concat(F.lit("9"), F.col("source")))
               .when(F.col("doc_id") % 7 == 0,
@@ -2723,7 +2767,7 @@ def content_model_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the tags the same way and applies the same regex
     (reference: ModelVisitor content validation, models.py:177-330)."""
     from .specs import ContentModelSpec
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     spec = TableSpec(
         name="documents", key_column="doc_id",
         content_models=[ContentModelSpec(
@@ -2789,7 +2833,7 @@ def content_model_wildcards_documents(spark: SparkSession,
     verbatim (reference: wildcards.py:73-185, models.py:790-815)."""
     from .specs import ContentModelSpec
     model, oc = _doc_ns_model()
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     d = d.withColumn("text", F.array_join(F.transform(
         F.split(F.trim(F.regexp_replace("text", r"\s+", " ")), " "),
         lambda w: F.when(w == "spark", F.lit("ext:spark"))
@@ -2882,7 +2926,7 @@ def decode_parker_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     attribute column and is omitted from the decoded document (it
     remains the row key)."""
     from .functions.converters import decode_table, parker_converter
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     spec = TableSpec(name="documents", key_column="doc_id",
                      columns=[ColumnSpec("doc_id", "bigint"),
                               ColumnSpec("lang", "string"),
@@ -2902,7 +2946,7 @@ def decode_badgerfish_documents(spark: SparkSession,
     attr_prefix='@', text_key='$'): lang as '@lang' attribute, source
     as the '$' text key, n_chars as a plain element."""
     from .functions.converters import badgerfish_converter, decode_table
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     spec = TableSpec(name="documents", key_column="doc_id",
                      columns=[ColumnSpec("lang", "string"),
                               ColumnSpec("source", "string"),
@@ -2925,7 +2969,7 @@ def decode_columnar_documents(spark: SparkSession,
     (doc_id, n_chars) after, the whole row wrapped {documents: {...}}
     at level 0."""
     from .functions.converters import columnar_converter, decode_table
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     spec = TableSpec(name="documents", key_column="doc_id",
                      columns=[ColumnSpec("doc_id", "bigint"),
                               ColumnSpec("lang", "string"),
@@ -2949,7 +2993,7 @@ def decode_unordered_documents(spark: SparkSession,
     the undeclared 'source' column trailing (wildcard content after
     modeled content)."""
     from .functions.converters import decode_table, unordered_converter
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     spec = TableSpec(name="documents", key_column="doc_id",
                      columns=[ColumnSpec("doc_id", "bigint"),
                               ColumnSpec("lang", "string"),
@@ -2968,7 +3012,7 @@ def dup_clusters_star_documents(spark: SparkSession,
     (member, cluster=component-min) map."""
     from .operators.dedup import (dup_clusters_star, lsh_bucket_pairs,
                                   ngram_jaccard)
-    d = _load(spark, sf_dir, "documents") \
+    d = _load(spark, sf_dir, "documents", fan=True) \
         .withColumn("doc_id", F.col("doc_id").cast("string"))
     cand = lsh_bucket_pairs(d, "text", "doc_id", n_hashes=4, band_size=2)
     verified = ngram_jaccard(d, "text", "doc_id", cand, threshold=0.5) \
@@ -2986,7 +3030,7 @@ def decode_abdera_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Abdera convention (reference converters/abdera.py:24-80):
     attributes under an 'attributes' dict, content under 'children'."""
     from .functions.converters import abdera_converter, decode_table
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     spec = TableSpec(name="documents", key_column="doc_id",
                      columns=[ColumnSpec("lang", "string"),
                               ColumnSpec("source", "string"),
@@ -3006,7 +3050,7 @@ def decode_jsonml_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     array form ["documents", {attrs}, ["col", value], ...] built as raw
     JSON text inside the projection."""
     from .functions.converters import decode_table, jsonml_converter
-    d = _load(spark, sf_dir, "documents")
+    d = _load(spark, sf_dir, "documents", fan=True)
     spec = TableSpec(name="documents", key_column="doc_id",
                      columns=[ColumnSpec("lang", "string"),
                               ColumnSpec("source", "string"),
