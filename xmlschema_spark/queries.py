@@ -383,7 +383,7 @@ def xsd_import_chain_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders o JOIN d USING (o_custkey)
 """)
 def unique_custkey_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """xs:unique on orders.o_custkey — salted two-level aggregate; one
+    """xs:unique on orders.o_custkey — partial+final count aggregate; one
     violation per offending row carrying the group count."""
     df = _load(spark, sf_dir, "orders")
     v = unique_violations(df, UniqueSpec("custkey", ["o_custkey"]), "o_orderkey")
@@ -1974,7 +1974,7 @@ def record_keyref_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     xs:keyref over item/ref, selector-scoped to the repeated 'item'
     child. The node set explodes the array (narrow, zero extra
     shuffle beyond the identity aggregates themselves); the key stays
-    a salted two-level aggregate, the keyref an anti-join against the
+    a partial+final count aggregate, the keyref an anti-join against the
     distinct exploded key set — the same 100 TB shapes as row-level
     identities."""
     from .sources.xsd_import import spec_from_xsd

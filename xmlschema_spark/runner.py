@@ -2,7 +2,7 @@
 
 Lifecycle (mirrors xmlschema/validators/schemas.py:1285-1405):
   stage A  row-local checks — one select, whole-stage codegen
-  stage B  identity aggregates — salted uniqueness (deferred like the
+  stage B  identity aggregates — partial+final uniqueness (deferred like the
            reference's identity-counter merge, schemas.py:1386-1389)
   stage C  referential anti-joins — keyref/IDREF
            (_validate_references, schemas.py:1393-1405)
@@ -585,7 +585,7 @@ def validate(df: DataFrame, spec_or_plan: TableSpec | ValidationPlan,
                 "reason string, value string, occurs bigint")
         return ValidationResult(empty, verdicts_frame(df, empty, plan.spec))
     v = violations_frame(df, plan, refs, extra_validators=extra_validators)
-    # persist: the violations DAG (payload decode, salted aggs, joins) is
+    # persist: the violations DAG (payload decode, identity aggs, joins) is
     # the expensive part and is consumed by BOTH the violations output and
     # the verdicts aggregation — without this it would evaluate twice.
     # The persisted set holds only failures (small by construction).

@@ -143,8 +143,10 @@ class UniqueSpec:
     is_key=True additionally requires non-null fields
     ("missing key field", identities.py:523-531); unique silently skips
     all-null tuples (elements.py:914-918).
-    salt: number of salt buckets for the two-level skew-resistant
-    aggregate; None lets the engine pick.
+    salt: retained for API compatibility; ignored since r8 — the
+    count aggregate's map-side partial combine already bounds reducer
+    skew (one partial row per tuple per map task), so the former
+    salted two-level shape only added an Exchange.
     """
 
     name: str
