@@ -1005,3 +1005,21 @@ def test_duplicate_sibling_export_round_trip(spark):
     v2 = sorted((r.row_key, r.constraint)
                 for r in validate(df, spec2).violations.collect())
     assert v1 == v2 and any(k == "r2" for k, _ in v1)
+
+
+def test_duplicate_sibling_value_constraint_falls_back():
+    """Same-typed duplicated siblings carrying fixed/default (EDC-valid
+    — EDC constrains the TYPE only) must NOT merge: the repeated-field
+    emit path has no fixed/default support, so merging would silently
+    drop the value constraint. Such shapes keep the content-model
+    fallback (r8, ADVICE item 1)."""
+    for attr in ('fixed="7"', 'default="7"'):
+        body = (f'<xs:element name="a" type="xs:int" {attr}/>'
+                '<xs:element name="a" type="xs:int"/>')
+        with pytest.raises(ValueError, match="tags_column"):
+            _imp(_row_schema(body), key_column="rid")
+    # differing nillable is likewise not comparable for the merge
+    body = ('<xs:element name="a" type="xs:int" nillable="true"/>'
+            '<xs:element name="a" type="xs:int"/>')
+    with pytest.raises(ValueError, match="tags_column"):
+        _imp(_row_schema(body), key_column="rid")

@@ -399,12 +399,18 @@ def apply_defaults(df: DataFrame, spec: TableSpec) -> DataFrame:
 
 
 def _dtype_at(df: DataFrame, name: str):
-    """DataType at a dotted path, or None (see _has_column)."""
-    from pyspark.sql.types import ArrayType, StructType
+    """DataType at a dotted path, or None. Unlike _has_column this does
+    NOT look through ArrayType at intermediate steps: the only caller,
+    _recursion_cut_parts, evaluates F.col(path) — extraction through an
+    array yields an ARRAY column, so an isNotNull() on it would flag a
+    non-null array whose elements are all NULL at the leaf (false
+    recursion-cut violations). Cuts inside repeated records are owned
+    by the exploded sub-specs' own recursion_cuts
+    (_record_array_parts), so a top-level cut path crossing an array is
+    skipped here (None), never mis-checked (r8, ADVICE)."""
+    from pyspark.sql.types import StructType
     schema = df.schema
     for step in name.split("."):
-        if isinstance(schema, ArrayType):
-            schema = schema.elementType
         if not isinstance(schema, StructType):
             return None
         hit = next((f for f in schema.fields if f.name == step), None)

@@ -2169,9 +2169,21 @@ def spec_from_xsd(xsd: str, *, element: Optional[str] = None,
                     continue
                 # one TYPE per name (EDC); inline types / identity
                 # constraints on a duplicated sibling are not
-                # comparable here -> fall back
-                if len({(p.get("ref"), p.get("type"))
+                # comparable here -> fall back. fixed/default/nillable
+                # join the comparability tuple (r8, ADVICE): EDC allows
+                # same-typed siblings to differ in value constraints,
+                # but the repeated-field emit path carries no
+                # fixed/default support — merging would silently drop
+                # the constraint, so such shapes keep the content-model
+                # fallback. Any sibling carrying fixed/default falls
+                # back outright (even when all siblings agree, the
+                # merged repeated field could not enforce it).
+                if len({(p.get("ref"), p.get("type"),
+                         p.get("nillable"))
                         for p in parts}) > 1 \
+                        or any(p.get("fixed") is not None
+                               or p.get("default") is not None
+                               for p in parts) \
                         or any(_local(x.tag) != "annotation"
                                for p in parts for x in p):
                     raise _NotRecord
