@@ -263,3 +263,27 @@ def test_simhash48_fast_bitwise_matches_hof(spark):
     fast = {r.doc_id: r.sh48 for r in
             simhash48_fast(df, "text", "doc_id").collect()}
     assert fast == hof
+
+
+def test_minhash_kernel_bitwise_matches_hof(spark):
+    """The r8 mapInArrow MinHash kernel must be BITWISE-identical to
+    the Catalyst HOF derivation text.minhash_signature on every edge:
+    NULL text, empty, whitespace-only, < k tokens, exactly k tokens,
+    repeated shingles, unicode, and every Java \\s class member."""
+    from xmlschema_spark.operators.text import minhash_signature
+    rows = [
+        ("n", None), ("e", ""), ("w", "   "), ("t", "\t\n\x0b\f\r"),
+        ("k2", "two words"), ("k3", "three words here"),
+        ("a", "the quick brown fox jumps over the lazy dog"),
+        ("r", "x y z x y z x y z"),
+        ("u", "café naïve 中文 tokens here"),
+        ("nb", "a b c d"),        # NBSP is a token char, not \s
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    hof = {r.doc_id: (r.h0, r.h1, r.h2, r.h3) for r in
+           df.select("doc_id",
+                     F.inline(F.array(minhash_signature(F.col("text")))))
+             .collect()}
+    fast = {r.doc_id: (r.h0, r.h1, r.h2, r.h3) for r in
+            minhash_signatures(df, "text", "doc_id").collect()}
+    assert fast == hof

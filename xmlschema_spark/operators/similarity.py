@@ -123,7 +123,8 @@ def cosine_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
                           threshold: float = 0.95, n_planes: int = 6,
                           decimals: int = 4,
                           brute_force: bool = False,
-                          max_bucket: int = 20_000) -> DataFrame:
+                          max_bucket: int = 20_000,
+                          dims: int | None = None) -> DataFrame:
     """All-pairs near-duplicates by cosine >= threshold.
 
     brute_force=True: exact O(n^2) within-join (oracle-comparable);
@@ -148,7 +149,10 @@ def cosine_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
         j = left.crossJoin(right).where(F.col("id_a") < F.col("id_b"))
     else:
         from .dedup import _cap_buckets
-        dims = len(df.select(vec_col).first()[0])
+        if dims is None:
+            # extra driver job re-executing the frame below `df`; pass
+            # dims when known (r8)
+            dims = len(df.select(vec_col).first()[0])
         # bucket ONCE on the shared base, cap, then derive both join
         # sides from the SAME capped frame so left/right survivors
         # agree row-for-row. Cap order = STRING-cast id, matching the
@@ -170,20 +174,28 @@ def cosine_near_dup_pairs_vectorized(df: DataFrame, vec_col: str,
                                      id_col: str, threshold: float = 0.95,
                                      n_planes: int = 8,
                                      decimals: int = 4,
-                                     max_bucket: int = 20_000) -> DataFrame:
+                                     max_bucket: int = 20_000,
+                                     dims: int | None = None) -> DataFrame:
     """Scale path: sign-LSH bucketing + per-bucket numpy MATMUL via
     applyInPandas — one BLAS gemm per bucket instead of per-pair HOF
     array traversals (~100x on the dot products). Buckets above
     max_bucket are truncated deterministically (sorted by id) so one
     degenerate bucket cannot OOM an executor; log-scale estimate:
-    20k x 20k x 64 dims = 25 GFLOP ~ seconds."""
+    20k x 20k x 64 dims = 25 GFLOP ~ seconds.
+
+    dims: the embedding dimensionality (for the literal hyperplane
+    arrays). Pass it when known — the None fallback probes the frame
+    with first(), an extra driver job that re-executes everything
+    below `df` (r8: on a repartitioned input that is a full shuffle
+    for one row)."""
     import numpy as np
     import pandas as pd
 
     from ..distribute import ensure_distributed
     ensure_distributed(df.sparkSession)
 
-    dims = len(df.select(vec_col).first()[0])
+    if dims is None:
+        dims = len(df.select(vec_col).first()[0])
     base = df.select(
         F.col(id_col).cast("string").alias("id"),
         unit_vector(F.col(vec_col)).alias("u"),

@@ -1295,10 +1295,14 @@ def embedding_near_dups_vectorized(spark: SparkSession, sf_dir: str) -> DataFram
     rounding-independent."""
     from .operators.similarity import cosine_near_dup_pairs_vectorized
     # fan=True: the per-row unit_vector/lsh_bucket HOFs run map-side —
-    # a single-row-group embeddings file serializes them (guide §2.6)
-    e = _load(spark, sf_dir, "embeddings", fan=True)
-    return cosine_near_dup_pairs_vectorized(e, "embedding", "vec_id",
-                                            threshold=0.3, n_planes=4)
+    # a single-row-group embeddings file serializes them (guide §2.6).
+    # dims probed from the RAW scan (one-row parquet read); probing the
+    # fanned frame would run the whole repartition shuffle for one row.
+    raw = _load(spark, sf_dir, "embeddings")
+    dims = len(raw.select("embedding").first()[0])
+    return cosine_near_dup_pairs_vectorized(_fan_out(raw), "embedding",
+                                            "vec_id", threshold=0.3,
+                                            n_planes=4, dims=dims)
 
 
 # full DuckDB replication of the IVF pipeline: deterministic seeds
