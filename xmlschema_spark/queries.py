@@ -38,18 +38,45 @@ def _fan_out(df: DataFrame) -> DataFrame:
     lsh_candidate_pairs 6.7s -> 1.7s, simhash64_fast 4.4s -> 0.8s at
     sf1.0, whose `documents` table is a single row group).
 
-    Scale-adaptive, not a tuned constant: fires only when the scan has
-    fewer partitions than spark.default.parallelism (= total cluster
-    cores), so a production table with thousands of row groups passes
-    through untouched and no shuffle is ever added at scale. Only
-    worth it where downstream compute dominates the shuffle cost —
-    scan-bound aggregations (lineitem/orders facet suites) measure
-    SLOWER with it and stay un-fanned."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+    Scale-adaptive, not a tuned constant: fires only when the scan's
+    input is smaller than defaultParallelism (= total cluster cores)
+    x maxPartitionBytes — i.e. when it CANNOT produce one split per
+    core — so a production table passes through untouched and no
+    shuffle is ever added at scale. The split-count upper bound is
+    estimated from the relation's size statistics (metadata-only,
+    ~1 ms) rather than df.rdd.getNumPartitions(), whose RDD
+    conversion costs ~30 ms per call. Only worth it where downstream
+    compute dominates the shuffle cost — scan-bound aggregations
+    (lineitem/orders facet suites) measure SLOWER with it and stay
+    un-fanned."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        size = int(df._jdf.queryExecution().analyzed()
+                   .stats().sizeInBytes())
+        max_pb = _parse_bytes(
+            spark.conf.get("spark.sql.files.maxPartitionBytes",
+                           "128m"))
+        starved = size < target * max_pb
+    except Exception:
+        starved = df.rdd.getNumPartitions() < target
+    return df.repartition(target) if starved else df
+
+
+_BYTE_SUFFIX = {"b": 1, "k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+                "t": 1 << 40}
+
+
+def _parse_bytes(v: str) -> int:
+    """Spark byte-conf string ('8m', '134217728b', '1g') -> bytes."""
+    s = str(v).strip().lower()
+    for suf in ("kb", "mb", "gb", "tb"):
+        if s.endswith(suf):
+            s = s[:-1]                     # 'mb' -> 'm'
+            break
+    if s and s[-1] in _BYTE_SUFFIX:
+        return int(s[:-1]) * _BYTE_SUFFIX[s[-1]]
+    return int(s)
 
 
 def register(name: str, oracle: str | None = None):
