@@ -287,3 +287,22 @@ def test_minhash_kernel_bitwise_matches_hof(spark):
     fast = {r.doc_id: (r.h0, r.h1, r.h2, r.h3) for r in
             minhash_signatures(df, "text", "doc_id").collect()}
     assert fast == hof
+
+
+def test_brute_near_dups_thresholds_unrounded_cosine(spark):
+    """r8: the brute path's oracle contract thresholds the UNROUNDED
+    cosine; a pair whose exact cosine lies in [thr - 0.5e-4, thr) must
+    NOT be emitted even though its rounded sim equals thr (found live
+    at sf0.001: cosine 0.2999924… surfaced as sim=0.3)."""
+    import math
+    from xmlschema_spark.operators.similarity import cosine_near_dup_pairs
+    c = 0.29997                      # rounds to 0.3000 at 4 decimals
+    rows = [(1, [1.0, 0.0]), (2, [c, math.sqrt(1 - c * c)]),
+            (3, [1.0, 0.0])]         # (1,3) exact cosine 1.0 — kept
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    got = {(r.id_a, r.id_b): r.sim for r in
+           cosine_near_dup_pairs(df, "embedding", "vec_id",
+                                 threshold=0.3, brute_force=True)
+           .collect()}
+    assert (1, 2) not in got and (2, 3) not in got
+    assert got[(1, 3)] == 1.0

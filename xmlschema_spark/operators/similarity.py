@@ -166,6 +166,17 @@ def cosine_near_dup_pairs(df: DataFrame, vec_col: str, id_col: str,
         rb = bb.select(F.col("_id").alias("id_b"), F.col("_u").alias("vb"), "_b")
         j = lb.join(rb, on="_b", how="inner").where(F.col("id_a") < F.col("id_b"))
     sim = dot(F.col("va"), F.col("vb"))
+    if brute_force:
+        # the brute path's oracle contract thresholds the UNROUNDED
+        # cosine (the rounded value is presentation only); filtering on
+        # the rounded alias admitted pairs in
+        # [threshold - 0.5*10^-decimals, threshold) — found at sf0.001
+        # (r8): exact cosine 0.2999924… rounds to 0.3000 and slipped
+        # through. The LSH path below keeps the rounded-threshold
+        # semantics its own oracles pin.
+        return (j.where(sim >= threshold)
+                .select("id_a", "id_b",
+                        F.round(sim, decimals).alias("sim")))
     return (j.select("id_a", "id_b", F.round(sim, decimals).alias("sim"))
             .where(F.col("sim") >= threshold))
 

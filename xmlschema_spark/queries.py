@@ -2137,17 +2137,30 @@ def ann_ivf_recall_256(spark: SparkSession, sf_dir: str) -> DataFrame:
 """)
 def near_dups_lsh_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zero-false-positive gate for the LSH-blocked near-dup path: every
-    emitted pair must also appear in the exact brute-force result with
+    emitted pair must also appear in the exact all-pairs result with
     the same similarity (LSH trades recall, NEVER precision). Expected
-    result: zero rows."""
+    result: zero rows.
+
+    The comparison set is the exact all-pairs cosines under the LSH
+    path's OWN emission semantics (threshold on the ROUNDED sim): the
+    brute operator thresholds the unrounded cosine (its oracle
+    contract — see cosine_near_dup_pairs), so the gate widens the
+    brute threshold by half an ulp of the rounding grid and re-applies
+    the rounded threshold, which is exactly the post-round set. Without
+    this, a pair whose exact cosine lies in [0.29995, 0.3) — emitted by
+    LSH as sim=0.3, correctly absent from the brute result — would
+    read as a false positive (two such pairs exist at sf0.1)."""
     from .operators.similarity import cosine_near_dup_pairs
     e = _load(spark, sf_dir, "embeddings")
-    lsh = cosine_near_dup_pairs(e, "embedding", "vec_id", threshold=0.3,
+    thr, decimals = 0.3, 4
+    lsh = cosine_near_dup_pairs(e, "embedding", "vec_id", threshold=thr,
                                 n_planes=4, brute_force=False) \
         .select(F.col("id_a").cast("string").alias("id_a"),
                 F.col("id_b").cast("string").alias("id_b"), "sim")
-    brute = cosine_near_dup_pairs(e, "embedding", "vec_id", threshold=0.3,
+    brute = cosine_near_dup_pairs(e, "embedding", "vec_id",
+                                  threshold=thr - 0.5 * 10 ** -decimals,
                                   brute_force=True) \
+        .where(F.col("sim") >= thr) \
         .select(F.col("id_a").cast("string").alias("id_a"),
                 F.col("id_b").cast("string").alias("id_b"), "sim")
     return lsh.join(brute, on=["id_a", "id_b", "sim"], how="left_anti")
